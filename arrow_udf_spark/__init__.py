@@ -1,0 +1,38 @@
+"""arrow_udf_spark — a PySpark-native re-expression of the arrow-udf
+UDF framework (reference: /root/reference, arrow-udf 0.9.0), extended with
+large-scale data-pipeline operators (dedup, similarity, text analysis).
+
+Public API::
+
+    from arrow_udf_spark import udf, udtf, udaf, CallMode, Registry
+"""
+
+from .plans.registry import GLOBAL, Registry, Signature
+from .plans.types import EXT_DECIMAL, EXT_JSON, EXT_PICKLE, ExtField, parse_type
+from .operators.scalar import CallMode, ScalarFunction, udf
+from .operators.table import TableFunction, udtf
+from .operators.aggregate import AggregateFunction, udaf
+from .session import get_spark, configure
+from . import functions  # noqa: F401  (self-registers the built-in corpus)
+
+__all__ = [
+    "udf",
+    "udtf",
+    "udaf",
+    "CallMode",
+    "Registry",
+    "Signature",
+    "GLOBAL",
+    "ExtField",
+    "parse_type",
+    "EXT_JSON",
+    "EXT_DECIMAL",
+    "EXT_PICKLE",
+    "ScalarFunction",
+    "TableFunction",
+    "AggregateFunction",
+    "get_spark",
+    "configure",
+]
+
+__version__ = "0.1.0"

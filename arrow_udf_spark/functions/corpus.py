@@ -1,0 +1,399 @@
+"""The reference's concrete function corpus, re-implemented on the framework.
+
+Every function here mirrors a test/example function of the reference
+(SURVEY.md §2.B); file:line citations point into /root/reference.  Batchable
+numeric functions use vectorized numpy/pandas (``batch=True`` — the analogue
+of the reference's SIMD path, arrow-udf-macros/src/codegen_utils.rs:517-540);
+object-typed functions run row-at-a-time inside the Arrow batch (the
+reference's default row loop, codegen_utils.rs:569-577).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import date, datetime, time, timedelta
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+from ..operators.scalar import udf
+from ..operators.table import udtf
+from ..operators.aggregate import udaf
+
+# ---------------------------------------------------------------------------
+# scalar: numeric (vectorized batch mode)
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["int", "int"], result_type="int", batch=True)
+def gcd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """reference arrow-udf/tests/tests.rs:55-61, examples/rust.rs:23-29."""
+    return pd.Series(np.gcd(a.to_numpy(dtype="int64"), b.to_numpy(dtype="int64")))
+
+
+@udf(input_types=["bigint", "bigint"], result_type="bigint", name="gcd", batch=True)
+def gcd_i64(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(np.gcd(a.to_numpy(dtype="int64"), b.to_numpy(dtype="int64")))
+
+
+@udf(input_types=["int", "int", "int"], result_type="int", name="gcd3", batch=True)
+def gcd3(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+    """reference arrow-udf-remote/python/example.py:42-45."""
+    return pd.Series(
+        np.gcd(
+            np.gcd(a.to_numpy(dtype="int64"), b.to_numpy(dtype="int64")),
+            c.to_numpy(dtype="int64"),
+        )
+    )
+
+
+@udf(input_types=["bigint", "bigint"], result_type="bigint", fallible=True)
+def div(a: int, b: int):
+    """Integer division, row-level divide-by-zero capture.
+
+    reference tests/tests.rs:99-102 (+ error-column shape :389-412).
+    Python raises 'integer division or modulo by zero'; we normalize to the
+    reference's message.
+    """
+    if a is None or b is None:
+        return None
+    if b == 0:
+        raise ZeroDivisionError("division by zero")
+    # truncated division (Rust semantics), not Python floor division
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@udf(input_types=["double"], result_type="double", batch=True)
+def neg(x: pd.Series) -> pd.Series:
+    """reference tests/tests.rs:43-52 (all numerics; double overload here)."""
+    return -x
+
+
+@udf(input_types=["bigint"], result_type="bigint", name="neg", batch=True)
+def neg_i64(x: pd.Series) -> pd.Series:
+    return -x
+
+
+@udf(input_types=[], result_type="int", batch=True)
+def zero() -> int:
+    """reference tests/tests.rs:37-40."""
+    return 0
+
+
+@udf(input_types=["int", "int"], result_type="int", name="option_add", batch=True)
+def option_add(a: pd.Series, b: pd.Series) -> pd.Series:
+    """a + coalesce(b, 0), NULL if a is NULL — tests/tests.rs:94-97,490-514."""
+    return a + b.fillna(0)
+
+
+@udf(
+    input_types=["int"] * 16,
+    result_type="int",
+    name="many_args",
+    batch=True,
+)
+def many_args(*cols: pd.Series) -> pd.Series:
+    """Sum of 16 int columns — reference tests/tests.rs:344-367."""
+    out = cols[0].fillna(0)
+    for c in cols[1:]:
+        out = out + c.fillna(0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scalar: string / binary
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["string"], result_type="int", batch=True)
+def length(s: pd.Series) -> pd.Series:
+    """Byte length (reference counts bytes) — tests/tests.rs:121-127."""
+    return s.map(lambda x: None if x is None else len(x.encode("utf-8")))
+
+
+@udf(input_types=["binary"], result_type="int", name="length", batch=True)
+def length_bin(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: None if x is None else len(x))
+
+
+@udf(input_types=["string", "int"], result_type="string", batch=True)
+def substring(s: pd.Series, start: pd.Series) -> pd.Series:
+    """Char-index suffix s[start:] — reference tests/tests.rs:129-140."""
+    return pd.Series(
+        [
+            None if (a is None or _nan(i)) else a[max(int(i), 0):]
+            for a, i in zip(s.tolist(), start.tolist())
+        ],
+        dtype="object",
+    )
+
+
+@udf(input_types=["string"], result_type="string[]", batch=True)
+def split(s: pd.Series) -> pd.Series:
+    """Split on ',' — reference tests/tests.rs:205-208,472-488."""
+    return s.map(lambda x: None if x is None else x.split(","))
+
+
+@udf(input_types=["bigint"], result_type="string", name="to_string", batch=True)
+def to_string(x: pd.Series) -> pd.Series:
+    """reference to_string1..4, tests/tests.rs:142-166."""
+    return x.map(lambda v: None if _nan(v) else str(int(v)))
+
+
+@udf(input_types=["int"], result_type="binary", name="bytes", batch=True)
+def bytes_fn(x: pd.Series) -> pd.Series:
+    """n zero bytes — reference bytes1..3, tests/tests.rs:168-184."""
+    return x.map(lambda v: None if _nan(v) else b"\x00" * int(v))
+
+
+@udf(input_types=["string"], result_type="struct<key:string,value:string>")
+def key_value(s: str):
+    """'k=v' -> struct, NULL if no '=' — reference tests/tests.rs:244-254."""
+    if s is None:
+        return None
+    key, sep, value = s.partition("=")
+    if not sep:
+        return None
+    return {"key": key, "value": value}
+
+
+@udf(input_types=["string"], result_type="string", name="hex_to_dec")
+def hex_to_dec(h: str):
+    """reference arrow-udf-remote/python/example.py:78-91 (decimal ext out)."""
+    if h is None:
+        return None
+    return str(int(h, 16))
+
+
+# ---------------------------------------------------------------------------
+# scalar: json (ext type arrowudf.json — carried as JSON text)
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["json", "int"], result_type="json", name="json_array_access")
+def json_array_access(j: str, i: int):
+    """j[i] for JSON arrays — reference tests/python.rs:182, example.py:111."""
+    if j is None or i is None:
+        return None
+    v = json.loads(j)
+    if not isinstance(v, list) or not (0 <= i < len(v)):
+        return None
+    return json.dumps(v[i], separators=(",", ":"))
+
+
+@udf(input_types=["json", "string"], result_type="json", name="jsonb_access")
+def jsonb_access(j: str, key: str):
+    """Object field access — reference arrow-udf-example/src/lib.rs:64-67."""
+    if j is None or key is None:
+        return None
+    v = json.loads(j)
+    if not isinstance(v, dict) or key not in v:
+        return None
+    return json.dumps(v[key], separators=(",", ":"))
+
+
+@udf(input_types=["json", "json"], result_type="json", name="json_concat")
+def json_concat(a: str, b: str):
+    """Array concat — reference example.py:118-123."""
+    if a is None or b is None:
+        return None
+    return json.dumps(json.loads(a) + json.loads(b), separators=(",", ":"))
+
+
+@udf(input_types=["bigint"], result_type="json", name="to_json", batch=True)
+def to_json_int(x: pd.Series) -> pd.Series:
+    """reference tests/tests.rs:104-114 (int overload)."""
+    return x.map(lambda v: None if _nan(v) else json.dumps(int(v)))
+
+
+@udf(input_types=["string"], result_type="json", name="to_json")
+def to_json_str(x: str):
+    if x is None:
+        return None
+    return json.dumps(x)
+
+
+# ---------------------------------------------------------------------------
+# scalar: decimal (ext type arrowudf.decimal — exact, string-backed)
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["decimal", "decimal"], result_type="decimal", name="decimal_add")
+def decimal_add(a: str, b: str):
+    """Exact arbitrary-precision add — reference example/src/lib.rs:54-57,
+    tests/tests.rs:573-592."""
+    if a is None or b is None:
+        return None
+    return str(Decimal(a) + Decimal(b))
+
+
+@udf(input_types=["float64"], result_type="decimal", name="float_to_decimal")
+def float_to_decimal(x: float):
+    """reference example.py:94-97."""
+    if x is None:
+        return None
+    return str(Decimal(str(x)))
+
+
+# ---------------------------------------------------------------------------
+# scalar: temporal
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["date", "time"], result_type="timestamp", name="datetime_fn")
+def datetime_fn(d: date, t_us: int):
+    """date + time(micros) -> timestamp — reference tests/tests.rs:116-119.
+
+    The reference's time64 arg is carried as micros-since-midnight (§1.2).
+    """
+    if d is None or t_us is None:
+        return None
+    return datetime.combine(d, time(0)) + timedelta(microseconds=int(t_us))
+
+
+# ---------------------------------------------------------------------------
+# scalar: arrays
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=["float32[]"], result_type="float32", name="array_sum", batch=True)
+def array_sum(arr: pd.Series) -> pd.Series:
+    """reference tests/tests.rs:195-203,516-544."""
+    return arr.map(lambda a: None if a is None else float(np.sum(np.asarray(a, dtype="float32"))))
+
+
+@udf(input_types=["bigint[]"], result_type="bigint", name="array_sum", batch=True)
+def array_sum_i64(arr: pd.Series) -> pd.Series:
+    return arr.map(lambda a: None if a is None else int(sum(x for x in a if x is not None)))
+
+
+@udf(input_types=["int[]"], result_type="int[]", name="array_identity", batch=True)
+def array_identity(arr: pd.Series) -> pd.Series:
+    """reference *_array identity, tests/tests.rs:210-242."""
+    return arr
+
+
+@udf(input_types=["int[]", "int"], result_type="int", name="array_access")
+def array_access(arr, i):
+    """1-based, NULL out-of-bounds — reference example.py:104-108."""
+    if arr is None or i is None:
+        return None
+    if not (1 <= i <= len(arr)):
+        return None
+    return arr[int(i) - 1]
+
+
+# ---------------------------------------------------------------------------
+# table functions
+# ---------------------------------------------------------------------------
+
+
+@udtf(input_types=["int"], result_type="int", name="series")
+def series(n):
+    """0..n-1 per input row — reference tests/tests.rs:329-332,614-661."""
+    for i in range(int(n) if n is not None else 0):
+        yield i
+
+
+@udtf(input_types=["string"], result_type="struct<key:string,value:string>", name="key_values")
+def key_values(s):
+    """'a=b,c=d' -> rows of KeyValue — reference tests/tests.rs:256-262."""
+    if s is None:
+        return
+    for part in s.split(","):
+        key, sep, value = part.partition("=")
+        if sep:
+            yield {"key": key, "value": value}
+
+
+@udtf(input_types=["json"], result_type="json", name="json_array_elements", fallible=True)
+def json_array_elements(j):
+    """Unnest a JSON array; error 'not an array' on scalars —
+    reference tests/tests.rs:334-342,663-683."""
+    if j is None:
+        return
+    v = json.loads(j)
+    if not isinstance(v, list):
+        raise ValueError("not an array")
+    for item in v:
+        yield json.dumps(item, separators=(",", ":"))
+
+
+@udtf(input_types=["string"], result_type="struct<word:string,length:int>", name="split_words")
+def split_words(s):
+    """word + length per word — reference server example.py:72-75."""
+    if s is None:
+        return
+    for w in s.split(" "):
+        yield {"word": w, "length": len(w)}
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------------
+
+
+@udaf(input_types=["bigint"], result_type="bigint", name="sum_udaf")
+class SumAgg:
+    """Sum with retract + merge — reference tests/python.rs:670-745."""
+
+    def create_state(self):
+        return 0
+
+    def accumulate(self, s, x):
+        return s + (0 if x is None else int(x))
+
+    def retract(self, s, x):
+        return s - (0 if x is None else int(x))
+
+    def merge(self, a, b):
+        return a + b
+
+
+@udaf(input_types=["double", "double"], result_type="double", name="weighted_avg")
+class WeightedAvg:
+    """SUM(v*w)/SUM(w) with struct state — reference tests/python.rs:747-848."""
+
+    def create_state(self):
+        return {"sum": 0.0, "weight": 0.0}
+
+    def accumulate(self, s, v, w):
+        if v is None or w is None:
+            return s
+        return {"sum": s["sum"] + v * w, "weight": s["weight"] + w}
+
+    def retract(self, s, v, w):
+        if v is None or w is None:
+            return s
+        return {"sum": s["sum"] - v * w, "weight": s["weight"] - w}
+
+    def merge(self, a, b):
+        return {"sum": a["sum"] + b["sum"], "weight": a["weight"] + b["weight"]}
+
+    def finish(self, s):
+        return None if s["weight"] == 0 else s["sum"] / s["weight"]
+
+
+@udaf(input_types=["bigint"], result_type="bigint", name="count_udaf")
+class CountAgg:
+    def create_state(self):
+        return 0
+
+    def accumulate(self, s, x):
+        return s + (0 if x is None else 1)
+
+    def retract(self, s, x):
+        return s - (0 if x is None else 1)
+
+    def merge(self, a, b):
+        return a + b
+
+
+def _nan(v) -> bool:
+    try:
+        return v is None or v != v
+    except Exception:
+        return False

@@ -1,0 +1,219 @@
+"""Aggregate functions with the reference's 5-phase protocol.
+
+Reference protocol (SURVEY.md §2.A A6-A10; python runtime
+arrow-udf-runtime/src/python/mod.rs:456-656):
+
+    create_state() -> state
+    accumulate(state, *args) -> state
+    retract(state, *args) -> state          (optional; enables retraction)
+    merge(state, other) -> state            (enables distributed agg)
+    finish(state) -> output                 (optional; default: state)
+
+Spark realization — a genuinely distributed two-phase plan:
+
+  phase 1 (map side):  ``mapInPandas`` over input partitions; each partition
+      locally groups by key and folds its rows into one partial state per
+      key.  Partial states are pickled to a binary column, so only
+      ``O(groups)`` bytes shuffle — the same reason Spark's own hash
+      aggregate does map-side combine.  At 100 TB this is the difference
+      between shuffling the table and shuffling a few KB per key.
+  phase 2 (reduce side): ``groupBy(keys).applyInPandas`` merges partial
+      states with ``merge`` and applies ``finish``.
+
+This exercises the reference's ``merge`` exactly the way its distributed
+hosts do (partial + final agg).  Pickle-typed opaque state
+(reference arrowudf.pickle, python/pyarrow.rs:296-313) is the native state
+carrier here.
+
+Retraction (A8): exposed as ``accumulate_or_retract(df, by, args, ops_col)``
+— the reference host protocol's mixed-ops bitmap
+(python/mod.rs:537-582): rows with ops=True are retracted instead of
+accumulated.  The same callback is reused by the streaming layer for
+sliding-window retraction.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import GLOBAL, Registry, Signature
+from ..plans.types import ExtField, parse_type
+
+__all__ = ["AggregateFunction", "udaf"]
+
+
+def _is_null(v) -> bool:
+    try:
+        return v is None or v != v or v is pd.NA
+    except Exception:
+        return False
+
+
+@dataclass
+class AggregateFunction:
+    sig: Signature
+    input_fields: tuple[ExtField, ...]
+    result_field: ExtField
+    create_state: Callable[[], Any]
+    accumulate: Callable[..., Any]
+    merge: Callable[[Any, Any], Any]
+    retract: Optional[Callable[..., Any]] = None
+    finish: Optional[Callable[[Any], Any]] = None
+
+    # ------------------------------------------------------------------
+    def _fold_partition(
+        self, by_n: int, arg_n: int, ops_col: bool
+    ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+        """Phase-1 worker: partition -> one pickled partial state per key."""
+        create, acc, ret = self.create_state, self.accumulate, self.retract
+
+        def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            states: dict[tuple, Any] = {}
+            key_rows: dict[tuple, tuple] = {}
+            for pdf in batches:
+                cols = [pdf.iloc[:, i].tolist() for i in range(pdf.shape[1])]
+                n = len(pdf)
+                for r in range(n):
+                    key = tuple(cols[i][r] for i in range(by_n))
+                    args = [
+                        None if _is_null(v) else v
+                        for v in (cols[by_n + i][r] for i in range(arg_n))
+                    ]
+                    st = states.get(key)
+                    if st is None and key not in states:
+                        st = create()
+                        key_rows[key] = key
+                    if ops_col:
+                        is_retract = bool(cols[by_n + arg_n][r])
+                        st = ret(st, *args) if is_retract else acc(st, *args)
+                    else:
+                        st = acc(st, *args)
+                    states[key] = st
+            out = [key_rows[k] + (pickle.dumps(s),) for k, s in states.items()]
+            names = [f"k{i}" for i in range(by_n)] + ["state"]
+            yield pd.DataFrame(out, columns=names) if out else pd.DataFrame(
+                columns=names
+            )
+
+        return fold
+
+    def _merge_finish(
+        self, by_names: Sequence[str]
+    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
+        merge, finish = self.merge, self.finish
+
+        def mf(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = None
+            for blob in pdf["state"]:
+                s = pickle.loads(blob)
+                state = s if state is None else merge(state, s)
+            value = finish(state) if finish is not None else state
+            row = {n: pdf[n].iloc[0] for n in by_names}
+            row[self.sig.name] = value
+            return pd.DataFrame([row])
+
+        return mf
+
+    # ------------------------------------------------------------------
+    def agg(
+        self,
+        df: DataFrame,
+        by: Sequence[str],
+        args: Sequence[str],
+        _ops_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Distributed grouped aggregation: ``by`` key cols, ``args`` inputs."""
+        by = list(by)
+        args = list(args)
+        sel = by + args + ([_ops_col] if _ops_col else [])
+        proj = df.select(*sel)
+
+        phase1_schema = T.StructType(
+            [T.StructField(f"k{i}", df.schema[c].dataType) for i, c in enumerate(by)]
+            + [T.StructField("state", T.BinaryType())]
+        )
+        partials = proj.mapInPandas(
+            self._fold_partition(len(by), len(args), _ops_col is not None),
+            schema=phase1_schema,
+        )
+
+        out_schema = T.StructType(
+            [T.StructField(f"k{i}", df.schema[c].dataType) for i, c in enumerate(by)]
+            + [T.StructField(self.sig.name, self.result_field.dtype)]
+        )
+        knames = [f"k{i}" for i in range(len(by))]
+        result = partials.groupBy(*knames).applyInPandas(
+            self._merge_finish(knames), schema=out_schema
+        )
+        # restore user-facing key column names
+        renames = dict(zip(knames, by))
+        return result.select(
+            *[F.col(k).alias(renames[k]) for k in knames], F.col(self.sig.name)
+        )
+
+    def agg_all(self, df: DataFrame, args: Sequence[str]) -> DataFrame:
+        """Global (ungrouped) aggregate -> single-row DataFrame."""
+        with_key = df.withColumn("__g", F.lit(0))
+        out = self.agg(with_key, ["__g"], args)
+        return out.drop("__g")
+
+    def accumulate_or_retract(
+        self, df: DataFrame, by: Sequence[str], args: Sequence[str], ops_col: str
+    ) -> DataFrame:
+        """Mixed accumulate/retract batch (reference ops bitmap, A8).
+
+        Rows where ``ops_col`` is true are retracted (inverse-folded).
+        """
+        if self.retract is None:
+            raise ValueError(f"aggregate {self.sig.name} does not define retract")
+        return self.agg(df, by, args, _ops_col=ops_col)
+
+
+def udaf(
+    input_types: Sequence[str] | str = (),
+    result_type: str = "null",
+    state_type: str = "pickle",
+    name: Optional[str] = None,
+    registry: Registry = GLOBAL,
+) -> Callable[[type], AggregateFunction]:
+    """Declare an aggregate from a class with the 5-phase protocol::
+
+        @udaf(input_types=["int"], result_type="int", name="sum_udaf")
+        class Sum:
+            def create_state(self): return 0
+            def accumulate(self, s, x): return s + (x or 0)
+            def retract(self, s, x): return s - (x or 0)
+            def merge(self, a, b): return a + b
+            # finish optional
+    """
+    if isinstance(input_types, str):
+        input_types = [input_types]
+
+    def deco(cls: type) -> AggregateFunction:
+        inst = cls()
+        af = AggregateFunction(
+            sig=Signature(
+                name=name or cls.__name__.lower(),
+                arg_types=tuple(input_types),
+                return_type=result_type,
+                kind="aggregate",
+            ),
+            input_fields=tuple(parse_type(t) for t in input_types),
+            result_field=parse_type(result_type),
+            create_state=inst.create_state,
+            accumulate=inst.accumulate,
+            merge=inst.merge,
+            retract=getattr(inst, "retract", None),
+            finish=getattr(inst, "finish", None),
+        )
+        registry.add(af)
+        return af
+
+    return deco

@@ -1,0 +1,333 @@
+"""Scalar UDF evaluation core.
+
+This is the Spark-native re-expression of the reference's scalar protocol
+(reference: arrow-udf/src/lib.rs:30 ``fn(&RecordBatch)->RecordBatch``; row
+loop arrow-udf-macros/src/codegen_utils.rs:569-577; batched/columnar mode
+arrow-udf-runtime/src/javascript/mod.rs:536-625 and python server
+``batch=True`` arrow-udf-remote/python/arrow_udf/__init__.py:51-96).
+
+Design (SURVEY.md §2.A A1-A4, A11, A12):
+
+- Functions execute as **pandas UDFs** — Arrow-batched, vectorized transfer
+  between the JVM and the Python worker.  This is Spark's analogue of the
+  reference's FFI / Flight boundary, and its fastest Python path.
+- ``batch=True`` functions receive whole :class:`pandas.Series` columns
+  (the reference's batched/columnar mode, A11); ``batch=False`` functions
+  are called once per row (the reference's default row loop, A1) inside the
+  worker, still amortized over Arrow batches.
+- ``CallMode.RETURN_NULL_ON_NULL_INPUT`` masks null rows *before* the call
+  and re-inserts nulls after (the reference's batched-mode null mask,
+  javascript/mod.rs:568-618).
+- Fallible functions (declared ``fallible=True``, the analogue of a Rust
+  ``Result<T>`` return — codegen_utils.rs:398-414) produce a
+  ``struct<value: T, error: string>`` column: per-row errors yield NULL
+  value + message text, and never abort the batch.  Spark has no native
+  row-level UDF error channel; this wrapper is that channel.
+- ``io_threads=N`` maps each batch over a thread pool (reference python
+  server ``io_threads``, __init__.py:75-87) for IO-bound row functions.
+
+Serialization note: the closure shipped to executors captures only an
+:class:`_EvalSpec` of plain picklable values (the user fn via cloudpickle,
+flags, the return DataType) — never the :class:`ScalarFunction` itself,
+which holds JVM handles.
+"""
+
+from __future__ import annotations
+
+import enum
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+try:  # explicit SCALAR eval type (hint inference can't see through our wrapper)
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    _SCALAR_EVAL = PandasUDFType.SCALAR
+except ImportError:  # pragma: no cover
+    _SCALAR_EVAL = 200
+
+from ..plans.registry import GLOBAL, Registry, Signature
+from ..plans.types import ExtField, parse_type
+
+__all__ = ["CallMode", "ScalarFunction", "udf"]
+
+
+class CallMode(enum.Enum):
+    """Reference arrow-udf-runtime/src/lib.rs:19-29."""
+
+    CALLED_ON_NULL_INPUT = "called_on_null_input"
+    RETURN_NULL_ON_NULL_INPUT = "return_null_on_null_input"
+
+
+def _is_null(v: Any) -> bool:
+    # covers None, float('nan'), pandas NA/NaT without importing numpy paths
+    try:
+        return v is None or v != v or v is pd.NA
+    except Exception:
+        return False
+
+
+_INT_DTYPES = {
+    T.ByteType: ("int8", "Int8"),
+    T.ShortType: ("int16", "Int16"),
+    T.IntegerType: ("int32", "Int32"),
+    T.LongType: ("int64", "Int64"),
+}
+
+
+def _coerce(result: Any, dtype: T.DataType, n: int) -> pd.Series:
+    """Coerce a user return (Series | list | scalar) to a pandas Series
+    whose dtype round-trips cleanly through Arrow into ``dtype``."""
+    if isinstance(result, pd.Series):
+        s = result.reset_index(drop=True)
+    elif isinstance(result, (list, tuple)):
+        s = pd.Series(list(result), dtype="object")
+    else:  # broadcast scalar (e.g. zero-arg functions)
+        s = pd.Series([result] * n, dtype="object")
+    for cls, (plain, nullable) in _INT_DTYPES.items():
+        if isinstance(dtype, cls):
+            try:
+                return s.astype(plain if not s.isna().any() else nullable)
+            except (TypeError, ValueError):
+                return s
+    if isinstance(dtype, T.DoubleType):
+        try:
+            return s.astype("float64")
+        except (TypeError, ValueError):
+            return s
+    if isinstance(dtype, T.FloatType):
+        try:
+            return s.astype("float32")
+        except (TypeError, ValueError):
+            return s
+    return s
+
+
+class _EvalSpec(NamedTuple):
+    """Everything the executor-side wrapper needs; all picklable."""
+
+    fn: Callable
+    dtype: T.DataType
+    batch: bool
+    fallible: bool
+    skip_null: bool  # True for RETURN_NULL_ON_NULL_INPUT
+    io_threads: Optional[int]
+
+
+def _eval_rows(
+    spec: _EvalSpec, cols: Sequence[pd.Series], n: int
+) -> tuple[list, Optional[pd.Series]]:
+    lists = [c.tolist() for c in cols]
+    rows = list(zip(*lists)) if lists else [()] * n
+    fn = spec.fn
+    if spec.batch:
+        # row-wise fallback of a batch fn: call on length-1 Series
+        user = spec.fn
+
+        def fn(*args):  # noqa: ANN001
+            return user(*(pd.Series([a]) for a in args)).iloc[0]
+
+    def call_one(args: tuple) -> tuple[Any, Optional[str]]:
+        try:
+            return fn(*(None if _is_null(a) else a for a in args)), None
+        except Exception as e:  # row-level isolation, never abort the batch
+            return None, str(e)
+
+    if spec.io_threads and spec.io_threads > 1:
+        with ThreadPoolExecutor(max_workers=spec.io_threads) as pool:
+            results = list(pool.map(call_one, rows))
+    else:
+        results = [call_one(r) for r in rows]
+    values = [v for v, _ in results]
+    errs = [e for _, e in results]
+    errors = (
+        pd.Series(errs, dtype="object") if any(e is not None for e in errs) else None
+    )
+    if not spec.fallible and errors is not None:
+        # non-fallible function raised: surface the first error loudly,
+        # matching Spark (and reference non-Result) behavior
+        first = next(e for e in errs if e is not None)
+        raise RuntimeError(first)
+    return values, errors
+
+
+def _eval_clean(
+    spec: _EvalSpec, cols: Sequence[pd.Series], n: int
+) -> tuple[Any, Optional[pd.Series]]:
+    """Evaluate on (possibly pre-masked) columns; return (values, errors)."""
+    if spec.batch:
+        if not spec.fallible:
+            return spec.fn(*cols), None
+        try:
+            return spec.fn(*cols), None
+        except Exception:
+            # vectorized fast path failed -> re-run row-wise to isolate errors
+            return _eval_rows(spec, cols, n)
+    return _eval_rows(spec, cols, n)
+
+
+def _eval_batch(spec: _EvalSpec, *cols: pd.Series) -> pd.Series | pd.DataFrame:
+    """The executor-side batch evaluator (one Arrow batch per call)."""
+    n = len(cols[0]) if cols else 0
+
+    null_mask = None
+    work_cols = cols
+    if spec.skip_null and cols:
+        null_mask = cols[0].isna()
+        for c in cols[1:]:
+            null_mask = null_mask | c.isna()
+        if null_mask.any():
+            work_cols = tuple(c[~null_mask].reset_index(drop=True) for c in cols)
+        else:
+            null_mask = None
+
+    m = len(work_cols[0]) if work_cols else n
+    values, errors = _eval_clean(spec, work_cols, m)
+
+    out = _coerce(values, spec.dtype, m)
+    if null_mask is not None:
+        # re-insert nulls at masked positions
+        full = pd.Series([None] * n, dtype="object")
+        full[~null_mask.to_numpy()] = out.to_numpy(dtype="object")
+        out = _coerce(full, spec.dtype, n)
+        if errors is not None:
+            full_e = pd.Series([None] * n, dtype="object")
+            full_e[~null_mask.to_numpy()] = errors.to_numpy(dtype="object")
+            errors = full_e
+
+    if spec.fallible:
+        if errors is None:
+            errors = pd.Series([None] * len(out), dtype="object")
+        return pd.DataFrame({"value": out, "error": errors})
+    return out
+
+
+def _make_wrapper(spec: _EvalSpec, name: str) -> Callable:
+    """Build the plain function handed to pandas_udf (captures only spec)."""
+
+    def eval_fn(*cols):
+        return _eval_batch(spec, *cols)
+
+    eval_fn.__name__ = name
+    return eval_fn
+
+
+@dataclass
+class ScalarFunction:
+    """A registered scalar function; calling it on Columns yields a Column."""
+
+    fn: Callable
+    sig: Signature
+    input_fields: tuple[ExtField, ...]
+    result_field: ExtField
+    batch: bool = False
+    fallible: bool = False
+    mode: CallMode = CallMode.CALLED_ON_NULL_INPUT
+    io_threads: Optional[int] = None
+    _udf: Any = field(default=None, repr=False, compare=False)
+
+    def _spec(self) -> _EvalSpec:
+        return _EvalSpec(
+            fn=self.fn,
+            dtype=self.result_field.dtype,
+            batch=self.batch,
+            fallible=self.fallible,
+            skip_null=self.mode is CallMode.RETURN_NULL_ON_NULL_INPUT,
+            io_threads=self.io_threads,
+        )
+
+    def _eval(self, *cols: pd.Series):
+        """Driver-side direct evaluation (used by unit tests)."""
+        return _eval_batch(self._spec(), *cols)
+
+    # ---- Spark surface ----
+
+    @property
+    def spark_return_type(self) -> T.DataType:
+        if self.fallible:
+            return T.StructType(
+                [
+                    T.StructField("value", self.result_field.dtype),
+                    T.StructField("error", T.StringType()),
+                ]
+            )
+        return self.result_field.dtype
+
+    def as_spark_udf(self):
+        if self._udf is None:
+            u = pandas_udf(
+                _make_wrapper(self._spec(), self.sig.name),
+                returnType=self.spark_return_type,
+                functionType=_SCALAR_EVAL,
+            )
+            # error-capturing / masked UDFs must not be re-executed or
+            # common-subexpression'd by Catalyst (SURVEY.md §7.9d)
+            if self.fallible:
+                u = u.asNondeterministic()
+            self._udf = u
+        return self._udf
+
+    def __call__(self, *cols: Column | str) -> Column:
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        out = self.as_spark_udf()(*cs)
+        return out.alias(self.sig.name)
+
+    def value_and_error(self, *cols: Column | str) -> tuple[Column, Column]:
+        """For fallible functions: (value, error) column pair from one eval."""
+        s = self(*cols)
+        return s.getField("value").alias(self.sig.name), s.getField("error").alias(
+            "error"
+        )
+
+
+def udf(
+    input_types: Sequence[str] | str = (),
+    result_type: str = "null",
+    name: Optional[str] = None,
+    batch: bool = False,
+    fallible: bool = False,
+    mode: CallMode = CallMode.CALLED_ON_NULL_INPUT,
+    io_threads: Optional[int] = None,
+    variadic: bool = False,
+    registry: Registry = GLOBAL,
+) -> Callable[[Callable], ScalarFunction]:
+    """Declare a scalar function (reference ``#[function("name(t,..)->t")]``).
+
+    Example::
+
+        @udf(input_types=["int", "int"], result_type="int", batch=True)
+        def gcd(a: pd.Series, b: pd.Series) -> pd.Series: ...
+    """
+    if isinstance(input_types, str):
+        input_types = [input_types]
+
+    def deco(fn: Callable) -> ScalarFunction:
+        fname = name or fn.__name__
+        in_fields = tuple(parse_type(t) for t in input_types)
+        res = parse_type(result_type)
+        sf = ScalarFunction(
+            fn=fn,
+            sig=Signature(
+                name=fname,
+                arg_types=tuple(str(t) for t in input_types),
+                return_type=result_type,
+                variadic=variadic,
+                kind="scalar",
+            ),
+            input_fields=in_fields,
+            result_field=res,
+            batch=batch,
+            fallible=fallible,
+            mode=mode,
+            io_threads=io_threads,
+        )
+        registry.add(sf)
+        return sf
+
+    return deco

@@ -1,0 +1,100 @@
+"""Function registry with overload resolution.
+
+Mirrors the reference's global signature registry and lookup rules
+(reference: arrow-udf/src/sig.rs:92-151 — name + argument types + return
+type, with a variadic prefix rule), re-expressed as a plain Python
+registry.  SQL visibility is provided by registering each concrete
+overload with ``spark.udf.register`` under a mangled name
+(``name`` for the first/only overload, ``name__t1_t2`` for the rest).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any, Optional
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+
+@dataclass
+class Signature:
+    name: str
+    arg_types: tuple[str, ...]
+    return_type: str
+    variadic: bool = False
+    kind: str = "scalar"  # scalar | table | aggregate
+
+    def mangled(self) -> str:
+        if not self.arg_types:
+            return self.name
+        return self.name + "__" + "_".join(t.replace(" ", "") for t in self.arg_types)
+
+    def matches(self, arg_types: tuple[str, ...]) -> bool:
+        if self.variadic:
+            # variadic prefix rule (sig.rs:106-110): fixed prefix must match,
+            # trailing args all take the last declared type
+            if len(arg_types) < len(self.arg_types) - 1:
+                return False
+            fixed = self.arg_types[:-1]
+            if arg_types[: len(fixed)] != fixed:
+                return False
+            tail = self.arg_types[-1]
+            return all(t == tail for t in arg_types[len(fixed) :])
+        return arg_types == self.arg_types
+
+
+@dataclass
+class Registry:
+    """name -> list of registered functions (overloads)."""
+
+    _fns: dict[str, list[Any]] = field(default_factory=dict)
+
+    def add(self, fn: Any) -> None:
+        self._fns.setdefault(fn.sig.name, []).append(fn)
+
+    def get(
+        self,
+        name: str,
+        arg_types: Optional[tuple[str, ...]] = None,
+        kind: Optional[str] = None,
+    ) -> Any:
+        """Resolve ``name`` (+ optional normalized arg types) to a function."""
+        cands = self._fns.get(name, [])
+        if kind is not None:
+            cands = [f for f in cands if f.sig.kind == kind]
+        if not cands:
+            raise KeyError(f"function not found: {name}")
+        if arg_types is None:
+            return cands[0]
+        for f in cands:
+            if f.sig.matches(tuple(arg_types)):
+                return f
+        raise KeyError(f"no overload of {name} matches argument types {arg_types}")
+
+    def names(self) -> list[str]:
+        return sorted(self._fns)
+
+    def all(self) -> list[Any]:
+        return [f for fns in self._fns.values() for f in fns]
+
+    def register_sql(self, spark: "SparkSession") -> list[str]:
+        """Expose every scalar overload to ``spark.sql`` under mangled names.
+
+        The first overload of each name is also registered under the bare
+        name, so ``SELECT gcd(a, b)`` works for the common case.
+        """
+        registered = []
+        for name, fns in self._fns.items():
+            for i, f in enumerate(fns):
+                if f.sig.kind != "scalar":
+                    continue
+                sql_name = name if i == 0 else f.sig.mangled()
+                spark.udf.register(sql_name, f.as_spark_udf())
+                registered.append(sql_name)
+        return registered
+
+
+#: the default global registry (analogue of the reference's linkme slice,
+#: arrow-udf/src/sig.rs:114-127)
+GLOBAL = Registry()

@@ -1,0 +1,192 @@
+"""Type system: SQL-ish type strings -> Spark DataTypes + extension tags.
+
+Mirrors the reference's signature type matrix and alias normalization
+(reference: arrow-udf-macros/src/types.rs:18-135 and
+arrow-udf-remote/python/arrow_udf/__init__.py:501-583) re-expressed for
+Spark's type system.  Key differences, by design (SURVEY.md §1.2):
+
+- unsigned ints are widened (uint8->short, uint16->int, uint32->long,
+  uint64->decimal(20,0)) because Spark has no unsigned types;
+- ``time64`` maps to a long (microseconds since midnight);
+- unconstrained ``decimal`` maps to a string column carrying the extension
+  tag ``arrowudf.decimal`` (exact arbitrary-precision semantics preserved by
+  doing arithmetic with :mod:`decimal` inside UDFs);
+- ``json`` maps to a string column tagged ``arrowudf.json``;
+- ``pickle`` maps to binary tagged ``arrowudf.pickle`` (opaque agg state);
+- ``interval`` maps to ``struct<months:int, days:int, nanos:long>``
+  (Arrow MonthDayNano, reference arrow-udf/src/types.rs:31-36).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "ExtField",
+    "parse_type",
+    "spark_type_of",
+    "EXT_JSON",
+    "EXT_DECIMAL",
+    "EXT_PICKLE",
+]
+
+EXT_JSON = "arrowudf.json"
+EXT_DECIMAL = "arrowudf.decimal"
+EXT_PICKLE = "arrowudf.pickle"
+
+
+@dataclass(frozen=True)
+class ExtField:
+    """A Spark data type plus an optional logical extension tag.
+
+    The tag is the analogue of Arrow extension-type metadata
+    (reference README.md:43-77); Spark schemas don't carry field metadata
+    through UDF boundaries, so the registry keeps this sidecar.
+    """
+
+    dtype: T.DataType
+    ext: Optional[str] = None
+
+    @property
+    def simple_string(self) -> str:
+        return self.dtype.simpleString()
+
+
+# alias -> canonical  (reference arrow-udf-macros/src/types.rs:112-135)
+_ALIASES = {
+    "void": "null",
+    "bool": "boolean",
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int2": "int16",
+    "int": "int32",
+    "int4": "int32",
+    "integer": "int32",
+    "bigint": "int64",
+    "int8_t": "int8",
+    "uint1": "uint8",
+    "uint2": "uint16",
+    "uint4": "uint32",
+    "float4": "float32",
+    "real": "float32",
+    "float": "float32",
+    "float8": "float64",
+    "double": "float64",
+    "double precision": "float64",
+    "date": "date32",
+    "time": "time64",
+    "time64": "time64",
+    "datetime": "timestamp",
+    "numeric": "decimal",
+    "jsonb": "json",
+    "varchar": "string",
+    "text": "string",
+    "char": "string",
+    "bytea": "binary",
+    "varbinary": "binary",
+    "largeutf8": "largestring",
+    "largebinary": "largebinary",
+}
+
+_SIMPLE: dict[str, ExtField] = {
+    "null": ExtField(T.NullType()),
+    "boolean": ExtField(T.BooleanType()),
+    "int8": ExtField(T.ByteType()),
+    "int16": ExtField(T.ShortType()),
+    "int32": ExtField(T.IntegerType()),
+    "int64": ExtField(T.LongType()),
+    # unsigned: widen to the next signed type that can hold the full range
+    "uint8": ExtField(T.ShortType()),
+    "uint16": ExtField(T.IntegerType()),
+    "uint32": ExtField(T.LongType()),
+    "uint64": ExtField(T.DecimalType(20, 0)),
+    "float32": ExtField(T.FloatType()),
+    "float64": ExtField(T.DoubleType()),
+    "date32": ExtField(T.DateType()),
+    "time64": ExtField(T.LongType()),  # micros since midnight
+    "timestamp": ExtField(T.TimestampNTZType()),
+    "interval": ExtField(
+        T.StructType(
+            [
+                T.StructField("months", T.IntegerType()),
+                T.StructField("days", T.IntegerType()),
+                T.StructField("nanos", T.LongType()),
+            ]
+        )
+    ),
+    "string": ExtField(T.StringType()),
+    "largestring": ExtField(T.StringType()),
+    "binary": ExtField(T.BinaryType()),
+    "largebinary": ExtField(T.BinaryType()),
+    "decimal": ExtField(T.StringType(), EXT_DECIMAL),
+    "json": ExtField(T.StringType(), EXT_JSON),
+    "pickle": ExtField(T.BinaryType(), EXT_PICKLE),
+}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at bracket depth 0 (for struct/map internals)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_type(s: str) -> ExtField:
+    """Parse a reference-style type string into an :class:`ExtField`.
+
+    Supports: simple types + aliases, ``T[]`` lists, ``struct<a:t,...>``,
+    ``map<k,v>``, ``decimal(p,s)``, and trailing nullability is implicit
+    (everything nullable, like Arrow).
+    """
+    s = s.strip()
+    low = s.lower()
+
+    # list: T[] (possibly nested)
+    if low.endswith("[]"):
+        inner = parse_type(s[:-2])
+        return ExtField(T.ArrayType(inner.dtype), None)
+
+    # struct<name:type,...> or struct<type,...> (anonymous field names f0..)
+    if low.startswith("struct<") and low.endswith(">"):
+        body = s[len("struct<") : -1]
+        fields = []
+        for i, part in enumerate(_split_top(body)):
+            if ":" in part.split("<")[0]:
+                name, _, tstr = part.partition(":")
+            else:
+                name, tstr = f"f{i}", part
+            fields.append(T.StructField(name.strip(), parse_type(tstr).dtype))
+        return ExtField(T.StructType(fields))
+
+    if low.startswith("map<") and low.endswith(">"):
+        k, v = _split_top(s[len("map<") : -1])
+        return ExtField(T.MapType(parse_type(k).dtype, parse_type(v).dtype))
+
+    # decimal(p,s) -> native Spark decimal (bounded); bare decimal -> ext string
+    if low.startswith("decimal(") or low.startswith("numeric("):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        p, sc = (int(x) for x in body.split(","))
+        return ExtField(T.DecimalType(p, sc))
+
+    canon = _ALIASES.get(low, low)
+    if canon in _SIMPLE:
+        return _SIMPLE[canon]
+    raise ValueError(f"unsupported type string: {s!r}")
+
+
+def spark_type_of(s: str) -> T.DataType:
+    return parse_type(s).dtype

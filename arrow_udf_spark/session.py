@@ -1,0 +1,44 @@
+"""SparkSession helpers tuned for this engine.
+
+The defaults mirror the reference's batching contract (BATCH_SIZE=1024,
+reference arrow-udf-macros/src/codegen_utils.rs:642) via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — configurable because at
+100 TB scale larger Arrow batches amortize the JVM<->Python boundary better
+(bench uses 10k).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Arrow batch size at the JVM<->Python boundary.  The reference re-chunks at
+#: 1024; we default higher because vectorized pandas UDFs amortize per-batch
+#: overhead (the reference's per-batch fixed cost is exactly what made its
+#: Python mode 115x slower than native, BASELINE.md).
+DEFAULT_ARROW_BATCH = 10_000
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None):
+    """Apply engine defaults to a SparkSession builder."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
+        .config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
+    )
+
+
+def get_spark(app_name: str = "arrow_udf_spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = SparkSession.builder.appName(app_name)
+    b = b.master(master or f"local[{cpus}]")
+    return configure(b).getOrCreate()
