@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full operator catalog (arrow_udf_spark.queries)
+for the DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
@@ -15,24 +13,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: pricing summary where the
+    grouping key and aggregate run through the UDF framework (gcd predicate,
+    distributed weighted_avg UDAF)."""
+    from pyspark.sql import functions as F
+
+    from arrow_udf_spark.functions import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    filtered = li.where(C.gcd_i64("l_partkey", "l_suppkey").cast("long") == 1)
+    out = C.WeightedAvg.agg(
+        filtered, by=["l_returnflag"], args=["l_extendedprice", "l_quantity"]
+    )
+    return out.select("l_returnflag", F.round("weighted_avg", 6).alias("weighted_avg"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from arrow_udf_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from arrow_udf_spark.queries import ORACLE
+
+    return dict(ORACLE)

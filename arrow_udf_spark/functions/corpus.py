@@ -276,6 +276,23 @@ def array_identity(arr: pd.Series) -> pd.Series:
     return arr
 
 
+@udf(input_types=["float64[]"], result_type="float64", name="array_sum", batch=True)
+def array_sum_f64(arr: pd.Series) -> pd.Series:
+    return arr.map(
+        lambda a: None if a is None else float(sum(x for x in a if x is not None))
+    )
+
+
+@udf(input_types=["bigint[]", "int"], result_type="bigint", name="array_access")
+def array_access_i64(arr, i):
+    """1-based, NULL out-of-bounds — reference example.py:104-108."""
+    if arr is None or i is None:
+        return None
+    if not (1 <= i <= len(arr)):
+        return None
+    return arr[int(i) - 1]
+
+
 @udf(input_types=["int[]", "int"], result_type="int", name="array_access")
 def array_access(arr, i):
     """1-based, NULL out-of-bounds — reference example.py:104-108."""

@@ -205,6 +205,14 @@ def _eval_batch(spec: _EvalSpec, *cols: pd.Series) -> pd.Series | pd.DataFrame:
         if errors is None:
             errors = pd.Series([None] * len(out), dtype="object")
         return pd.DataFrame({"value": out, "error": errors})
+    if isinstance(spec.dtype, T.StructType):
+        # pandas-UDF struct contract: return a DataFrame of field columns.
+        # An outer-NULL struct degrades to all-NULL fields (pandas limitation).
+        names = [f.name for f in spec.dtype.fields]
+        return pd.DataFrame(
+            [v if isinstance(v, dict) else dict.fromkeys(names) for v in out.tolist()],
+            columns=names,
+        )
     return out
 
 

@@ -34,6 +34,7 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
 
 

@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate: run every entry of
+``queries()`` on Spark and its ``oracle_sql()`` on DuckDB over the same
+parquet tables; compare row count, column names, and order-insensitive
+values (floats rounded to 6 dp, per FIXTURES.md conventions).
+
+Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "␀"
+        r = round(v, 6)
+        if r == int(r):
+            return str(int(r))
+        return f"{r:.6f}".rstrip("0")
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            return norm_cell(f)
+    except Exception:
+        pass
+    return str(v)
+
+
+def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(name: str, spark_df, con, sql: str) -> tuple[bool, str]:
+    sp = spark_df.collect()
+    sp_cols = spark_df.columns
+    o = con.sql(sql)
+    o_cols = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+    if sorted(c.lower() for c in sp_cols) != sorted(c.lower() for c in o_cols):
+        return False, f"column mismatch: spark={sorted(sp_cols)} oracle={sorted(o_cols)}"
+    if len(sp) != len(o_rows):
+        return False, f"row count: spark={len(sp)} oracle={len(o_rows)}"
+    a = norm_rows([c.lower() for c in sp_cols], [tuple(r) for r in sp])
+    b = norm_rows([c.lower() for c in o_cols], o_rows)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:3]
+        diff_b = [r for r in b if r not in set(a)][:3]
+        return False, f"values differ; spark-only={diff_a} oracle-only={diff_b}"
+    return True, f"ok ({len(sp)} rows)"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from arrow_udf_spark import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.sql(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  {name:28s} ROWS-ONLY ({n} rows)")
+            except Exception as e:
+                print(f"  {name:28s} ERROR {e}")
+                failed.append(name)
+            continue
+        try:
+            ok, msg = compare(name, fn(spark, sf_dir), con, oracles[name])
+        except Exception as e:
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
+        print(f"  {name:28s} {'PASS' if ok else 'FAIL'} {msg}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
