@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import math
 from datetime import date, datetime, time, timedelta
-from decimal import Decimal
+from decimal import Decimal, localcontext
 
 import numpy as np
 import pandas as pd
@@ -221,13 +221,20 @@ def to_json_str(x: str):
 # ---------------------------------------------------------------------------
 
 
+def _dec_str(d: Decimal) -> str:
+    """Plain (non-scientific) text like PG unconstrained numeric."""
+    return format(d, "f")
+
+
 @udf(input_types=["decimal", "decimal"], result_type="decimal", name="decimal_add")
 def decimal_add(a: str, b: str):
     """Exact arbitrary-precision add — reference example/src/lib.rs:54-57,
     tests/tests.rs:573-592."""
     if a is None or b is None:
         return None
-    return str(Decimal(a) + Decimal(b))
+    with localcontext() as ctx:
+        ctx.prec = 1000  # arbitrary precision, like PG unconstrained numeric
+        return _dec_str(Decimal(a) + Decimal(b))
 
 
 @udf(input_types=["float64"], result_type="decimal", name="float_to_decimal")
@@ -235,7 +242,7 @@ def float_to_decimal(x: float):
     """reference example.py:94-97."""
     if x is None:
         return None
-    return str(Decimal(str(x)))
+    return _dec_str(Decimal(str(x)))
 
 
 # ---------------------------------------------------------------------------

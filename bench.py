@@ -1,0 +1,81 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is collected (materialized) so the measurement covers the full
+scan -> compute -> gather path.  A warm-up query runs first so JVM/Python
+worker startup is not billed to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: queries benchmarked every round; keep to the expensive / representative
+#: ones so a round stays under a few minutes at sf0.1
+BENCH_QUERIES = [
+    "gcd",                      # vectorized scalar UDF over 600k rows
+    "div_error",                # fallible scalar (error-column path)
+    "decimal_add_fn",           # row-mode ext-decimal path
+    "series_udtf",              # table function fan-out (~500k out rows)
+    "json_array_elements_udtf", # fallible table fn over JSON
+    "sum_udaf",                 # two-phase distributed UDAF
+    "weighted_avg_udaf",        # struct-state UDAF
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from arrow_udf_spark import get_spark
+    from arrow_udf_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM + Python workers (not billed)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from arrow_udf_spark.functions.corpus import gcd_i64
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        gcd_i64("l_partkey", "l_suppkey")
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else 0
+        timings[name] = round(time.perf_counter() - t0, 3)
+        sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "arrow_udf_spark headline queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

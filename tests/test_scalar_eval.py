@@ -1,0 +1,120 @@
+"""Driver-side unit tests of the scalar eval core (no JVM needed)."""
+
+import pandas as pd
+import pytest
+
+from arrow_udf_spark import CallMode, Registry, udf
+
+
+@pytest.fixture()
+def reg():
+    return Registry()
+
+
+def test_batch_eval(reg):
+    @udf(input_types=["int", "int"], result_type="int", batch=True, registry=reg)
+    def add(a, b):
+        return a + b
+
+    out = add._eval(pd.Series([1, 2]), pd.Series([10, 20]))
+    assert out.tolist() == [11, 22]
+
+
+def test_row_eval_null_passthrough(reg):
+    @udf(input_types=["int"], result_type="int", registry=reg)
+    def inc(x):
+        return None if x is None else x + 1
+
+    out = inc._eval(pd.Series([1, None, 3], dtype="object"))
+    assert out.tolist()[0] == 2 and out.tolist()[2] == 4
+
+
+def test_return_null_on_null_input(reg):
+    calls = []
+
+    @udf(
+        input_types=["int", "int"],
+        result_type="int",
+        mode=CallMode.RETURN_NULL_ON_NULL_INPUT,
+        registry=reg,
+    )
+    def add(a, b):
+        calls.append((a, b))
+        return a + b  # would crash on None
+
+    out = add._eval(
+        pd.Series([1, None, 3], dtype="object"), pd.Series([10, 20, None], dtype="object")
+    )
+    vals = out.tolist()
+    assert vals[0] == 11
+    assert pd.isna(vals[1]) and pd.isna(vals[2])
+    assert calls == [(1, 10)]  # fn never saw a null row
+
+
+def test_fallible_error_column(reg):
+    @udf(input_types=["int", "int"], result_type="int", fallible=True, registry=reg)
+    def div(a, b):
+        if b == 0:
+            raise ZeroDivisionError("division by zero")
+        return a // b
+
+    out = div._eval(pd.Series([6, 1]), pd.Series([3, 0]))
+    assert isinstance(out, pd.DataFrame)
+    assert out["value"].tolist()[0] == 2
+    assert pd.isna(out["value"].tolist()[1])
+    assert out["error"].tolist() == [None, "division by zero"]
+
+
+def test_fallible_batch_fallback(reg):
+    """Vectorized path raises -> row-level isolation still yields partials."""
+
+    @udf(input_types=["int"], result_type="int", batch=True, fallible=True, registry=reg)
+    def recip_scale(x):
+        # .map raises on the zero element, failing the whole vectorized call
+        return x.map(lambda v: 100 // v)
+
+    out = recip_scale._eval(pd.Series([4, 0, 5]))
+    assert out["value"].tolist()[0] == 25
+    assert out["value"].tolist()[2] == 20
+    assert pd.isna(out["value"].tolist()[1])
+    assert out["error"][1] is not None
+
+
+def test_non_fallible_raises(reg):
+    @udf(input_types=["int"], result_type="int", registry=reg)
+    def boom(x):
+        raise ValueError("nope")
+
+    with pytest.raises(RuntimeError, match="nope"):
+        boom._eval(pd.Series([1]))
+
+
+def test_zero_arg_broadcast(reg):
+    @udf(input_types=[], result_type="int", batch=True, registry=reg)
+    def zero():
+        return 0
+
+    # zero-arg fns broadcast over the batch; driver-side n=0 gives empty
+    out = zero._eval()
+    assert list(out) == []
+
+
+def test_struct_return(reg):
+    @udf(input_types=["string"], result_type="struct<key:string,value:string>", registry=reg)
+    def kv(s):
+        k, sep, v = s.partition("=")
+        return {"key": k, "value": v} if sep else None
+
+    out = kv._eval(pd.Series(["a=b", "nope"]))
+    assert isinstance(out, pd.DataFrame)
+    assert out.loc[0, "key"] == "a" and out.loc[0, "value"] == "b"
+    assert pd.isna(out.loc[1, "key"])
+
+
+def test_io_threads(reg):
+    @udf(input_types=["int"], result_type="int", io_threads=4, registry=reg)
+    def slowinc(x):
+        return x + 1
+
+    out = slowinc._eval(pd.Series(range(100)))
+    assert out.tolist() == list(range(1, 101))

@@ -1,0 +1,100 @@
+"""End-to-end operator tests on a live local SparkSession."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_udf_spark.functions import corpus as C
+
+
+def test_scalar_gcd(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = (
+        li.select(C.gcd_i64("l_partkey", "l_suppkey").alias("g"))
+        .agg(F.sum("g"))
+        .collect()[0]
+    )
+    assert row[0] > 0
+
+
+def test_fallible_sql_and_column_api_agree(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
+    v, e = C.div.value_and_error(F.col("l_partkey"), F.col("l_suppkey") % 7)
+    col_rows = li.select(v, e).collect()
+    n_err = sum(1 for r in col_rows if r[1] is not None)
+    assert n_err > 0
+    assert all(r[1] == "division by zero" for r in col_rows if r[1] is not None)
+    assert all(r[0] is None for r in col_rows if r[1] is not None)
+
+
+def test_udtf_row_index_and_chunking(spark):
+    df = spark.createDataFrame([(5,), (0,), (3,)], "n int").repartition(1)
+    out = C.series.apply(df, cols=["n"]).collect()
+    # row index is partition-local 0-based; n=0 yields nothing
+    by_row = {}
+    for r in out:
+        by_row.setdefault(r["row"], []).append(r["series"])
+    assert sorted(len(v) for v in by_row.values()) in ([3, 5], [3, 5])
+    assert set(by_row) <= {0, 1, 2}
+
+
+def test_udtf_chunk_boundary(spark):
+    # one input row fanning out past the 1024-row chunk size
+    df = spark.createDataFrame([(3000,)], "n int").repartition(1)
+    out = C.series.apply(df, cols=["n"])
+    assert out.count() == 3000
+
+
+def test_udaf_merge_across_partitions(spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("q", F.col("l_quantity").cast("long"))
+        .repartition(7)  # force multiple partial states per key
+    )
+    ours = {
+        r["l_returnflag"]: r["sum_udaf"]
+        for r in C.SumAgg.agg(li, by=["l_returnflag"], args=["q"]).collect()
+    }
+    expect = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.sum("q").alias("s")).collect()
+    }
+    assert ours == expect
+
+
+def test_udaf_retract(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 4, "x": [10, 20, 30, 40], "ops": [False, False, True, False]})
+    df = spark.createDataFrame(pdf)
+    out = C.SumAgg.accumulate_or_retract(df, by=["k"], args=["x"], ops_col="ops").collect()
+    assert out[0]["sum_udaf"] == 10 + 20 - 30 + 40
+
+
+def test_udaf_global(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "q", F.col("l_quantity").cast("long")
+    )
+    got = C.SumAgg.agg_all(li, args=["q"]).collect()
+    expect = li.agg(F.sum("q")).collect()[0][0]
+    assert got[0]["sum_udaf"] == expect
+
+
+def test_sql_registration(spark, sf_dir):
+    from arrow_udf_spark import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("t_part")
+    rows = spark.sql(
+        "SELECT length(p_name) AS l, to_string(CAST(p_partkey AS BIGINT)) AS s "
+        "FROM t_part LIMIT 3"
+    ).collect()
+    assert all(isinstance(r["l"], int) and isinstance(r["s"], str) for r in rows)
+
+
+def test_decimal_exactness(spark):
+    df = spark.createDataFrame(
+        [("0.1", "0.2"), ("99999999999999999999999999999999999999.5", "0.5")],
+        "a string, b string",
+    )
+    out = [r[0] for r in df.select(C.decimal_add(F.col("a"), F.col("b"))).collect()]
+    assert out[0] == "0.3"  # no float drift
+    assert out[1] == "100000000000000000000000000000000000000.0"  # >38 digits
