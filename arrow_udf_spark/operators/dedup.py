@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of this module — SURVEY.md §7.8):
+
+- **exact_dedup** is one hash-shuffle on a 32-hex digest, not on the
+  document body: at 100 TB the shuffle moves ~O(docs·32B), and AQE handles
+  skew from pathological duplicate counts.
+- **minhash_signature** is computed entirely JVM-side (split → transform →
+  array_min over md5s), no Python workers; cost is linear per document and
+  embarrassingly parallel — no shuffle at all.
+- **lsh_candidate_pairs** shuffles once on (band index, band value) and
+  only self-joins *within* buckets, which is the whole point of LSH: the
+  quadratic pair space never materializes.  Bucket skew (a band value
+  shared by thousands of docs) is the classic hazard; callers cap it with
+  ``max_bucket`` (buckets above the cap are dropped and reported, the
+  standard large-scale practice).
+- **simhash** reduces each doc to one 16-bit integer; near-dup candidates
+  are equal-simhash buckets — again a single small shuffle.
+
+Every operator has an exact DuckDB oracle (md5 and the hex→int conversion
+are bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_hash, tokens
+
+__all__ = [
+    "content_hash",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_shingles",
+    "jaccard",
+    "near_dup_pairs_jaccard",
+    "embedding_near_dup",
+    "cosine",
+]
+
+SIMHASH_BITS = 16
+
+
+def content_hash(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content; keep the minimum id per group.
+
+    Returns ``(h, keep_id, n_copies)`` — one row per distinct content.
+    A 100 TB-safe single shuffle keyed on the digest.
+    """
+    return (
+        df.select(content_hash(text_col).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column | str, k: int = 8) -> Column:
+    """k-permutation MinHash over word unigrams, as an array<string> of the
+    lexicographic-min ``md5(j || ':' || token)`` per permutation j.
+
+    Using md5 as the permutation family keeps the signature reproducible in
+    any engine; min over hex strings ≡ min over 128-bit ints.
+    """
+    toks = tokens(text)
+
+    def perm(j: int):
+        # NB: must be a ONE-arg lambda — Spark passes (element, index) to
+        # two-arg callables, so a `j=j` default would receive the index
+        prefix = f"{j}:"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    return F.array(*[F.array_min(F.transform(toks, perm(j))) for j in range(k)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(a, b)`` with a < b.
+
+    Signature of k minhashes split into k/band_size bands; docs sharing any
+    band value become a candidate pair.  Quadratic work is confined to
+    buckets, and buckets larger than ``max_bucket`` are dropped (skew guard).
+    """
+    n_bands = k // band_size
+    sig = minhash_signature(F.col(text_col), k)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * band_size + i] for i in range(band_size)]
+                        ).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+    counts = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("c"))
+    small = counts.where(F.col("c") <= max_bucket).select("band", "bval")
+    banded = banded.join(F.broadcast(small), ["band", "bval"])
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word unigrams: bit b is set when more than half the
+    tokens have bit b set in their 32-bit hash.  Returns a long."""
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def bit_set(b: int):
+        # one-arg lambda on purpose (see minhash_signature note)
+        return lambda t: F.shiftright(token_hash(t), b).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(toks, bit_set(b)))
+        out = out + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return out
+
+
+def ngram_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined)."""
+    toks = tokens(text)
+    # guard: Spark's sequence(1, 0) ramps DOWN ([1, 0]); short docs must
+    # yield an empty shingle list instead
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two arrays (distinct-element semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def near_dup_pairs_jaccard(
+    pairs: DataFrame, text_a: str, text_b: str, n: int = 3
+) -> Column:
+    """Jaccard over word n-grams for a DataFrame of candidate pairs."""
+    return F.round(
+        jaccard(ngram_shingles(F.col(text_a), n), ngram_shingles(F.col(text_b), n)), 6
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays, computed JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a coarse bucket (e.g. an IVF
+    cell or label): the bucket join bounds the pair space, the cosine
+    threshold filters.  Returns (a, b, sim)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(bucket_col).alias("bkt"), v.alias("v")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

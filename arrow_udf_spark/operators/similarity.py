@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns.
+
+Two execution strategies with identical semantics:
+
+- **brute_force_topk** — declarative: broadcast the (small) query set,
+  score every (query, item) pair with a JVM-side cosine, keep top-k per
+  query with a window.  The item table is never shuffled (broadcast join +
+  partial top-k under AQE); this is the exact-answer baseline and scales
+  linearly with the corpus.
+- **brute_force_topk_numpy** — same contract via one numpy matmul per
+  Arrow batch inside ``mapInPandas`` (queries broadcast as a closure).
+  ~10-50× faster per row at high dimensions; used by the benchmark.
+- **ivf_topk** — the scale path: restrict scoring to the query's coarse
+  bucket (IVF cell).  Given 100 TB of vectors bucketed into n_list cells,
+  each query touches ~1/n_list of the corpus.  Here the ``label`` column
+  plays the role of the precomputed cell assignment.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import cosine
+
+__all__ = ["brute_force_topk", "brute_force_topk_numpy", "ivf_topk"]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, n_id, score), score rounded to 6 dp.
+
+    ``queries`` must be small (it is broadcast).  Ties break on n_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    it = items.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = it.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "n_id",
+        cosine(F.col("qv"), F.col("nv")).alias("score_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def brute_force_topk_numpy(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same contract as brute_force_topk; scoring via one matmul per Arrow
+    batch, then a global top-k reduce.  The per-partition top-k keeps the
+    shuffle at O(partitions·queries·k) rows."""
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype="float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("score_raw", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            m = np.array(list(pdf.iloc[:, 1]), dtype="float64")
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            scores = m @ qm.T  # (n_items, n_queries)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # per query
+            rows = []
+            for qi in range(len(q_ids)):
+                sel = top[:, qi]
+                rows.extend(
+                    (int(q_ids[qi]), int(ids[i]), float(scores[i, qi])) for i in sel
+                )
+            yield pd.DataFrame(rows, columns=["q_id", "n_id", "score_raw"])
+
+    partial = items.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's coarse cell.
+
+    The equi-join on the cell column makes this a standard shuffled (or
+    broadcast) hash join — per-query work drops from O(N) to O(N/n_list).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    it = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    scored = it.join(F.broadcast(q), "cell").select(
+        "q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("score_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are the north-star extensions beyond the reference surface
+(BASELINE.json; reference hook: the batched ``text_embedding`` UDF,
+arrow-udf-remote/python/example.py:233-247).  Everything here is built from
+**native Spark SQL functions** (split/filter/transform/aggregate) so the
+whole pipeline stays JVM-side inside whole-stage codegen — no Python
+worker in the hot path, which is what makes it viable at 100 TB.
+
+Cross-engine determinism: token hashes use ``conv(substr(md5(t),1,8),16,10)``
+which DuckDB reproduces exactly as ``('0x'||substr(md5(t),1,8))::BIGINT`` —
+every operator therefore has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "token_hash",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+#: small fixed stopword lists per language (order = tiebreak priority)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (regexp split, empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic 32-bit token hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by the fixed language order of STOPWORDS."""
+    toks = tokens(text)
+    scores = [(lang, _hits(toks, ws)) for lang, ws in STOPWORDS.items()]
+    # build CASE chain: first language whose score equals the max wins
+    mx = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when(s == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx <= 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(text: Column | str, n_chars: Column | str) -> Column:
+    """Composite document quality in [0,1]:
+    0.4·length + 0.3·(1 − punctuation ratio) + 0.3·stopword density."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = (F.col(n_chars) if isinstance(n_chars, str) else n_chars).cast("double")
+    toks = tokens(c)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    clean = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    punct_ratio = (F.length(c) - F.length(clean)) / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+    stop_ratio = _hits(toks, STOPWORDS["en"]).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    raw = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    # floor(x·1e6 + 0.5)/1e6 instead of round(): engines disagree on
+    # round() at exact-midpoint doubles, floor is bit-deterministic
+    return F.floor(raw * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint:
+    fold (acc·31 + token_hash) mod 1e9+7 over the token stream."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + token_hash(t)) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def oracle_token_hash(expr: str) -> str:
+    """DuckDB rendering of token_hash for oracle SQL construction."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"

@@ -404,6 +404,464 @@ def q_weighted_avg(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# pipeline extensions: dedup / similarity / text / multimodal
+# (SURVEY.md §7.8; these are first-class operators, designed for 100 TB —
+#  see the module docstrings in operators/{dedup,similarity,text,multimodal})
+# ---------------------------------------------------------------------------
+
+# shared DuckDB SQL fragments, kept in lockstep with operators/text.py
+_DD_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_DD_H32 = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "minhash_signature",
+    f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min')
+           || '|' ||
+           list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min')
+           || '|' ||
+           list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min')
+           || '|' ||
+           list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+           AS sig
+    FROM documents
+    """,
+)
+def q_minhash_signature(spark, sf):
+    from .operators.dedup import minhash_signature
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(minhash_signature(F.col("text"), k=4), "|").alias("sig"),
+    )
+
+
+@query(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+             ] AS s
+      FROM documents WHERE doc_id < 100
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s[1] || '|' || s[2] AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, s[3] || '|' || s[4] AS bval FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+    """,
+)
+def q_lsh_pairs(spark, sf):
+    from .operators.dedup import lsh_candidate_pairs
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return lsh_candidate_pairs(
+        d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    toks_h = f"list_transform({_DD_TOKS}, t -> {_DD_H32.format(t='t')})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th)"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({terms} AS BIGINT) AS sh
+    FROM (SELECT doc_id, {toks_h} AS th FROM documents)
+    """
+
+
+@query("simhash", _simhash_oracle())
+def q_simhash(spark, sf):
+    from .operators.dedup import simhash
+
+    return t(spark, sf, "documents").select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS g
+      FROM (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0
+                 ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.g, b.g))) END, 6) AS jac
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark, sf):
+    from .operators.dedup import jaccard, ngram_shingles
+
+    d = t(spark, sf, "documents")
+    a = d.select(
+        F.col("doc_id").alias("a"),
+        F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("ga"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b"),
+        F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("gb"),
+    )
+    return (
+        a.join(b, F.col("b") == F.col("a") + 1)
+        .select("a", "b", F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jac"))
+    )
+
+
+@query(
+    "embedding_near_dup",
+    """
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                        CAST(r.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                       CAST(r.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def q_embedding_near_dup(spark, sf):
+    from .operators.dedup import embedding_near_dup
+
+    e = t(spark, sf, "embeddings")
+    return embedding_near_dup(
+        e, "vec_id", "embedding", "label", threshold=0.5
+    )
+
+
+_TOPK_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT q_id, n_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
+@query("cosine_topk_bruteforce", _TOPK_ORACLE)
+def q_cosine_topk(spark, sf):
+    from .operators.similarity import brute_force_topk
+
+    e = t(spark, sf, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@query("cosine_topk_numpy", _TOPK_ORACLE)
+def q_cosine_topk_numpy(spark, sf):
+    from .operators.similarity import brute_force_topk_numpy
+
+    e = t(spark, sf, "embeddings")
+    return brute_force_topk_numpy(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "ivf_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, label, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+      FROM embeddings e JOIN q ON e.label = q.label
+    )
+    SELECT q_id, n_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_ivf_topk(spark, sf):
+    from .operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _lang_oracle() -> str:
+    from .operators.text import STOPWORDS
+
+    hit = lambda ws: (  # noqa: E731
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], t)))"
+    )
+    scores = {lang: hit(ws) for lang, ws in STOPWORDS.items()}
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE"
+    for lang, s in scores.items():
+        case += f" WHEN {s} = mx THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+    SELECT doc_id, CASE WHEN mx <= 0 THEN 'und' ELSE {case} END AS lang_pred
+    FROM (SELECT doc_id, toks, {mx} AS mx
+          FROM (SELECT doc_id, {_DD_TOKS} AS toks FROM documents))
+    """
+
+
+@query("lang_id", _lang_oracle())
+def q_lang_id(spark, sf):
+    from .operators.text import lang_id
+
+    return t(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                 + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / greatest(strlen(text), 1))
+                 + 0.3 * least((CAST(len(list_filter({_DD_TOKS},
+                       t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
+                       / greatest(len({_DD_TOKS}), 1)) * 5, 1.0)) * 1000000 + 0.5)
+           / 1000000 AS q
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf):
+    from .operators.text import quality_score
+
+    return t(spark, sf, "documents").select(
+        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("q")
+    )
+
+
+@query(
+    "token_count",
+    f"SELECT doc_id, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens FROM documents",
+)
+def q_token_count(spark, sf):
+    from .operators.text import token_count
+
+    return t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@query(
+    "fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_DD_TOKS}, t -> {_DD_H32.format(t='t')})),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf):
+    from .operators.text import fingerprint
+
+    return t(spark, sf, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query(
+    "image_meta",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 + 1 AS width,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 + 1 AS height,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 3 + 1 AS channels,
+           CAST(16 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_image_meta(spark, sf):
+    from .operators.multimodal import decode_image_meta, synthesize_payload
+
+    d = t(spark, sf, "documents").withColumn(
+        "payload", synthesize_payload(F.col("text"))
+    )
+    out = decode_image_meta(d, "payload", passthrough=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "sample_frames",
+    """
+    SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
+    FROM (SELECT event_id, unnest(range(0, CAST(trunc((value % 10) * 2) AS BIGINT))) AS f
+          FROM events)
+    """,
+)
+def q_sample_frames(spark, sf):
+    from .operators.multimodal import sample_frames
+
+    ev = t(spark, sf, "events").withColumn("dur", F.col("value") % 10)
+    out = sample_frames.apply(
+        ev.withColumn("fps", F.lit(2)), cols=["dur", "fps"], passthrough=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        F.col("sample_frames.frame_idx").alias("frame_idx"),
+        F.col("sample_frames.t_ms").alias("t_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational carriers (§2.C): Spark built-ins hosting framework UDFs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           round(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "sum_base_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_with_udf",
+    """
+    SELECT n_name, COUNT(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    WHERE strlen(c_name) % 2 = 0
+    GROUP BY n_name
+    """,
+)
+def q_join_with_udf(spark, sf):
+    cust = t(spark, sf, "customer")
+    nat = t(spark, sf, "nation")
+    orders = t(spark, sf, "orders")
+    return (
+        cust.where(C.length("c_name").cast("long") % 2 == 0)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk(spark, sf):
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")
+    )
+
+
+@query(
+    "set_ops",
+    """
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def q_set_ops(spark, sf):
+    cust = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    orders = t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.intersect(orders)
+
+
 @query(
     "count_udaf",
     """
