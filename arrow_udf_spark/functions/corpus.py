@@ -322,6 +322,14 @@ def series(n):
         yield i
 
 
+series.vectorize(
+    lambda n: [
+        range(int(v)) if v is not None and v == v else ()
+        for v in n.tolist()
+    ]
+)
+
+
 @udtf(input_types=["string"], result_type="struct<key:string,value:string>", name="key_values")
 def key_values(s):
     """'a=b,c=d' -> rows of KeyValue — reference tests/tests.rs:256-262."""
@@ -370,6 +378,9 @@ class SumAgg:
     def accumulate(self, s, x):
         return s + (0 if x is None else int(x))
 
+    def accumulate_batch(self, s, xs):
+        return s + int(xs.dropna().sum())
+
     def retract(self, s, x):
         return s - (0 if x is None else int(x))
 
@@ -388,6 +399,13 @@ class WeightedAvg:
         if v is None or w is None:
             return s
         return {"sum": s["sum"] + v * w, "weight": s["weight"] + w}
+
+    def accumulate_batch(self, s, vs, ws):
+        m = vs.notna() & ws.notna()
+        return {
+            "sum": s["sum"] + float((vs[m] * ws[m]).sum()),
+            "weight": s["weight"] + float(ws[m].sum()),
+        }
 
     def retract(self, s, v, w):
         if v is None or w is None:
@@ -408,6 +426,9 @@ class CountAgg:
 
     def accumulate(self, s, x):
         return s + (0 if x is None else 1)
+
+    def accumulate_batch(self, s, xs):
+        return s + int(xs.notna().sum())
 
     def retract(self, s, x):
         return s - (0 if x is None else 1)

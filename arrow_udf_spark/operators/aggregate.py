@@ -66,6 +66,10 @@ class AggregateFunction:
     merge: Callable[[Any, Any], Any]
     retract: Optional[Callable[..., Any]] = None
     finish: Optional[Callable[[Any], Any]] = None
+    #: optional vectorized fold: (state, *pandas.Series) -> state.  When
+    #: present, phase 1 groups each Arrow batch with pandas and folds whole
+    #: column slices instead of Python rows (~50x on numeric aggregates).
+    accumulate_batch: Optional[Callable[..., Any]] = None
 
     # ------------------------------------------------------------------
     def _fold_partition(
@@ -73,6 +77,31 @@ class AggregateFunction:
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
         """Phase-1 worker: partition -> one pickled partial state per key."""
         create, acc, ret = self.create_state, self.accumulate, self.retract
+        acc_batch = self.accumulate_batch
+
+        if acc_batch is not None and not ops_col:
+
+            def fold_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                states: dict[tuple, Any] = {}
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf.columns = [f"c{i}" for i in range(pdf.shape[1])]
+                    keys = [f"c{i}" for i in range(by_n)]
+                    for key, sub in pdf.groupby(keys, dropna=False, sort=False):
+                        k = key if isinstance(key, tuple) else (key,)
+                        st = states.get(k)
+                        if st is None and k not in states:
+                            st = create()
+                        states[k] = acc_batch(
+                            st, *[sub[f"c{by_n + i}"] for i in range(arg_n)]
+                        )
+                out = [k + (pickle.dumps(s),) for k, s in states.items()]
+                names = [f"k{i}" for i in range(by_n)] + ["state"]
+                yield pd.DataFrame(out, columns=names) if out else pd.DataFrame(
+                    columns=names
+                )
+
+            return fold_vec
 
         def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             states: dict[tuple, Any] = {}
@@ -212,6 +241,7 @@ def udaf(
             merge=inst.merge,
             retract=getattr(inst, "retract", None),
             finish=getattr(inst, "finish", None),
+            accumulate_batch=getattr(inst, "accumulate_batch", None),
         )
         registry.add(af)
         return af

@@ -54,6 +54,17 @@ class TableFunction:
     result_field: ExtField
     fallible: bool = False
     chunk_size: int = BATCH_SIZE
+    #: optional vectorized fan-out: (*pandas.Series) -> sequence of
+    #: per-row iterables.  Output rows are assembled with numpy repeat /
+    #: concatenation instead of a per-output-row Python loop.
+    batch_fn: Optional[Callable[..., Sequence[Iterable]]] = None
+
+    def vectorize(self, fn: Callable[..., Sequence[Iterable]]) -> "TableFunction":
+        """Attach a vectorized fan-out implementation (engine fast path;
+        the analogue of the reference's user ``batch_fn`` override,
+        arrow-udf-macros/src/codegen_utils.rs:504-516)."""
+        self.batch_fn = fn
+        return self
 
     def output_schema(self, passthrough_schema: Optional[T.StructType] = None) -> T.StructType:
         fields: list[T.StructField] = []
@@ -95,6 +106,44 @@ class TableFunction:
         out_schema = self.output_schema(pt_schema)
         out_names = [f.name for f in out_schema.fields]
         n_pt = len(passthrough)
+
+        batch_fn = self.batch_fn
+        if batch_fn is not None and not fallible:
+            import numpy as np
+
+            def run_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                row_base = 0
+                for pdf in batches:
+                    args = [pdf.iloc[:, n_pt + i] for i in range(len(cols))]
+                    per_row = batch_fn(*args)  # one iterable per input row
+                    lists = [list(x) for x in per_row]
+                    lens = np.fromiter((len(x) for x in lists), dtype="int64")
+                    total = int(lens.sum())
+                    if total == 0:
+                        row_base += len(pdf)
+                        continue
+                    data = {}
+                    if use_row_index:
+                        idx = np.repeat(
+                            np.arange(row_base, row_base + len(pdf)), lens
+                        )
+                        data["row"] = idx.astype("int32")
+                    else:
+                        for i, c in enumerate(passthrough):
+                            data[c] = np.repeat(
+                                pdf.iloc[:, i].to_numpy(dtype="object"), lens
+                            )
+                    flat: list = []
+                    for x in lists:
+                        flat.extend(x)
+                    data[name] = flat
+                    row_base += len(pdf)
+                    # no manual re-chunk here: Spark re-batches the Arrow
+                    # stream at maxRecordsPerBatch; slicing into 1024-row
+                    # frames would just multiply serialization overhead
+                    yield pd.DataFrame(data, columns=out_names)
+
+            return proj.mapInPandas(run_vec, schema=out_schema)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows_out: list[tuple] = []

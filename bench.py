@@ -29,6 +29,13 @@ BENCH_QUERIES = [
     "json_array_elements_udtf", # fallible table fn over JSON
     "sum_udaf",                 # two-phase distributed UDAF
     "weighted_avg_udaf",        # struct-state UDAF
+    "tpch_q1",                  # relational carrier (pure JVM)
+    "dedup_exact",              # digest-shuffle dedup
+    "minhash_signature",        # JVM-side minhash over 5k docs
+    "simhash",                  # 16-bit simhash
+    "fingerprint",              # rolling-hash fold
+    "cosine_topk_numpy",        # matmul ANN fast path
+    "image_meta",               # mapInPandas decode plumbing
 ]
 
 
@@ -56,10 +63,16 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else 0
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: first run pays Python-worker spin-up for this plan
+        # shape, second run measures steady-state throughput
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
 
     total = round(sum(timings.values()), 3)
