@@ -311,6 +311,143 @@ def array_access(arr, i):
 
 
 # ---------------------------------------------------------------------------
+# scalar: remaining reference corpus
+# ---------------------------------------------------------------------------
+
+
+@udf(input_types=[], result_type="int", name="int_42", batch=True)
+def int_42():
+    """reference arrow-udf-remote/python/example.py:24-26."""
+    return 42
+
+
+@udf(input_types=["int"], result_type="int", name="fib")
+def fib(n: int):
+    """Recursive fibonacci — reference tests/python.rs:114-146."""
+    if n is None:
+        return None
+    a, b = 0, 1
+    for _ in range(int(n)):
+        a, b = b, a + b
+    return a
+
+
+@udf(input_types=["int", "int"], result_type="int", name="max2", batch=True)
+def max2(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Custom-handler max — reference tests/python.rs:71-112
+    (add_function_with_handler)."""
+    return a.combine(b, lambda x, y: x if x >= y else y)
+
+
+@udf(input_types=["string", "string"], result_type="string", name="concat2", batch=True)
+def concat2(a: pd.Series, b: pd.Series) -> pd.Series:
+    """reference tests/javascript.rs:121-158."""
+    return a + b
+
+
+@udf(input_types=["number*"], result_type="number*", name="identity", batch=True)
+def identity_num(x: pd.Series) -> pd.Series:
+    """Type round-trip over every numeric type (wildcard expansion) —
+    reference identity x21, tests/tests.rs:68-92."""
+    return x
+
+
+@udf(input_types=["string"], result_type="string", name="identity", batch=True)
+def identity_str(x: pd.Series) -> pd.Series:
+    return x
+
+
+@udf(input_types=["boolean"], result_type="boolean", name="identity", batch=True)
+def identity_bool(x: pd.Series) -> pd.Series:
+    return x
+
+
+@udf(input_types=["binary"], result_type="binary", name="identity", batch=True)
+def identity_bin(x: pd.Series) -> pd.Series:
+    return x
+
+
+@udf(
+    input_types=["binary"],
+    result_type="struct<src_addr:string,dst_addr:string,src_port:int,dst_port:int>",
+    name="extract_tcp_info",
+)
+def extract_tcp_info(b: bytes):
+    """Parse IPv4+TCP header fields from raw packet bytes —
+    reference arrow-udf-remote/python/example.py:47-61."""
+    if b is None or len(b) < 24:
+        return None
+    src = ".".join(str(x) for x in b[12:16])
+    dst = ".".join(str(x) for x in b[16:20])
+    src_port = (b[20] << 8) | b[21]
+    dst_port = (b[22] << 8) | b[23]
+    return {
+        "src_addr": src,
+        "dst_addr": dst,
+        "src_port": src_port,
+        "dst_port": dst_port,
+    }
+
+
+EMBED_DIM = 8
+
+
+@udf(input_types=["string"], result_type="float32[]", name="text_embedding", batch=True)
+def text_embedding(texts: pd.Series) -> pd.Series:
+    """Batched deterministic text embedding — the reference's LLM-pipeline
+    hook (arrow-udf-remote/python/example.py:233-247, batch=True).  The
+    real model call is replaced by a reproducible hash projection; the
+    batched Series-in/Series-out shape is the contract."""
+    import hashlib
+
+    def embed(s):
+        if s is None:
+            return None
+        return [
+            (int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16) % 1000)
+            / 1000.0
+            for i in range(EMBED_DIM)
+        ]
+
+    return texts.map(embed)
+
+
+@udf(input_types=["map<string,int>", "string"], result_type="int", name="map_access")
+def map_access(m, key):
+    """Map argument access — reference tests/python.rs:387-488."""
+    if m is None or key is None:
+        return None
+    return m.get(key)
+
+
+@udf(input_types=["string[]", "int[]"], result_type="map<string,int>", name="make_map")
+def make_map(keys, values):
+    """Map return — reference tests/python.rs:387-488 (dict -> MapArray)."""
+    if keys is None or values is None:
+        return None
+    return dict(zip(keys, values))
+
+
+@udf(input_types=["struct<key:string,value:string>"], result_type="json", name="struct_to_json")
+def struct_to_json(s):
+    """reference tests/python.rs:571-621."""
+    if s is None:
+        return None
+    d = s.asDict() if hasattr(s, "asDict") else dict(s)
+    return json.dumps(d, separators=(",", ":"))
+
+
+@udf(input_types=["double"], result_type="double", name="sleep_fn")
+def sleep_fn(seconds: float):
+    """Sleep probe (watchdog/timeout tests) — reference example.py:29-32."""
+    import time as _time
+
+    if seconds is not None:
+        _time.sleep(min(float(seconds), 5.0))
+    return seconds
+
+
+# ---------------------------------------------------------------------------
 # table functions
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import enum
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeout
 from dataclasses import dataclass, field
 from typing import Any, Callable, NamedTuple, Optional, Sequence
 
@@ -53,7 +54,7 @@ except ImportError:  # pragma: no cover
     _SCALAR_EVAL = 200
 
 from ..plans.registry import GLOBAL, Registry, Signature
-from ..plans.types import ExtField, parse_type
+from ..plans.types import ExtField, expand_signature, parse_type
 
 __all__ = ["CallMode", "ScalarFunction", "udf"]
 
@@ -118,6 +119,10 @@ class _EvalSpec(NamedTuple):
     fallible: bool
     skip_null: bool  # True for RETURN_NULL_ON_NULL_INPUT
     io_threads: Optional[int]
+    timeout: Optional[float] = None  # per-call deadline in seconds (A21)
+    # zero-arg function: Spark pandas UDFs need >=1 column, so the caller
+    # passes a dummy column that only provides the batch length
+    nullary: bool = False
 
 
 def _eval_rows(
@@ -139,7 +144,20 @@ def _eval_rows(
         except Exception as e:  # row-level isolation, never abort the batch
             return None, str(e)
 
-    if spec.io_threads and spec.io_threads > 1:
+    if spec.timeout is not None:
+        # per-call deadline (reference A21, javascript/mod.rs:245-260):
+        # run each row on a watchdog pool; late rows become error rows.
+        # The worker thread is not killed (CPython can't), but the batch
+        # stops waiting for it.
+        with ThreadPoolExecutor(max_workers=spec.io_threads or 1) as pool:
+            futures = [pool.submit(call_one, r) for r in rows]
+            results = []
+            for f in futures:
+                try:
+                    results.append(f.result(timeout=spec.timeout))
+                except FuturesTimeout:
+                    results.append((None, "timeout"))
+    elif spec.io_threads and spec.io_threads > 1:
         with ThreadPoolExecutor(max_workers=spec.io_threads) as pool:
             results = list(pool.map(call_one, rows))
     else:
@@ -174,7 +192,22 @@ def _eval_clean(
 
 def _eval_batch(spec: _EvalSpec, *cols: pd.Series) -> pd.Series | pd.DataFrame:
     """The executor-side batch evaluator (one Arrow batch per call)."""
+    # struct-typed arguments arrive as pandas DataFrames; normalize to a
+    # Series of dicts so row functions see plain values
+    cols = tuple(
+        pd.Series(c.to_dict("records")) if isinstance(c, pd.DataFrame) else c
+        for c in cols
+    )
     n = len(cols[0]) if cols else 0
+    if spec.nullary:
+        # dummy column carries only the batch length
+        values, errors = _eval_clean(spec._replace(nullary=False), (), n)
+        out = _coerce(values, spec.dtype, n)
+        if spec.fallible:
+            if errors is None:
+                errors = pd.Series([None] * n, dtype="object")
+            return pd.DataFrame({"value": out, "error": errors})
+        return out
 
     null_mask = None
     work_cols = cols
@@ -238,6 +271,7 @@ class ScalarFunction:
     fallible: bool = False
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT
     io_threads: Optional[int] = None
+    timeout: Optional[float] = None
     _udf: Any = field(default=None, repr=False, compare=False)
 
     def _spec(self) -> _EvalSpec:
@@ -248,6 +282,8 @@ class ScalarFunction:
             fallible=self.fallible,
             skip_null=self.mode is CallMode.RETURN_NULL_ON_NULL_INPUT,
             io_threads=self.io_threads,
+            timeout=self.timeout,
+            nullary=not self.input_fields,
         )
 
     def _eval(self, *cols: pd.Series):
@@ -283,6 +319,8 @@ class ScalarFunction:
 
     def __call__(self, *cols: Column | str) -> Column:
         cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if not self.input_fields and not cs:
+            cs = [F.lit(0)]  # dummy batch-length carrier for nullary fns
         out = self.as_spark_udf()(*cs)
         return out.alias(self.sig.name)
 
@@ -302,10 +340,16 @@ def udf(
     fallible: bool = False,
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT,
     io_threads: Optional[int] = None,
+    timeout: Optional[float] = None,
     variadic: bool = False,
     registry: Registry = GLOBAL,
 ) -> Callable[[Callable], ScalarFunction]:
     """Declare a scalar function (reference ``#[function("name(t,..)->t")]``).
+
+    Wildcard types (``int*``, ``float*``, ``number*``) expand into one
+    registered overload per concrete type, all sharing the implementation
+    (reference signature expansion, arrow-udf-macros/src/parse.rs:24-100).
+    The returned handle is the first expansion.
 
     Example::
 
@@ -317,25 +361,27 @@ def udf(
 
     def deco(fn: Callable) -> ScalarFunction:
         fname = name or fn.__name__
-        in_fields = tuple(parse_type(t) for t in input_types)
-        res = parse_type(result_type)
-        sf = ScalarFunction(
-            fn=fn,
-            sig=Signature(
-                name=fname,
-                arg_types=tuple(str(t) for t in input_types),
-                return_type=result_type,
-                variadic=variadic,
-                kind="scalar",
-            ),
-            input_fields=in_fields,
-            result_field=res,
-            batch=batch,
-            fallible=fallible,
-            mode=mode,
-            io_threads=io_threads,
-        )
-        registry.add(sf)
-        return sf
+        first: Optional[ScalarFunction] = None
+        for ins, res_t in expand_signature(list(input_types), result_type):
+            sf = ScalarFunction(
+                fn=fn,
+                sig=Signature(
+                    name=fname,
+                    arg_types=tuple(ins),
+                    return_type=res_t,
+                    variadic=variadic,
+                    kind="scalar",
+                ),
+                input_fields=tuple(parse_type(t) for t in ins),
+                result_field=parse_type(res_t),
+                batch=batch,
+                fallible=fallible,
+                mode=mode,
+                io_threads=io_threads,
+                timeout=timeout,
+            )
+            registry.add(sf)
+            first = first or sf
+        return first
 
     return deco

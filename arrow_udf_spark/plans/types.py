@@ -190,3 +190,52 @@ def parse_type(s: str) -> ExtField:
 
 def spark_type_of(s: str) -> T.DataType:
     return parse_type(s).dtype
+
+
+#: wildcard families for signature expansion
+#: (reference arrow-udf-macros/src/types.rs:138-151, parse.rs:24-100)
+WILDCARDS: dict[str, list[str]] = {
+    "int*": ["int8", "int16", "int32", "int64"],
+    "uint*": ["uint8", "uint16", "uint32", "uint64"],
+    "float*": ["float32", "float64"],
+    "*int": ["int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"],
+    "number*": [
+        "int8",
+        "int16",
+        "int32",
+        "int64",
+        "float32",
+        "float64",
+    ],
+}
+
+
+def expand_signature(
+    input_types: list[str], result_type: str
+) -> list[tuple[list[str], str]]:
+    """Expand wildcard type strings into concrete signatures.
+
+    All occurrences of the *same* wildcard bind to the same concrete type
+    per expansion (so ``gcd(int*, int*) -> int*`` yields 4 signatures, not
+    64) — matching the reference's expansion semantics.
+    """
+    wilds = sorted(
+        {t for t in input_types + [result_type] if t in WILDCARDS}
+    )
+    if not wilds:
+        return [(input_types, result_type)]
+    out: list[tuple[list[str], str]] = []
+
+    def rec(i: int, binding: dict[str, str]) -> None:
+        if i == len(wilds):
+            ins = [binding.get(t, t) for t in input_types]
+            res = binding.get(result_type, result_type)
+            out.append((ins, res))
+            return
+        for concrete in WILDCARDS[wilds[i]]:
+            binding[wilds[i]] = concrete
+            rec(i + 1, binding)
+        del binding[wilds[i]]
+
+    rec(0, {})
+    return out

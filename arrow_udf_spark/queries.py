@@ -404,6 +404,165 @@ def q_weighted_avg(spark, sf):
     )
 
 
+@query(
+    "identity_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey AS i64, l_extendedprice AS f64,
+           l_returnflag AS s, l_quantity > 25 AS b
+    FROM lineitem
+    """,
+)
+def q_identity(spark, sf):
+    from arrow_udf_spark import GLOBAL
+
+    li = t(spark, sf, "lineitem")
+    id_i64 = GLOBAL.get("identity", ("int64",))
+    id_f64 = GLOBAL.get("identity", ("float64",))
+    id_str = GLOBAL.get("identity", ("string",))
+    id_bool = GLOBAL.get("identity", ("boolean",))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        id_i64("l_orderkey").alias("i64"),
+        id_f64("l_extendedprice").alias("f64"),
+        id_str("l_returnflag").alias("s"),
+        id_bool(F.col("l_quantity") > 25).alias("b"),
+    )
+
+
+def _fib_case() -> str:
+    vals = [0, 1]
+    for _ in range(30):
+        vals.append(vals[-1] + vals[-2])
+    whens = " ".join(
+        f"WHEN {n} THEN {vals[n]}" for n in range(20)
+    )
+    return f"CASE l_linenumber % 20 {whens} END"
+
+
+@query(
+    "fib_fn",
+    f"SELECT l_orderkey, l_linenumber, {_fib_case()} AS f FROM lineitem",
+)
+def q_fib(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        C.fib((F.col("l_linenumber") % 20).cast("int")).cast("int").alias("f"),
+    )
+
+
+@query(
+    "max2_concat2",
+    """
+    SELECT p_partkey, greatest(p_partkey, CAST(p_size AS BIGINT)) AS m,
+           p_brand || '|' || p_type AS c
+    FROM part
+    """,
+)
+def q_max2_concat2(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        C.max2(F.col("p_partkey"), F.col("p_size").cast("long"))
+        .cast("long")
+        .alias("m"),
+        C.concat2(F.concat(F.col("p_brand"), F.lit("|")), F.col("p_type")).alias("c"),
+    )
+
+
+@query(
+    "constants_fn",
+    "SELECT r_regionkey, 0 AS z, 42 AS i42 FROM region",
+)
+def q_constants(spark, sf):
+    r = t(spark, sf, "region")
+    return r.select(
+        "r_regionkey",
+        C.zero().cast("int").alias("z"),
+        C.int_42().cast("int").alias("i42"),
+    )
+
+
+@query(
+    "text_embedding_fn",
+    """
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 8), i ->
+             printf('%.3f', (CAST(('0x' || substr(md5(i || ':' || text), 1, 8)) AS BIGINT)
+                             % 1000) / 1000.0)), ',') AS emb
+    FROM documents
+    """,
+)
+def q_text_embedding(spark, sf):
+    d = t(spark, sf, "documents")
+    emb = C.text_embedding(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(emb, lambda x: F.format_string("%.3f", x.cast("double"))),
+            ",",
+        ).alias("emb"),
+    )
+
+
+@query(
+    "extract_tcp_info_fn",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 25, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 27, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 29, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 31, 2)) AS INT) AS src_addr,
+           CAST(('0x' || substr(h, 33, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 35, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 37, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 39, 2)) AS INT) AS dst_addr,
+           CAST(('0x' || substr(h, 41, 4)) AS INT) AS src_port,
+           CAST(('0x' || substr(h, 45, 4)) AS INT) AS dst_port
+    FROM (SELECT doc_id, md5(text) || md5(reverse(text)) AS h FROM documents)
+    """,
+)
+def q_extract_tcp(spark, sf):
+    d = t(spark, sf, "documents")
+    payload = F.unhex(F.concat(F.md5("text"), F.md5(F.reverse(F.col("text")))))
+    info = C.extract_tcp_info(payload)
+    return d.select(
+        "doc_id",
+        info.getField("src_addr").alias("src_addr"),
+        info.getField("dst_addr").alias("dst_addr"),
+        info.getField("src_port").cast("int").alias("src_port"),
+        info.getField("dst_port").cast("int").alias("dst_port"),
+    )
+
+
+@query(
+    "remote_gcd",
+    """
+    SELECT l_orderkey, l_linenumber, gcd(l_partkey, l_suppkey) AS gcd
+    FROM lineitem
+    """,
+)
+def q_remote_gcd(spark, sf):
+    """Scalar UDF evaluated over Arrow Flight (reference A19/A20): executors
+    stream batches to a UdfFlightServer hosting the registry."""
+    from arrow_udf_spark import GLOBAL
+    from .sources.flight import remote_scalar, serve_registry
+
+    uri = serve_registry(GLOBAL)
+    li = t(spark, sf, "lineitem")
+    # result column is named from the server's advertised schema ("gcd")
+    return remote_scalar(
+        li,
+        uri,
+        "gcd__bigint_bigint",
+        cols=["l_partkey", "l_suppkey"],
+        passthrough=["l_orderkey", "l_linenumber"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline extensions: dedup / similarity / text / multimodal
 # (SURVEY.md §7.8; these are first-class operators, designed for 100 TB —

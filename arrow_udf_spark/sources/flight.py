@@ -1,0 +1,244 @@
+"""Remote UDF runtime over Arrow Flight (reference A19/A20).
+
+Protocol (re-implemented from the reference's wire behavior, SURVEY.md §3.3;
+reference client arrow-udf-runtime/src/remote/mod.rs:102-195, server
+arrow-udf-remote/python/arrow_udf/__init__.py:356-436):
+
+- one Flight *exchange* per call: descriptor path = function name; the
+  client streams input record batches, the server streams result batches;
+- discovery via ``get_flight_info`` / ``list_flights``: the advertised
+  schema is the **concatenation of input fields and output fields**, with
+  ``total_records`` carrying the number of input arguments (the
+  reference's schema-encoding trick, remote/mod.rs:160-195);
+- a ``protocol_version`` action for version negotiation
+  (remote/mod.rs:53-65).
+
+Spark integration: :func:`remote_scalar` runs the Flight client *inside*
+``mapInArrow`` — each executor task opens one connection and streams its
+Arrow batches through the exchange, which is exactly the reference's
+process boundary with Spark on the client side.  At cluster scale the
+server address can be any reachable UDF service; per-partition connections
+parallelize the calls.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterator, Optional, Sequence
+
+import pyarrow as pa
+
+try:
+    import pyarrow.flight as flight
+except ImportError:  # pragma: no cover
+    flight = None
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..operators.scalar import ScalarFunction
+from ..plans.registry import Registry
+
+__all__ = ["UdfFlightServer", "FlightUdfClient", "remote_scalar", "serve_registry"]
+
+PROTOCOL_VERSION = b"1"
+
+
+def _spark_to_arrow_field(name: str, dtype: T.DataType) -> pa.Field:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.field(name, to_arrow_type(dtype))
+
+
+class UdfFlightServer(flight.FlightServerBase if flight else object):
+    """Arrow Flight server hosting registered scalar functions.
+
+    Functions are evaluated with the same batch-eval core as local
+    execution (null modes, error column, batched mode all behave
+    identically whether a function runs in-process or remote).
+    """
+
+    def __init__(self, location: str = "grpc://0.0.0.0:0"):
+        super().__init__(location)
+        self._fns: dict[str, ScalarFunction] = {}
+
+    # -- registration ---------------------------------------------------
+    def add_function(self, fn: ScalarFunction) -> None:
+        # first overload owns the bare name; others are reachable by
+        # mangled name (mirrors Registry.register_sql)
+        self._fns.setdefault(fn.sig.name, fn)
+        self._fns[fn.sig.mangled()] = fn
+
+    def _schemas(self, fn: ScalarFunction) -> tuple[pa.Schema, pa.Schema]:
+        in_fields = [
+            _spark_to_arrow_field(f"arg{i}", f.dtype)
+            for i, f in enumerate(fn.input_fields)
+        ]
+        out_fields = [_spark_to_arrow_field(fn.sig.name, fn.result_field.dtype)]
+        if fn.fallible:
+            out_fields.append(pa.field("error", pa.string()))
+        return pa.schema(in_fields), pa.schema(out_fields)
+
+    # -- Flight handlers ------------------------------------------------
+    def get_flight_info(self, context, descriptor):
+        name = descriptor.path[0].decode()
+        fn = self._fns[name]
+        in_s, out_s = self._schemas(fn)
+        # concat(input, output) fields; total_records = #args (the
+        # reference's discovery encoding)
+        full = pa.schema(list(in_s) + list(out_s))
+        return flight.FlightInfo(
+            full, descriptor, [], total_records=len(in_s), total_bytes=-1
+        )
+
+    def list_flights(self, context, criteria):
+        for name in self._fns:
+            yield self.get_flight_info(
+                context, flight.FlightDescriptor.for_path(name.encode())
+            )
+
+    def do_action(self, context, action):
+        if action.type == "protocol_version":
+            return [PROTOCOL_VERSION]
+        raise NotImplementedError(action.type)
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        import pandas as pd
+
+        name = descriptor.path[0].decode()
+        fn = self._fns[name]
+        _, out_s = self._schemas(fn)
+        writer.begin(out_s)
+        for chunk in reader:
+            batch = chunk.data
+            cols = [batch.column(i).to_pandas() for i in range(batch.num_columns)]
+            result = fn._eval(*cols)
+            if isinstance(result, pd.DataFrame):  # fallible -> value+error
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        pa.Array.from_pandas(result["value"], type=out_s.field(0).type),
+                        pa.Array.from_pandas(result["error"], type=pa.string()),
+                    ],
+                    schema=out_s,
+                )
+            else:
+                out = pa.RecordBatch.from_arrays(
+                    [pa.Array.from_pandas(result, type=out_s.field(0).type)],
+                    schema=out_s,
+                )
+            writer.write_batch(out)
+        writer.close()
+
+
+class FlightUdfClient:
+    """Client side of the exchange (reference remote/mod.rs:102-156)."""
+
+    def __init__(self, uri: str):
+        self._client = flight.connect(uri)
+
+    def protocol_version(self) -> bytes:
+        res = list(self._client.do_action(flight.Action("protocol_version", b"")))
+        return res[0].body.to_pybytes()
+
+    def function_info(self, name: str) -> tuple[pa.Schema, int]:
+        info = self._client.get_flight_info(
+            flight.FlightDescriptor.for_path(name.encode())
+        )
+        return info.schema, info.total_records
+
+    def list_functions(self) -> list[str]:
+        return [
+            f.descriptor.path[0].decode() for f in self._client.list_flights()
+        ]
+
+    def call(self, name: str, batch: pa.RecordBatch) -> pa.Table:
+        desc = flight.FlightDescriptor.for_path(name.encode())
+        writer, reader = self._client.do_exchange(desc)
+        writer.begin(batch.schema)
+        writer.write_batch(batch)
+        writer.done_writing()
+        out = reader.read_all()
+        writer.close()
+        return out
+
+    def close(self) -> None:
+        self._client.close()
+
+
+# ---------------------------------------------------------------------------
+# module-level server lifecycle (one per driver process, ephemeral port)
+# ---------------------------------------------------------------------------
+
+_server: Optional[UdfFlightServer] = None
+_server_uri: Optional[str] = None
+_lock = threading.Lock()
+
+
+def serve_registry(registry: Registry, host: str = "127.0.0.1") -> str:
+    """Start (once) a background Flight server hosting every scalar function
+    of ``registry``; returns its grpc URI."""
+    global _server, _server_uri
+    with _lock:
+        if _server_uri is None:
+            srv = UdfFlightServer(f"grpc://{host}:0")
+            for f in registry.all():
+                if isinstance(f, ScalarFunction):
+                    srv.add_function(f)
+            threading.Thread(target=srv.serve, daemon=True).start()
+            _server = srv
+            _server_uri = f"grpc://{host}:{srv.port}"
+    return _server_uri
+
+
+def remote_scalar(
+    df: DataFrame,
+    uri: str,
+    name: str,
+    cols: Sequence[str],
+    passthrough: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate a remote scalar function over ``df`` via Arrow Flight.
+
+    The result schema is *discovered* from the server's flight info (its
+    advertised schema is input fields + output fields, with total_records
+    = arg count).  Executors stream their Arrow batches through one
+    ``do_exchange`` per partition; results are zipped back onto the
+    passthrough columns.
+    """
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    cols = list(cols)
+    passthrough = list(passthrough)
+
+    disco = FlightUdfClient(uri)
+    full_schema, n_args = disco.function_info(name)
+    disco.close()
+    if n_args != len(cols):
+        raise ValueError(f"{name} takes {n_args} args, got {len(cols)}")
+    result_fields = list(full_schema)[n_args:]
+
+    out_fields = [T.StructField(c, df.schema[c].dataType) for c in passthrough]
+    out_fields.extend(
+        T.StructField(f.name, from_arrow_type(f.type)) for f in result_fields
+    )
+    out_schema = T.StructType(out_fields)
+    n_pt = len(passthrough)
+
+    def exchange(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        client = FlightUdfClient(uri)
+        try:
+            for batch in batches:
+                args = pa.RecordBatch.from_arrays(
+                    [batch.column(n_pt + i) for i in range(len(cols))],
+                    names=[f"arg{i}" for i in range(len(cols))],
+                )
+                result = client.call(name, args)
+                res_cols = [batch.column(i) for i in range(n_pt)]
+                res_cols.extend(result.column(i).combine_chunks() for i in range(result.num_columns))
+                yield pa.RecordBatch.from_arrays(
+                    res_cols, names=[f.name for f in out_fields]
+                )
+        finally:
+            client.close()
+
+    return df.select(*(passthrough + cols)).mapInArrow(exchange, schema=out_schema)

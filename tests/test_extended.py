@@ -1,0 +1,119 @@
+"""Tests for wildcard expansion, timeouts, map types, and the Flight
+remote runtime."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_udf_spark import GLOBAL, Registry, udf
+
+
+def test_wildcard_expansion_registers_overloads():
+    reg = Registry()
+
+    @udf(input_types=["number*"], result_type="number*", name="echo", batch=True, registry=reg)
+    def echo(x):
+        return x
+
+    types = sorted(f.sig.arg_types[0] for f in reg._fns["echo"])
+    assert types == ["float32", "float64", "int16", "int32", "int64", "int8"]
+    # same-wildcard positions bind jointly: result type follows input
+    f32 = reg.get("echo", ("float32",))
+    assert f32.sig.return_type == "float32"
+
+
+def test_expand_signature_joint_binding():
+    from arrow_udf_spark.plans.types import expand_signature
+
+    sigs = expand_signature(["int*", "int*"], "int*")
+    assert len(sigs) == 4  # not 64: both args + result bind together
+    assert (["int32", "int32"], "int32") in sigs
+
+
+def test_timeout_rows_become_errors():
+    reg = Registry()
+
+    @udf(
+        input_types=["double"],
+        result_type="double",
+        fallible=True,
+        timeout=0.2,
+        io_threads=4,
+        registry=reg,
+    )
+    def slow(x):
+        if x > 1:
+            time.sleep(2)
+        return x
+
+    out = slow._eval(pd.Series([0.5, 5.0]))
+    assert out["value"][0] == 0.5
+    assert pd.isna(out["value"][1]) and out["error"][1] == "timeout"
+
+
+def test_map_functions(spark):
+    from arrow_udf_spark.functions.corpus import make_map, map_access
+
+    df = spark.createDataFrame(
+        [(["a", "b"], [1, 2], "b")], "ks array<string>, vs array<int>, k string"
+    )
+    m = df.select(make_map(F.col("ks"), F.col("vs")).alias("m"), "k")
+    row = m.select(map_access(F.col("m"), F.col("k")).alias("v")).collect()[0]
+    assert row["v"] == 2
+
+
+def test_struct_to_json(spark):
+    from arrow_udf_spark.functions.corpus import key_value, struct_to_json
+
+    df = spark.createDataFrame([("a=b",)], "s string")
+    out = df.select(struct_to_json(key_value(F.col("s"))).alias("j")).collect()
+    assert out[0]["j"] == '{"key":"a","value":"b"}'
+
+
+@pytest.fixture(scope="module")
+def flight_uri():
+    pytest.importorskip("pyarrow.flight")
+    from arrow_udf_spark.sources.flight import serve_registry
+
+    return serve_registry(GLOBAL)
+
+
+def test_flight_protocol(flight_uri):
+    from arrow_udf_spark.sources.flight import FlightUdfClient
+
+    import pyarrow as pa
+
+    c = FlightUdfClient(flight_uri)
+    assert c.protocol_version() == b"1"
+    assert "gcd" in c.list_functions()
+    schema, nargs = c.function_info("gcd__bigint_bigint")
+    assert nargs == 2
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([12, 15], pa.int64()), pa.array([8, 5], pa.int64())],
+        names=["arg0", "arg1"],
+    )
+    out = c.call("gcd__bigint_bigint", batch)
+    assert out.column(0).to_pylist() == [4, 5]
+    c.close()
+
+
+def test_flight_from_spark(spark, sf_dir, flight_uri):
+    from arrow_udf_spark.sources.flight import remote_scalar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(200)
+    out = remote_scalar(
+        li, flight_uri, "div", cols=["l_partkey", "l_suppkey"], passthrough=["l_orderkey"]
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {c for c in out.columns} == {"l_orderkey", "div", "error"}
+
+
+def test_nullary_udf(spark):
+    from arrow_udf_spark.functions.corpus import int_42
+
+    df = spark.range(3)
+    vals = [r[0] for r in df.select(int_42()).collect()]
+    assert vals == [42, 42, 42]
