@@ -1,0 +1,136 @@
+"""Sources & sinks.
+
+Everything relational is delegated to Spark's native connectors
+(SURVEY.md §2.C: scan/sink are host-engine territory — predicate pushdown,
+column pruning, and partition pruning come free from the parquet/csv/json
+DataSource V2 readers).  This module adds:
+
+- a :class:`Catalog` for the driver's testdata star schema (handles the
+  events table's nanosecond timestamps);
+- :func:`read_arrow_ipc` — a **distributed** Arrow IPC file reader Spark
+  lacks natively: files land as ``binaryFile`` rows and are decoded to
+  record batches inside ``mapInArrow``, so no byte ever passes through the
+  driver (the reference's RecordBatch-stream model as a source);
+- :func:`write_parquet` with layout controls (partitioning, sorted
+  writes) that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Catalog", "read_arrow_ipc", "write_parquet", "TABLES"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+class Catalog:
+    """The testdata star schema as named DataFrames (+ temp views)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        if name == "events":
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name == "events":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+
+    def register_views(self) -> None:
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Read Arrow IPC (Feather v2 / stream) files distributed.
+
+    Each executor task receives whole files as binary content
+    (``binaryFile`` source) and emits their record batches through
+    ``mapInArrow`` — driver never touches data.  All files must share one
+    schema (sampled from the first file).
+    """
+    import pyarrow.ipc as ipc
+
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    # sample the schema from one file (driver reads only the header)
+    first = bin_df.select("content").limit(1).collect()
+    if not first:
+        raise FileNotFoundError(f"no files at {path}")
+    sample_schema = _open_ipc(first[0][0]).schema
+
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql import types as T
+
+    spark_schema = T.StructType(
+        [T.StructField(f.name, from_arrow_type(f.type)) for f in sample_schema]
+    )
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            contents = b.column(b.schema.get_field_index("content"))
+            for blob in contents:
+                reader = _open_ipc(blob.as_py())
+                if hasattr(reader, "num_record_batches"):  # file format
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i)
+                else:  # stream format
+                    yield from reader
+
+    return bin_df.select("content").mapInArrow(decode, schema=spark_schema)
+
+
+def _open_ipc(blob: bytes):
+    import pyarrow.ipc as ipc
+
+    buf = pa.BufferReader(blob)
+    try:
+        return ipc.open_file(buf)
+    except pa.ArrowInvalid:
+        buf.seek(0)
+        return ipc.open_stream(buf)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Layout-aware parquet sink.
+
+    ``partition_by`` prunes at read time; ``sort_by`` sorts within output
+    partitions so min/max row-group statistics become selective (the
+    cheap, portable cousin of Z-ordering); ``max_records_per_file`` bounds
+    file sizes on skewed partitions.
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

@@ -1,0 +1,185 @@
+"""Streaming execution of the aggregate protocol.
+
+Three layers, each the idiomatic Spark choice for its semantics
+(SURVEY.md §2.C streaming row):
+
+- :func:`windowed_agg` — plain Structured Streaming: watermark + tumbling/
+  sliding event-time windows over built-in aggregates.  Nothing custom;
+  Catalyst handles state, late data, and incremental execution.
+- :func:`streaming_running_agg` — a *custom* stateful operator via
+  ``applyInPandasWithState``: per key, the pickled UDAF state is folded
+  with ``accumulate`` (vectorized via ``accumulate_batch`` when defined)
+  and the running ``finish`` value is emitted every micro-batch.  This is
+  the reference's aggregate protocol (A6-A10) lifted onto a stream.
+- :func:`sliding_window_agg` — exercises ``retract`` (A8, the reference's
+  accumulate-or-retract bitmap, python/mod.rs:537-582) the way its
+  streaming hosts do: rows enter the aggregate as they arrive and are
+  retracted once they age out of the sliding window, so state never
+  replays the whole window.
+
+State is an opaque pickle (the reference's ``arrowudf.pickle`` extension
+state, §1.2) carried in a single BinaryType column — GroupState handles
+persistence/recovery; at scale this is Spark's HDFS/RocksDB-backed state
+store, sharded by key.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.aggregate import AggregateFunction
+
+__all__ = ["windowed_agg", "streaming_running_agg", "sliding_window_agg"]
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, str],
+    slide: Optional[str] = None,
+    by: Sequence[str] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time window aggregation with built-in aggregates.
+
+    ``aggs`` maps output name -> SQL aggregate expression, e.g.
+    ``{"n": "count(1)", "total": "sum(value)"}``.
+    """
+    w = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("window"), *by)
+        .agg(*[F.expr(e).alias(name) for name, e in aggs.items()])
+    )
+
+
+def _state_schema() -> T.StructType:
+    return T.StructType([T.StructField("blob", T.BinaryType())])
+
+
+def streaming_running_agg(
+    df: DataFrame,
+    agg: AggregateFunction,
+    by: Sequence[str],
+    args: Sequence[str],
+) -> DataFrame:
+    """Running per-key aggregate over a stream: emits (keys..., value) with
+    the post-batch value of ``finish(state)`` each time a key sees data."""
+    by, args = list(by), list(args)
+    out_schema = T.StructType(
+        [df.schema[c] for c in by]
+        + [T.StructField(agg.sig.name, agg.result_field.dtype)]
+    )
+    create, acc, acc_b, merge, finish = (
+        agg.create_state,
+        agg.accumulate,
+        agg.accumulate_batch,
+        agg.merge,
+        agg.finish,
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = pickle.loads(state.get[0]) if state.exists else create()
+        for pdf in pdfs:
+            if acc_b is not None:
+                st = acc_b(st, *[pdf[a] for a in args])
+            else:
+                for row in pdf.itertuples(index=False):
+                    st = acc(st, *[getattr(row, a) for a in args])
+        state.update((pickle.dumps(st),))
+        value = finish(st) if finish is not None else st
+        yield pd.DataFrame([dict(zip(by, key)) | {agg.sig.name: value}])
+
+    return (
+        df.groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_state_schema(),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    agg: AggregateFunction,
+    by: Sequence[str],
+    args: Sequence[str],
+    ts_col: str,
+    window_seconds: float,
+) -> DataFrame:
+    """Sliding-window aggregate maintained *incrementally with retract*:
+
+    state = (agg_state, buffer of (ts, args) still inside the window).
+    New rows are accumulated; rows older than ``max_seen_ts - window`` are
+    retracted — the aggregate is never recomputed from scratch.  Requires
+    ``agg.retract``.
+    """
+    if agg.retract is None:
+        raise ValueError(f"{agg.sig.name} has no retract; sliding window needs it")
+    by, args = list(by), list(args)
+    out_schema = T.StructType(
+        [df.schema[c] for c in by]
+        + [T.StructField(agg.sig.name, agg.result_field.dtype)]
+    )
+    create, acc, ret, finish = (
+        agg.create_state,
+        agg.accumulate,
+        agg.retract,
+        agg.finish,
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st, buf, max_ts = pickle.loads(state.get[0])
+        else:
+            st, buf, max_ts = create(), [], None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ts = getattr(row, ts_col)
+                vals = [getattr(row, a) for a in args]
+                st = acc(st, *vals)
+                buf.append((ts, vals))
+                max_ts = ts if max_ts is None or ts > max_ts else max_ts
+        # retract rows that fell out of the window
+        if max_ts is not None:
+            cutoff = max_ts - pd.Timedelta(seconds=window_seconds)
+            keep = []
+            for ts, vals in buf:
+                if ts <= cutoff:
+                    st = ret(st, *vals)
+                else:
+                    keep.append((ts, vals))
+            buf = keep
+        state.update((pickle.dumps((st, buf, max_ts)),))
+        value = finish(st) if finish is not None else st
+        yield pd.DataFrame([dict(zip(by, key)) | {agg.sig.name: value}])
+
+    return (
+        df.groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_state_schema(),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,66 @@
+"""Physical-plan quality gates: these assert the *shape* of the plans,
+not their results — pushdown reaches the scan, small dims broadcast, and
+native-expression operators never fall out of the JVM into Python."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") == 42).select("l_orderkey", "l_partkey")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_column_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_partkey")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_join_uses_broadcast(spark, sf_dir):
+    from arrow_udf_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["join_with_udf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """minhash/simhash/fingerprint/lang_id are pure Catalyst expressions —
+    no Python evaluation node may appear in their plans."""
+    from arrow_udf_spark.queries import QUERIES
+
+    for name in ["minhash_signature", "simhash", "fingerprint", "lang_id", "token_count", "quality_score"]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:300]}"
+        # (higher-order fns are JVM-interpreted expressions; they don't
+        # join whole-stage codegen, but they must stay a pure Project
+        # directly over the columnar scan)
+        assert "FileScan parquet" in plan, name
+
+
+def test_topk_item_table_not_shuffled_before_scoring(spark, sf_dir):
+    """brute_force_topk broadcasts the query side; the big item table must
+    join without a shuffle (BroadcastNestedLoopJoin/BroadcastExchange)."""
+    from arrow_udf_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(brute_force_topk(e, e.where(F.col("vec_id") < 3), k=3))
+    assert "BroadcastExchange" in plan
+
+
+def test_scalar_udf_single_python_eval(spark, sf_dir):
+    """A fallible UDF projected as value+error must evaluate ONCE (the
+    struct is shared), not once per extracted field."""
+    from arrow_udf_spark.functions.corpus import div
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v, e = div.value_and_error(F.col("l_partkey"), F.col("l_suppkey") % 7)
+    plan = _plan(li.select(v, e))
+    assert plan.count("ArrowEvalPython") == 1
