@@ -49,6 +49,27 @@ def gcd3(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
     )
 
 
+@udf(
+    input_types=["bigint", "bigint"],
+    result_type="bigint",
+    name="gcd_async",
+    io_threads=64,
+)
+async def gcd_async(a: int, b: int) -> int:
+    """Async scalar UDF: batch rows run concurrently on one event loop
+    (reference A12 async mode, javascript/mod.rs:954-974; python server
+    io_threads, arrow-udf-remote test_udf.py:189-252).  Same math as gcd —
+    the await point is where a real fn would do IO."""
+    import asyncio
+
+    if a is None or b is None:
+        return None
+    await asyncio.sleep(0)
+    while b:
+        a, b = b, a % b
+    return a
+
+
 @udf(input_types=["bigint", "bigint"], result_type="bigint", fallible=True)
 def div(a: int, b: int):
     """Integer division, row-level divide-by-zero capture.

@@ -35,6 +35,7 @@ which holds JVM handles.
 from __future__ import annotations
 
 import enum
+import inspect
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FuturesTimeout
 from dataclasses import dataclass, field
@@ -123,6 +124,10 @@ class _EvalSpec(NamedTuple):
     # zero-arg function: Spark pandas UDFs need >=1 column, so the caller
     # passes a dummy column that only provides the batch length
     nullary: bool = False
+    # coroutine function: rows of a batch run concurrently on one event
+    # loop (reference A12 async mode, javascript/mod.rs:954-974); io_threads
+    # doubles as the concurrency cap
+    is_async: bool = False
 
 
 def _eval_rows(
@@ -144,7 +149,28 @@ def _eval_rows(
         except Exception as e:  # row-level isolation, never abort the batch
             return None, str(e)
 
-    if spec.timeout is not None:
+    if spec.is_async:
+        import asyncio
+
+        async def run_all() -> list[tuple[Any, Optional[str]]]:
+            sem = asyncio.Semaphore(spec.io_threads or 64)
+
+            async def one(args: tuple) -> tuple[Any, Optional[str]]:
+                async with sem:
+                    try:
+                        coro = fn(*(None if _is_null(a) else a for a in args))
+                        if spec.timeout is not None:
+                            return await asyncio.wait_for(coro, spec.timeout), None
+                        return await coro, None
+                    except asyncio.TimeoutError:
+                        return None, "timeout"
+                    except Exception as e:
+                        return None, str(e)
+
+            return await asyncio.gather(*[one(r) for r in rows])
+
+        results = asyncio.run(run_all())
+    elif spec.timeout is not None:
         # per-call deadline (reference A21, javascript/mod.rs:245-260):
         # run each row on a watchdog pool; late rows become error rows.
         # The worker thread is not killed (CPython can't), but the batch
@@ -275,15 +301,19 @@ class ScalarFunction:
     _udf: Any = field(default=None, repr=False, compare=False)
 
     def _spec(self) -> _EvalSpec:
+        is_async = inspect.iscoroutinefunction(self.fn)
         return _EvalSpec(
             fn=self.fn,
             dtype=self.result_field.dtype,
-            batch=self.batch,
+            # a coroutine fn is always row-wise: the batch path would return
+            # an un-awaited coroutine instead of a Series
+            batch=self.batch and not is_async,
             fallible=self.fallible,
             skip_null=self.mode is CallMode.RETURN_NULL_ON_NULL_INPUT,
             io_threads=self.io_threads,
             timeout=self.timeout,
             nullary=not self.input_fields,
+            is_async=is_async,
         )
 
     def _eval(self, *cols: pd.Series):

@@ -66,6 +66,20 @@ def q_gcd(spark, sf):
 
 
 @query(
+    "gcd_async",
+    """
+    SELECT l_orderkey, l_linenumber, gcd(l_partkey, l_suppkey) AS g
+    FROM lineitem
+    """,
+)
+def q_gcd_async(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", C.gcd_async("l_partkey", "l_suppkey").alias("g")
+    )
+
+
+@query(
     "div_error",
     """
     SELECT l_orderkey, l_linenumber,

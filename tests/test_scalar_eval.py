@@ -118,3 +118,53 @@ def test_io_threads(reg):
 
     out = slowinc._eval(pd.Series(range(100)))
     assert out.tolist() == list(range(1, 101))
+
+
+def test_async_fn(reg):
+    """Coroutine UDFs run all rows of a batch concurrently on one event
+    loop (reference A12 async mode, javascript/mod.rs:954-974)."""
+    import asyncio
+
+    @udf(input_types=["int"], result_type="int", io_threads=8, registry=reg)
+    async def ainc(x):
+        await asyncio.sleep(0)
+        return None if x is None else x + 1
+
+    out = ainc._eval(pd.Series([1, None, 3], dtype="object"))
+    assert out.tolist()[0] == 2 and out.tolist()[2] == 4
+
+
+def test_async_fn_timeout_and_error(reg):
+    import asyncio
+
+    @udf(
+        input_types=["int"],
+        result_type="int",
+        fallible=True,
+        timeout=0.2,
+        registry=reg,
+    )
+    async def slow(x):
+        if x == 99:
+            await asyncio.sleep(5)
+        if x < 0:
+            raise ValueError("negative")
+        return x
+
+    out = slow._eval(pd.Series([1, 99, -1]))
+    assert out.loc[0, "value"] == 1 and out.loc[0, "error"] is None
+    assert pd.isna(out.loc[1, "value"]) and out.loc[1, "error"] == "timeout"
+    assert pd.isna(out.loc[2, "value"]) and "negative" in out.loc[2, "error"]
+
+
+def test_async_batch_flag_ignored(reg):
+    """batch=True on a coroutine fn must not break: forced row-wise."""
+    import asyncio
+
+    @udf(input_types=["int"], result_type="int", batch=True, registry=reg)
+    async def aident(x):
+        await asyncio.sleep(0)
+        return x
+
+    out = aident._eval(pd.Series([5, 6]))
+    assert out.tolist() == [5, 6]
