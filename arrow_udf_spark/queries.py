@@ -1044,3 +1044,153 @@ def q_set_ops(spark, sf):
 def q_count_udaf(spark, sf):
     ev = t(spark, sf, "events")
     return C.CountAgg.agg(ev, by=["event_type"], args=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# §2.B remaining corpus: gcd3, maps, struct→json, json concat, decimals,
+# binary builders, array identity, server split UDTF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gcd3_fn",
+    """
+    SELECT l_orderkey, l_linenumber,
+           gcd(gcd(l_partkey, l_suppkey), l_linenumber) AS g
+    FROM lineitem
+    """,
+)
+def q_gcd3(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        C.gcd3(
+            F.col("l_partkey").cast("int"),
+            F.col("l_suppkey").cast("int"),
+            F.col("l_linenumber").cast("int"),
+        ).cast("long").alias("g"),
+    )
+
+
+@query(
+    "map_fn",
+    """
+    SELECT p_partkey, CAST(p_partkey % 100 AS BIGINT) AS v FROM part
+    """,
+)
+def q_map_fn(spark, sf):
+    # make_map builds map<string,int> from parallel arrays; map_access reads
+    # a key back out (reference map arg & return, tests/python.rs:387-488)
+    p = t(spark, sf, "part")
+    m = C.make_map(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(
+            F.col("p_size").cast("int"), (F.col("p_partkey") % 100).cast("int")
+        ),
+    )
+    return p.select("p_partkey", C.map_access(m, F.lit("b")).cast("long").alias("v"))
+
+
+@query(
+    "struct_to_json_fn",
+    """
+    SELECT p_partkey,
+           '{"key":"brand","value":"' || p_brand || '"}' AS j
+    FROM part
+    """,
+)
+def q_struct_to_json(spark, sf):
+    p = t(spark, sf, "part")
+    kv = C.key_value(F.concat(F.lit("brand="), "p_brand"))
+    return p.select("p_partkey", C.struct_to_json(kv).alias("j"))
+
+
+@query(
+    "json_concat_fn",
+    """
+    SELECT l_orderkey, l_linenumber,
+           '[1,2,' || l_linenumber || ']' AS j
+    FROM lineitem
+    """,
+)
+def q_json_concat(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        C.json_concat(
+            F.lit("[1,2]"),
+            F.concat(F.lit("["), F.col("l_linenumber").cast("string"), F.lit("]")),
+        ).alias("j"),
+    )
+
+
+@query(
+    "float_to_decimal_fn",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS VARCHAR) AS d FROM orders
+    """,
+)
+def q_float_to_decimal(spark, sf):
+    # Decimal(str(x)) keeps the shortest round-trip text of the double;
+    # DuckDB's double->VARCHAR cast is the same shortest-round-trip form
+    o = t(spark, sf, "orders")
+    return o.select("o_orderkey", C.float_to_decimal("o_totalprice").alias("d"))
+
+
+@query(
+    "binary_fns",
+    """
+    SELECT p_partkey,
+           repeat('00', p_partkey % 8) AS hex,
+           CAST(strlen(p_name) AS BIGINT) AS blen
+    FROM part
+    """,
+)
+def q_binary_fns(spark, sf):
+    # bytes(n) -> n zero bytes (reference bytes1..3); length(binary) counts
+    # octets on both engines (ASCII corpus)
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.hex(C.bytes_fn((F.col("p_partkey") % 8).cast("int"))).alias("hex"),
+        C.length_bin(F.col("p_name").cast("binary")).cast("long").alias("blen"),
+    )
+
+
+@query(
+    "array_identity_fn",
+    """
+    SELECT p_partkey,
+           CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey % 60 AS VARCHAR) AS arr
+    FROM part
+    """,
+)
+def q_array_identity(spark, sf):
+    p = t(spark, sf, "part")
+    arr = C.array_identity(
+        F.array(F.col("p_size").cast("int"), (F.col("p_partkey") % 60).cast("int"))
+    )
+    return p.select(
+        "p_partkey", F.array_join(arr, ",").alias("arr")
+    )
+
+
+@query(
+    "split_words_udtf",
+    """
+    SELECT doc_id, word, CAST(length(word) AS INT) AS length
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    """,
+)
+def q_split_words(spark, sf):
+    d = t(spark, sf, "documents")
+    out = C.split_words.apply(d, cols=["text"], passthrough=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("split_words").getField("word").alias("word"),
+        F.col("split_words").getField("length").alias("length"),
+    )
