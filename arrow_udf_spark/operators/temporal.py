@@ -1,0 +1,161 @@
+"""Temporal relational operators Spark lacks as built-ins.
+
+These are engine-host operators (SURVEY.md §2.C: the reference delegates all
+relational processing to its host engine, reference README.md:94-100); a
+training-data pipeline at 100 TB needs them as first-class, shuffle-efficient
+DataFrame transforms:
+
+- :func:`asof_join` — for each left row, the latest right row at-or-before
+  its timestamp (per key).  One shuffle on the key via union + running
+  ``last(ignorenulls)`` window — never a per-key cross product, never a
+  driver collect.  At 1000 executors this is a single hash exchange of
+  (key) + a sort within partitions, the same cost envelope as a regular
+  shuffled join.
+- :func:`sessionize` — gap-based session ids per key (the batch analogue of
+  streaming session windows).  One window over (key, ts): lag + cumulative
+  sum, all JVM-side.
+- :func:`range_join` — pairs (l, r) with ``r.ts`` in ``[l.ts+lower,
+  l.ts+upper]`` per key.  Implemented as a *binned* join: right rows land in
+  ``floor(ts/width)`` buckets, left rows probe the covered buckets via a
+  small static explode, then an exact filter.  Fan-out is bounded by
+  ``(upper-lower)/width + 2`` buckets per row, so the plan is a plain
+  equi-join Catalyst can shuffle-hash — not the O(n·m) blow-up of an
+  inequality-only theta join.
+
+All three take/return DataFrames and compose with the UDF framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the most recent right row
+    with ``right[on] <= left[on]``, matching on key column(s) ``by``.
+
+    ``right`` must be unique per (by, on) — pre-aggregate if not (ties would
+    make "the" latest row ambiguous on any engine).
+
+    Strategy (scale-first): tag both inputs, union, then one window
+    ``partitionBy(by).orderBy(on, tag)`` where right rows sort before left
+    rows at equal timestamps (inclusive semantics), and a running
+    ``last(col, ignorenulls=True)`` carries the latest right values forward.
+    Exactly one shuffle on ``by``; no range explosion.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+
+    # tag=0 sorts right rows first at equal `on` values => `<=` semantics
+    lt = left.withColumn("__tag", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(out_names[c], F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+    left_cols = [c for c in left.columns]
+    unioned = lt.select(
+        *left_cols, "__tag", *[out_names[c] for c in right_cols]
+    ).unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        unioned = unioned.withColumn(
+            out_names[c], F.last(out_names[c], ignorenulls=True).over(w)
+        )
+    return unioned.where(F.col("__tag") == 1).drop("__tag")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    gap: int,
+    order_tiebreak: Optional[str] = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous row of the same key exceeds ``gap`` (same units
+    as the ``ts`` column).  Session ids are 0-based per key.
+
+    Batch analogue of Structured Streaming session windows
+    (``F.session_window``); one JVM-side window, one shuffle on the key.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*key).orderBy(*order)
+    prev = F.lag(F.col(ts)).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(ts) - prev) > F.lit(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, (F.sum(new_session).over(run) - 1))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    bin_width: Optional[int] = None,
+) -> DataFrame:
+    """Inner join of (l, r) pairs with ``l[key] == r[key]`` and
+    ``r[right_ts]`` in ``[l[left_ts]+lower, l[left_ts]+upper]``.
+
+    Binned equi-join: right rows are bucketed once at ``floor(ts/width)``;
+    each left row probes the fixed set of buckets its window can overlap
+    (static sequence explode, bounded fan-out), then the exact range filter
+    runs post-join.  Catalyst sees a plain equi-join on (key, bucket) and
+    picks shuffle-hash/sort-merge; AQE can still split skewed buckets.
+    Column name collisions must be resolved by the caller beforehand.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    width = bin_width or max(upper - lower, 1)
+    n_bins = (upper - lower) // width + 2  # buckets a window can overlap
+
+    # integral DIV, not floor(double /): nanosecond epochs (~1.7e18) exceed
+    # double's 2^53 exact-integer range, so float division mis-bins rows.
+    # DIV truncates toward zero == floor for the non-negative epoch domain.
+    first_bin = F.expr(f"(CAST({left_ts} AS BIGINT) + {lower}) DIV {width}")
+    probe = left.withColumn(
+        "__bin",
+        F.explode(
+            F.array(*[first_bin + F.lit(i) for i in range(n_bins)])
+        ),
+    )
+    build = right.withColumn(
+        "__bin", F.expr(f"CAST({right_ts} AS BIGINT) DIV {width}")
+    )
+    joined = probe.join(build, on=key + ["__bin"], how="inner").where(
+        (F.col(right_ts) >= F.col(left_ts) + F.lit(lower))
+        & (F.col(right_ts) <= F.col(left_ts) + F.lit(upper))
+    )
+    return joined.drop("__bin")

@@ -1194,3 +1194,143 @@ def q_split_words(spark, sf):
         F.col("split_words").getField("word").alias("word"),
         F.col("split_words").getField("length").alias("length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal operators (asof join / sessionize / range join) — §2.C extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    """
+    SELECT e.event_id, p.day_price AS day_price
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate,
+               max(o_totalprice) AS day_price
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ) p ON e.user_id = p.o_custkey AND CAST(e.ts AS DATE) >= p.o_orderdate
+    """,
+)
+def q_asof_join(spark, sf):
+    from arrow_udf_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        # ts is nanos-since-epoch long; to days since epoch for date asof
+        F.expr("ts DIV 86400000000000").alias("d"),
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.datediff("o_orderdate", F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.max("o_totalprice").alias("day_price"))
+    )
+    out = asof_join(ev, orders, on="d", by="user_id", right_cols=["day_price"])
+    return out.select("event_id", "day_price")
+
+
+@query(
+    "sessionize",
+    """
+    SELECT event_id, user_id, session_id FROM (
+        SELECT event_id, user_id,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                       AS prev_us
+            FROM events
+        )
+    )
+    """,
+)
+def q_sessionize(spark, sf):
+    from arrow_udf_spark.operators.temporal import sessionize
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("us")
+    )
+    out = sessionize(
+        ev, key="user_id", ts="us", gap=3_600_000_000, order_tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+@query(
+    "range_join_count",
+    """
+    SELECT e.event_id, COUNT(f.event_id) AS n_follow
+    FROM events e
+    LEFT JOIN events f
+      ON e.user_id = f.user_id
+     AND epoch_us(f.ts) > epoch_us(e.ts)
+     AND epoch_us(f.ts) <= epoch_us(e.ts) + 3600000000
+    GROUP BY e.event_id
+    """,
+)
+def q_range_join(spark, sf):
+    from arrow_udf_spark.operators.temporal import range_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("us")
+    )
+    lhs = ev.select(
+        F.col("event_id"), F.col("user_id"), F.col("us").alias("l_us")
+    )
+    rhs = ev.select(
+        F.col("event_id").alias("f_id"), F.col("user_id"), F.col("us").alias("r_us")
+    )
+    pairs = range_join(
+        lhs, rhs, key="user_id", left_ts="l_us", right_ts="r_us",
+        lower=1, upper=3_600_000_000,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("f_id").alias("n_follow"))
+    # left semantics: events with no follower still appear with count 0
+    return (
+        ev.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow"))
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty")
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark, sf):
+    li = t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
