@@ -298,6 +298,9 @@ class ScalarFunction:
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT
     io_threads: Optional[int] = None
     timeout: Optional[float] = None
+    # volatile fns (reference macro attr `volatile`, arrow-udf-macros/src/
+    # lib.rs:297-330) must not be constant-folded / CSE'd by Catalyst
+    volatile: bool = False
     _udf: Any = field(default=None, repr=False, compare=False)
 
     def _spec(self) -> _EvalSpec:
@@ -342,7 +345,7 @@ class ScalarFunction:
             )
             # error-capturing / masked UDFs must not be re-executed or
             # common-subexpression'd by Catalyst (SURVEY.md §7.9d)
-            if self.fallible:
+            if self.fallible or self.volatile:
                 u = u.asNondeterministic()
             self._udf = u
         return self._udf
@@ -371,6 +374,7 @@ def udf(
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT,
     io_threads: Optional[int] = None,
     timeout: Optional[float] = None,
+    volatile: bool = False,
     variadic: bool = False,
     registry: Registry = GLOBAL,
 ) -> Callable[[Callable], ScalarFunction]:
@@ -409,6 +413,7 @@ def udf(
                 mode=mode,
                 io_threads=io_threads,
                 timeout=timeout,
+                volatile=volatile,
             )
             registry.add(sf)
             first = first or sf

@@ -168,3 +168,11 @@ def test_async_batch_flag_ignored(reg):
 
     out = aident._eval(pd.Series([5, 6]))
     assert out.tolist() == [5, 6]
+
+
+def test_volatile_marks_nondeterministic(reg):
+    @udf(input_types=["int"], result_type="int", volatile=True, registry=reg)
+    def vol(x):
+        return x
+
+    assert vol.as_spark_udf().deterministic is False
