@@ -8,7 +8,8 @@ Public API::
 """
 
 from .plans.registry import GLOBAL, Registry, Signature
-from .plans.types import EXT_DECIMAL, EXT_JSON, EXT_PICKLE, ExtField, parse_type
+from .plans.types import (EXT_DECIMAL, EXT_JSON, EXT_PICKLE, ExtField,
+                          parse_type, struct_type)
 from .operators.scalar import CallMode, ScalarFunction, udf
 from .operators.table import TableFunction, udtf
 from .operators.aggregate import AggregateFunction, udaf
@@ -25,6 +26,7 @@ __all__ = [
     "GLOBAL",
     "ExtField",
     "parse_type",
+    "struct_type",
     "EXT_JSON",
     "EXT_DECIMAL",
     "EXT_PICKLE",

@@ -55,7 +55,7 @@ except ImportError:  # pragma: no cover
     _SCALAR_EVAL = 200
 
 from ..plans.registry import GLOBAL, Registry, Signature
-from ..plans.types import ExtField, expand_signature, parse_type
+from ..plans.types import ExtField, expand_signature, parse_type, struct_to_row
 
 __all__ = ["CallMode", "ScalarFunction", "udf"]
 
@@ -266,10 +266,12 @@ def _eval_batch(spec: _EvalSpec, *cols: pd.Series) -> pd.Series | pd.DataFrame:
         return pd.DataFrame({"value": out, "error": errors})
     if isinstance(spec.dtype, T.StructType):
         # pandas-UDF struct contract: return a DataFrame of field columns.
-        # An outer-NULL struct degrades to all-NULL fields (pandas limitation).
+        # Accepts dicts or registered @struct_type class instances (reference
+        # class-or-dict returns, tests/python.rs:489-569).  An outer-NULL
+        # struct degrades to all-NULL fields (pandas limitation).
         names = [f.name for f in spec.dtype.fields]
         return pd.DataFrame(
-            [v if isinstance(v, dict) else dict.fromkeys(names) for v in out.tolist()],
+            [struct_to_row(v, names) for v in out.tolist()],
             columns=names,
         )
     return out

@@ -28,6 +28,8 @@ __all__ = [
     "ExtField",
     "parse_type",
     "spark_type_of",
+    "struct_type",
+    "struct_to_row",
     "EXT_JSON",
     "EXT_DECIMAL",
     "EXT_PICKLE",
@@ -185,11 +187,75 @@ def parse_type(s: str) -> ExtField:
     canon = _ALIASES.get(low, low)
     if canon in _SIMPLE:
         return _SIMPLE[canon]
+    if low in _NAMED_STRUCTS:
+        return _NAMED_STRUCTS[low]
     raise ValueError(f"unsupported type string: {s!r}")
 
 
 def spark_type_of(s: str) -> T.DataType:
     return parse_type(s).dtype
+
+
+# ---------------------------------------------------------------------------
+# user-defined named struct types (reference #[derive(StructType)],
+# arrow-udf-macros/src/struct_type.rs:22-104; the reference exports each as
+# an ``arrowudt_<b64>`` symbol — here the registry plays that role and type
+# strings may use the class name directly: ``result_type="KeyValue"``)
+# ---------------------------------------------------------------------------
+
+_NAMED_STRUCTS: dict[str, ExtField] = {}
+
+
+def struct_type(cls: type) -> type:
+    """Class decorator registering a named struct type.
+
+    Field types come from class annotations written as reference type
+    strings (any string :func:`parse_type` accepts, including other named
+    structs declared earlier)::
+
+        @struct_type
+        class KeyValue:
+            key: "string"
+            value: "string"
+
+    After registration, ``"KeyValue"`` is a valid ``result_type`` /
+    ``input_types`` entry, and UDFs may return instances of the class, a
+    dict, or None (reference allows class-or-dict returns,
+    arrow-udf-runtime/tests/python.rs:489-569).
+    """
+    ann = getattr(cls, "__annotations__", None)
+    if not ann:
+        raise ValueError(f"@struct_type class {cls.__name__} has no annotated fields")
+    fields = [
+        T.StructField(fname, parse_type(tstr).dtype) for fname, tstr in ann.items()
+    ]
+    ext = ExtField(T.StructType(fields))
+    _NAMED_STRUCTS[cls.__name__.lower()] = ext
+    cls.spark_type = ext.dtype  # type: ignore[attr-defined]
+
+    if "__init__" not in cls.__dict__:
+        field_names = list(ann)
+
+        def __init__(self, *args, **kwargs):  # noqa: N807
+            for fname, v in zip(field_names, args):
+                setattr(self, fname, v)
+            for fname, v in kwargs.items():
+                setattr(self, fname, v)
+
+        cls.__init__ = __init__  # type: ignore[assignment]
+    return cls
+
+
+def struct_to_row(v, names: list[str]) -> dict:
+    """Normalize a UDF struct return (dict | registered class instance |
+    Row-like) to a field dict; None-safe."""
+    if v is None:
+        return dict.fromkeys(names)
+    if isinstance(v, dict):
+        return v
+    if hasattr(v, "asDict"):
+        return v.asDict()
+    return {n: getattr(v, n, None) for n in names}
 
 
 #: wildcard families for signature expansion

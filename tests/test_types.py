@@ -56,3 +56,57 @@ def test_bad_type():
 
     with pytest.raises(ValueError):
         parse_type("wibble")
+
+
+def test_named_struct_type_registration():
+    from arrow_udf_spark import parse_type, struct_type
+
+    @struct_type
+    class TcpInfo:
+        src_port: "int32"
+        dst_port: "int32"
+        flags: "string"
+
+    dt = parse_type("TcpInfo").dtype
+    assert [f.name for f in dt.fields] == ["src_port", "dst_port", "flags"]
+    assert TcpInfo.spark_type == dt
+    # generated constructor: positional + keyword
+    v = TcpInfo(80, 443, flags="SYN")
+    assert v.src_port == 80 and v.dst_port == 443 and v.flags == "SYN"
+
+
+def test_named_struct_nested_and_array():
+    from arrow_udf_spark import parse_type, struct_type
+
+    @struct_type
+    class Inner:
+        a: "int64"
+
+    @struct_type
+    class Outer:
+        inner: "Inner"
+        xs: "int32[]"
+
+    dt = parse_type("Outer").dtype
+    assert dt.fields[0].dataType == parse_type("Inner").dtype
+    assert dt.fields[1].dataType.simpleString() == "array<int>"
+
+
+def test_udf_returns_class_instance():
+    import pandas as pd
+
+    from arrow_udf_spark import Registry, struct_type, udf
+
+    @struct_type
+    class KV2:
+        key: "string"
+        value: "string"
+
+    @udf(input_types=["string"], result_type="KV2", registry=Registry())
+    def kv2(s):
+        k, sep, v = s.partition("=")
+        return KV2(k, v) if sep else None
+
+    out = kv2._eval(pd.Series(["x=1", "bad"]))
+    assert out.loc[0, "key"] == "x" and out.loc[0, "value"] == "1"
+    assert pd.isna(out.loc[1, "key"])
