@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "fingerprint",              # rolling-hash fold
     "cosine_topk_numpy",        # matmul ANN fast path
     "image_meta",               # mapInPandas decode plumbing
+    "asof_join",                # union + running-last window join
+    "sessionize",               # gap sessions, pure JVM window
+    "range_join_count",         # binned range equi-join
 ]
 
 
