@@ -77,6 +77,58 @@ class TableFunction:
             fields.append(T.StructField("error", T.StringType(), True))
         return T.StructType(fields)
 
+    def as_spark_udtf(self):
+        """Wrap as a native Spark Python UDTF (SQL ``LATERAL`` surface,
+        SURVEY.md §2.A A5 "Python UDTF (Spark >=3.5)").
+
+        Output columns: the struct fields flattened for struct-typed fns
+        (the reference server's multi-column shape, example.py:72-75), else
+        one column named after the function; ``error: string`` appended for
+        fallible fns.  The closure captures only plain picklables.
+        """
+        from pyspark.sql.functions import udtf as spark_udtf
+
+        fn = self.fn
+        fallible = self.fallible
+        dtype = self.result_field.dtype
+        if isinstance(dtype, T.StructType):
+            out_fields = list(dtype.fields)
+            names = [f.name for f in out_fields]
+
+            def to_tuple(v):
+                if v is None:
+                    return (None,) * len(names)
+                if isinstance(v, dict):
+                    return tuple(v.get(n) for n in names)
+                return tuple(getattr(v, n, None) for n in names)
+
+        else:
+            out_fields = [T.StructField(self.sig.name, dtype)]
+
+            def to_tuple(v):
+                return (v,)
+
+        schema = T.StructType(list(out_fields))
+        if fallible:
+            schema = T.StructType(
+                list(out_fields) + [T.StructField("error", T.StringType())]
+            )
+
+        class _Udtf:
+            def eval(self, *args):
+                args = tuple(None if _is_null(a) else a for a in args)
+                try:
+                    for v in fn(*args):
+                        t = to_tuple(v)
+                        yield t + (None,) if fallible else t
+                except Exception as e:  # row-level isolation (A3 for UDTFs)
+                    if not fallible:
+                        raise
+                    yield (None,) * len(out_fields) + (str(e),)
+
+        _Udtf.__name__ = self.sig.name
+        return spark_udtf(_Udtf, returnType=schema)
+
     def apply(
         self,
         df: DataFrame,

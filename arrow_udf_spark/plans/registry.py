@@ -79,18 +79,28 @@ class Registry:
         return [f for fns in self._fns.values() for f in fns]
 
     def register_sql(self, spark: "SparkSession") -> list[str]:
-        """Expose every scalar overload to ``spark.sql`` under mangled names.
+        """Expose overloads to ``spark.sql`` under mangled names.
 
-        The first overload of each name is also registered under the bare
-        name, so ``SELECT gcd(a, b)`` works for the common case.
+        Scalars register via ``spark.udf.register``; table functions via
+        ``spark.udtf.register`` (usable as ``SELECT * FROM f(...)`` and in
+        ``LATERAL``).  The first overload of each name is also registered
+        under the bare name, so ``SELECT gcd(a, b)`` works for the common
+        case.
         """
         registered = []
         for name, fns in self._fns.items():
-            for i, f in enumerate(fns):
-                if f.sig.kind != "scalar":
+            scalar_i = table_i = 0
+            for f in fns:
+                if f.sig.kind == "scalar":
+                    sql_name = name if scalar_i == 0 else f.sig.mangled()
+                    spark.udf.register(sql_name, f.as_spark_udf())
+                    scalar_i += 1
+                elif f.sig.kind == "table":
+                    sql_name = name if table_i == 0 else f.sig.mangled()
+                    spark.udtf.register(sql_name, f.as_spark_udtf())
+                    table_i += 1
+                else:
                     continue
-                sql_name = name if i == 0 else f.sig.mangled()
-                spark.udf.register(sql_name, f.as_spark_udf())
                 registered.append(sql_name)
         return registered
 

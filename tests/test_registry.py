@@ -47,3 +47,35 @@ def test_global_corpus_registered():
     names = GLOBAL.names()
     for expected in ["gcd", "div", "series", "key_values", "sum_udaf", "weighted_avg"]:
         assert expected in names, expected
+
+
+def test_udtf_sql_registration(spark):
+    from arrow_udf_spark.functions import corpus as C  # noqa: F401 (registers)
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    # table function as a SQL relation
+    out = spark.sql("SELECT * FROM series(4)").collect()
+    assert [r.series for r in out] == [0, 1, 2, 3]
+    # lateral over a real table, struct output flattened to columns
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    p.createOrReplaceTempView("part_sqludtf")
+    rows = spark.sql(
+        """
+        SELECT p.p_partkey, s.word, s.length
+        FROM part_sqludtf p, LATERAL split_words(p.p_name) s
+        LIMIT 20
+        """
+    ).collect()
+    assert len(rows) == 20 and all(r.length == len(r.word) for r in rows)
+
+
+def test_udtf_sql_fallible_error_row(spark):
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    rows = spark.sql(
+        """SELECT * FROM json_array_elements('{"not": "array"}')"""
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].json_array_elements is None and "not an array" in rows[0].error
