@@ -33,6 +33,8 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.python.worker.reuse", "true")
+        # Arrow-optimized native Python UDTFs (the SQL LATERAL surface)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )

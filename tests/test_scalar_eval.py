@@ -176,3 +176,42 @@ def test_volatile_marks_nondeterministic(reg):
         return x
 
     assert vol.as_spark_udf().deterministic is False
+
+
+def test_error_paths_runtime_and_type(reg):
+    """Reference error-path corpus (arrow-udf-runtime/tests/python.rs:916-1120):
+    runtime errors, type mismatches inside the fn, and bad output types all
+    land in the error column row-by-row for fallible fns."""
+
+    @udf(input_types=["string"], result_type="int", fallible=True, registry=reg)
+    def parse_int(s):
+        return int(s)  # raises ValueError on junk, TypeError on None-ish
+
+    out = parse_int._eval(pd.Series(["7", "notanum", "8"]))
+    assert out.loc[0, "value"] == 7 and out.loc[2, "value"] == 8
+    assert "invalid literal" in out.loc[1, "error"]
+
+
+def test_error_path_import(reg):
+    @udf(input_types=["int"], result_type="int", fallible=True, registry=reg)
+    def needs_missing_module(x):
+        import not_a_real_module  # noqa: F401
+
+        return x
+
+    out = needs_missing_module._eval(pd.Series([1]))
+    assert "not_a_real_module" in out.loc[0, "error"]
+
+
+def test_error_path_output_type_mismatch(reg):
+    """A fn declared int that returns a non-coercible value: the coercion
+    layer keeps the object column and Spark's Arrow conversion would reject
+    it loudly — driver-side we surface the raw value (documented delta)."""
+
+    @udf(input_types=["int"], result_type="int", batch=True, registry=reg)
+    def bad_out(x):
+        return x.map(lambda v: "oops")
+
+    out = bad_out._eval(pd.Series([1]))
+    # not silently coerced to a wrong number
+    assert out.tolist() == ["oops"]
