@@ -135,6 +135,7 @@ class TableFunction:
         cols: Sequence[str],
         passthrough: Sequence[str] = (),
         chunk_size: Optional[int] = None,
+        fan_out: bool = False,
     ) -> DataFrame:
         """Lateral-apply this table function over ``df``.
 
@@ -142,9 +143,17 @@ class TableFunction:
         repeated onto every output row (lateral-view style).  With no
         passthrough, a partition-local 0-based ``row`` index column is
         emitted instead (the reference's exact output shape).
+
+        ``fan_out=True`` round-robin repartitions the input to the session's
+        default parallelism first.  Use when the scan yields fewer splits
+        than cores (single unsplittable file, tiny dimension input) and the
+        per-row compute dominates — on a real cluster a 100 TB scan already
+        arrives well-partitioned, so this is off by default.
         """
         cols = list(cols)
         passthrough = list(passthrough)
+        if fan_out:
+            df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         csize = chunk_size or self.chunk_size
         fn = self.fn
         fallible = self.fallible
@@ -160,15 +169,26 @@ class TableFunction:
         n_pt = len(passthrough)
 
         batch_fn = self.batch_fn
-        if batch_fn is not None and not fallible:
+        if batch_fn is not None:
             import numpy as np
 
             def run_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 row_base = 0
                 for pdf in batches:
                     args = [pdf.iloc[:, n_pt + i] for i in range(len(cols))]
-                    per_row = batch_fn(*args)  # one iterable per input row
-                    lists = [list(x) for x in per_row]
+                    if fallible:
+                        # fallible contract: (per_row_iterables, per_row_errs)
+                        # where errs[i] is a message or None; an errored input
+                        # row emits exactly one (NULL, error) output row
+                        per_row, row_errs = batch_fn(*args)
+                        lists = [
+                            [None] if row_errs[i] is not None else list(x)
+                            for i, x in enumerate(per_row)
+                        ]
+                    else:
+                        per_row = batch_fn(*args)  # one iterable per input row
+                        row_errs = None
+                        lists = [list(x) for x in per_row]
                     lens = np.fromiter((len(x) for x in lists), dtype="int64")
                     total = int(lens.sum())
                     if total == 0:
@@ -189,6 +209,14 @@ class TableFunction:
                     for x in lists:
                         flat.extend(x)
                     data[name] = flat
+                    if fallible:
+                        err_flat: list = []
+                        for i, x in enumerate(lists):
+                            if row_errs[i] is not None:
+                                err_flat.append(row_errs[i])
+                            else:
+                                err_flat.extend([None] * len(x))
+                        data["error"] = err_flat
                     row_base += len(pdf)
                     # no manual re-chunk here: Spark re-batches the Arrow
                     # stream at maxRecordsPerBatch; slicing into 1024-row

@@ -329,7 +329,7 @@ def q_array_access(spark, sf):
 )
 def q_series(spark, sf):
     p = t(spark, sf, "part")
-    out = C.series.apply(p, cols=["p_size"], passthrough=["p_partkey"])
+    out = C.series.apply(p, cols=["p_size"], passthrough=["p_partkey"], fan_out=True)
     return out.select("p_partkey", F.col("series").cast("long").alias("series"))
 
 
@@ -347,7 +347,7 @@ def q_key_values(spark, sf):
         "s",
         F.concat(F.lit("brand="), "p_brand", F.lit(",type="), "p_type"),
     )
-    out = C.key_values.apply(src, cols=["s"], passthrough=["p_partkey"])
+    out = C.key_values.apply(src, cols=["s"], passthrough=["p_partkey"], fan_out=True)
     return out.select(
         "p_partkey",
         F.col("key_values").getField("key").alias("key"),
@@ -377,7 +377,9 @@ def q_json_array_elements(spark, sf):
             F.to_json(F.array("user_id", "event_id")),
         ).otherwise(F.col("user_id").cast("string")),  # scalar JSON text
     )
-    out = C.json_array_elements.apply(src, cols=["j"], passthrough=["event_id"])
+    out = C.json_array_elements.apply(
+        src, cols=["j"], passthrough=["event_id"], fan_out=True
+    )
     return out.select(
         "event_id", F.col("json_array_elements").alias("elem"), "error"
     )
@@ -1188,7 +1190,7 @@ def q_array_identity(spark, sf):
 )
 def q_split_words(spark, sf):
     d = t(spark, sf, "documents")
-    out = C.split_words.apply(d, cols=["text"], passthrough=["doc_id"])
+    out = C.split_words.apply(d, cols=["text"], passthrough=["doc_id"], fan_out=True)
     return out.select(
         "doc_id",
         F.col("split_words").getField("word").alias("word"),
