@@ -1336,3 +1336,60 @@ def q_grouping_sets(spark, sf):
         FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@query(
+    "streaming_window_agg",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_window_agg(spark, sf):
+    """Structured Streaming carrier (SURVEY §2.C streaming row): the events
+    table replayed as a file stream, tumbling 1-hour event-time windows,
+    emitted complete via availableNow — result must equal the batch oracle.
+    """
+    import tempfile
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import windowed_agg
+
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts2"),
+    )
+    d = tempfile.mkdtemp(prefix="stream_q_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    out = windowed_agg(
+        stream,
+        "ts2",
+        "1 hour",
+        {"n": "count(1)", "total": "sum(value)"},
+        by=["event_type"],
+    )
+    sink = f"stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS win_start,
+               event_type, n,
+               CAST(CAST(total AS DECIMAL(18,2)) AS STRING) AS total
+        FROM {sink}
+        """
+    )
