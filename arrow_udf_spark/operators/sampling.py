@@ -1,0 +1,76 @@
+"""Deterministic sampling & sequence packing for training-data pipelines.
+
+Two operators a 100 TB corpus pipeline runs constantly, both built on
+cross-engine-deterministic primitives (md5, integral DIV) so they are
+oracle-checkable and — more importantly — *reproducible across runs and
+engines*, which random sampling is not:
+
+- :func:`hash_sample` — keep a row iff ``md5(key) mod 10000 < rate_bp``.
+  Per-row, no shuffle, no RNG state; the sample is stable under re-runs,
+  retries, and repartitioning (Bernoulli sampling keyed on content, the
+  standard web-corpus technique).
+- :func:`pack_sequences` — assign documents to fixed-token-budget training
+  sequences: per shard, order documents deterministically, running-total
+  their token counts, and bucket by ``cumsum DIV budget``.  One window per
+  shard partition — the shuffle is by shard, so packing parallelizes across
+  shards and never funnels through the driver.  (Greedy first-fit packing
+  is sequential by nature; per-shard cumsum is the scalable relaxation
+  every large training stack uses.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample", "pack_sequences"]
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate_bp: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5-derived hash
+    falls under ``rate_bp`` basis points (1/10000 units).
+
+    ``conv(substr(md5(x),1,8),16,10)`` is bit-identical in DuckDB
+    (``('0x'||substr(md5(x),1,8))::BIGINT``), making samples verifiable
+    across engines.
+    """
+    # Column.substr (method, not name-resolved F.substring) so a session
+    # where user UDFs share builtin names still binds the real expression
+    h = F.conv(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.where(h % 10000 < rate_bp)
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard: str,
+    order: str,
+    tokens: str,
+    budget: int,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Assign each row a sequence id so every sequence holds ~``budget``
+    tokens: ``seq_id = (running token total) DIV budget`` per shard,
+    ordering rows by ``order`` (must be unique per shard for
+    reproducibility).
+
+    Documents larger than the budget get sequences to themselves; the
+    cumulative-sum formulation never splits a document.
+    """
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens).cast("long")).over(w)
+    # DIV (integral) — not floor(double /) — for exactness at any magnitude
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn(seq_col, F.expr(f"(__cum - 1) DIV {budget}"))
+        .drop("__cum")
+    )

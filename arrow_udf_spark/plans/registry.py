@@ -49,6 +49,9 @@ class Registry:
     """name -> list of registered functions (overloads)."""
 
     _fns: dict[str, list[Any]] = field(default_factory=dict)
+    # names this registry has itself SQL-registered (so re-registration in
+    # the same session is recognized as ours, not as a builtin collision)
+    _sql_names: set[str] = field(default_factory=set)
 
     def add(self, fn: Any) -> None:
         self._fns.setdefault(fn.sig.name, []).append(fn)
@@ -89,18 +92,32 @@ class Registry:
         """
         registered = []
         for name, fns in self._fns.items():
+            # never shadow a Spark builtin under its bare name: a session
+            # where `substring`/`length` silently became Python UDFs would
+            # break unrelated queries (builtins resolve by name at analysis)
+            if name in self._sql_names:
+                bare_ok = True
+            else:
+                try:
+                    bare_ok = not spark.catalog.functionExists(name)
+                except Exception:
+                    bare_ok = False
             scalar_i = table_i = 0
             for f in fns:
                 if f.sig.kind == "scalar":
-                    sql_name = name if scalar_i == 0 else f.sig.mangled()
+                    use_bare = bare_ok and scalar_i == 0
+                    sql_name = name if use_bare else f.sig.mangled()
                     spark.udf.register(sql_name, f.as_spark_udf())
                     scalar_i += 1
                 elif f.sig.kind == "table":
-                    sql_name = name if table_i == 0 else f.sig.mangled()
+                    use_bare = bare_ok and table_i == 0
+                    sql_name = name if use_bare else f.sig.mangled()
                     spark.udtf.register(sql_name, f.as_spark_udtf())
                     table_i += 1
                 else:
                     continue
+                if sql_name == name:
+                    self._sql_names.add(name)
                 registered.append(sql_name)
         return registered
 

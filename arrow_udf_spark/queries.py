@@ -1393,3 +1393,71 @@ def q_streaming_window_agg(spark, sf):
         FROM {sink}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: deterministic sampling, vocabulary, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hash_sample",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < 500
+    """,
+)
+def q_hash_sample(spark, sf):
+    from arrow_udf_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf, "documents")
+    return hash_sample(d, key="doc_id", rate_bp=500).select("doc_id", "n_chars")
+
+
+@query(
+    "vocab_topk",
+    """
+    SELECT word, n FROM (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    )
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf):
+    # composition showcase: UDTF fan-out feeding a relational top-k —
+    # the reference's table-fn protocol as one stage of a Spark plan
+    d = t(spark, sf, "documents")
+    words = C.split_words.apply(d, cols=["text"], fan_out=True)
+    return (
+        words.select(F.col("split_words").getField("word").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    SELECT doc_id, source, seq_id FROM (
+        SELECT doc_id, source,
+               (SUM(CAST(n_chars AS BIGINT))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - 1) // 16384 AS seq_id
+        FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark, sf):
+    from arrow_udf_spark.operators.sampling import pack_sequences
+
+    d = t(spark, sf, "documents")
+    out = pack_sequences(
+        d, shard="source", order="doc_id", tokens="n_chars", budget=16384
+    )
+    return out.select("doc_id", "source", "seq_id")
