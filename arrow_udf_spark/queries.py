@@ -1461,3 +1461,58 @@ def q_pack_sequences(spark, sf):
         d, shard="source", order="doc_id", tokens="n_chars", budget=16384
     )
     return out.select("doc_id", "source", "seq_id")
+
+
+@query(
+    "pipeline_e2e",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars, text,
+               floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                     + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                    / greatest(strlen(text), 1))
+                     + 0.3 * least((CAST(len(list_filter({_DD_TOKS},
+                           t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
+                           / greatest(len({_DD_TOKS}), 1)) * 5, 1.0)) * 1000000 + 0.5)
+               / 1000000 AS q
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM scored WHERE q >= 0.5
+        ) WHERE doc_id = keep_id
+          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < 5000
+    )
+    SELECT doc_id, source,
+           (SUM(CAST(n_chars AS BIGINT))
+                OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - 1) // 16384 AS seq_id
+    FROM kept
+    """,
+)
+def q_pipeline_e2e(spark, sf):
+    """Capstone: the full training-data pipeline as ONE composed Spark plan —
+    quality filter -> exact dedup (keep min id per content digest) ->
+    deterministic 50% sample -> per-shard sequence packing.  Every stage is
+    an engine operator; Catalyst fuses the filters and shares the scans."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import content_hash
+    from .operators.sampling import hash_sample, pack_sequences
+    from .operators.text import quality_score
+
+    d = t(spark, sf, "documents")
+    scored = d.where(quality_score(F.col("text"), F.col("n_chars")) >= 0.5)
+    keep = F.min("doc_id").over(Window.partitionBy(content_hash("text")))
+    deduped = (
+        scored.withColumn("__keep", keep)
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    sampled = hash_sample(deduped, key="doc_id", rate_bp=5000)
+    packed = pack_sequences(
+        sampled, shard="source", order="doc_id", tokens="n_chars", budget=16384
+    )
+    return packed.select("doc_id", "source", "seq_id")

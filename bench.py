@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "asof_join",                # union + running-last window join
     "sessionize",               # gap sessions, pure JVM window
     "range_join_count",         # binned range equi-join
+    "pipeline_e2e",             # quality->dedup->sample->pack composition
 ]
 
 
