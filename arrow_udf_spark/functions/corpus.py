@@ -624,3 +624,27 @@ def _nan(v) -> bool:
         return v is None or v != v
     except Exception:
         return False
+
+
+@udf(
+    input_types=[
+        "int8", "int16", "int32", "int64", "float32", "float64", "boolean",
+        "string", "binary", "date", "timestamp", "decimal", "json",
+        "int32[]", "map<string,int32>", "struct<key:string,value:string>",
+    ],
+    result_type=(
+        "struct<i8:int8,i16:int16,i32:int32,i64:int64,f32:float32,"
+        "f64:float64,b:boolean,s:string,bin:binary,d:date,ts:timestamp,"
+        "dec:decimal,js:json,arr:int32[],mp:map<string,int32>,"
+        "kv:struct<key:string,value:string>>"
+    ),
+    name="return_all",
+)
+def return_all(i8, i16, i32, i64, f32, f64, b, s, bin_, d, ts, dec, js, arr, mp, kv):
+    """Echo every base type through the UDF boundary as one struct —
+    reference return_all, arrow-udf-remote/python/example.py:137-230."""
+    return {
+        "i8": i8, "i16": i16, "i32": i32, "i64": i64, "f32": f32,
+        "f64": f64, "b": b, "s": s, "bin": bin_, "d": d, "ts": ts,
+        "dec": dec, "js": js, "arr": arr, "mp": mp, "kv": kv,
+    }

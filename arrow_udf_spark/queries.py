@@ -1516,3 +1516,76 @@ def q_pipeline_e2e(spark, sf):
         sampled, shard="source", order="doc_id", tokens="n_chars", budget=16384
     )
     return packed.select("doc_id", "source", "seq_id")
+
+
+@query(
+    "return_all_fn",
+    """
+    SELECT p_partkey,
+           CAST(p_size % 100 AS BIGINT) AS i8,
+           CAST(p_size AS BIGINT) AS i16,
+           CAST(p_partkey % 100000 AS BIGINT) AS i32,
+           p_partkey AS i64,
+           printf('%.2f', p_size / 4.0) AS f32s,
+           printf('%.2f', p_retailprice) AS f64s,
+           p_size > 25 AS b,
+           p_brand AS s,
+           p_brand AS bins,
+           CAST(DATE '1970-01-01' + CAST(p_partkey % 1000 AS INT) AS VARCHAR) AS d,
+           strftime(make_timestamp(p_partkey * 1000000), '%Y-%m-%d %H:%M:%S') AS ts,
+           printf('%.2f', p_retailprice) AS dec,
+           '{"k":' || p_size || '}' AS js,
+           CAST(p_size AS VARCHAR) || ',' || CAST(p_size + 1 AS VARCHAR) AS arr,
+           CAST(p_size AS BIGINT) AS mp_a,
+           p_brand AS kv_key,
+           p_type AS kv_value
+    FROM part
+    """,
+)
+def q_return_all(spark, sf):
+    """21-type echo through one UDF struct boundary (reference return_all,
+    example.py:137-230): every base type crosses JVM->Arrow->Python->Arrow
+    and is then stringified identically on both engines."""
+    p = t(spark, sf, "part")
+    out = p.select(
+        "p_partkey",
+        C.return_all(
+            (F.col("p_size") % 100).cast("tinyint"),
+            F.col("p_size").cast("smallint"),
+            (F.col("p_partkey") % 100000).cast("int"),
+            F.col("p_partkey"),
+            (F.col("p_size") / 4.0).cast("float"),
+            F.col("p_retailprice"),
+            F.col("p_size") > 25,
+            F.col("p_brand"),
+            F.col("p_brand").cast("binary"),
+            F.date_add(F.lit("1970-01-01").cast("date"), (F.col("p_partkey") % 1000).cast("int")),
+            F.timestamp_micros(F.col("p_partkey") * 1000000),
+            F.format_string("%.2f", "p_retailprice"),
+            F.concat(F.lit('{"k":'), F.col("p_size").cast("string"), F.lit("}")),
+            F.array(F.col("p_size").cast("int"), (F.col("p_size") + 1).cast("int")),
+            F.create_map(F.lit("a"), F.col("p_size").cast("int")),
+            F.struct(F.col("p_brand").alias("key"), F.col("p_type").alias("value")),
+        ).alias("r"),
+    )
+    r = F.col("r")
+    return out.select(
+        "p_partkey",
+        r.getField("i8").cast("long").alias("i8"),
+        r.getField("i16").cast("long").alias("i16"),
+        r.getField("i32").cast("long").alias("i32"),
+        r.getField("i64").cast("long").alias("i64"),
+        F.format_string("%.2f", r.getField("f32").cast("double")).alias("f32s"),
+        F.format_string("%.2f", r.getField("f64")).alias("f64s"),
+        r.getField("b").alias("b"),
+        r.getField("s").alias("s"),
+        r.getField("bin").cast("string").alias("bins"),
+        r.getField("d").cast("string").alias("d"),
+        F.date_format(r.getField("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        r.getField("dec").alias("dec"),
+        r.getField("js").alias("js"),
+        F.array_join(r.getField("arr"), ",").alias("arr"),
+        r.getField("mp").getItem("a").cast("long").alias("mp_a"),
+        r.getField("kv").getField("key").alias("kv_key"),
+        r.getField("kv").getField("value").alias("kv_value"),
+    )
