@@ -648,3 +648,23 @@ def return_all(i8, i16, i32, i64, f32, f64, b, s, bin_, d, ts, dec, js, arr, mp,
         "f64": f64, "b": b, "s": s, "bin": bin_, "d": d, "ts": ts,
         "dec": dec, "js": js, "arr": arr, "mp": mp, "kv": kv,
     }
+
+
+@udf(input_types=["timestamp", "interval"], result_type="timestamp", name="interval_add")
+def interval_add(ts, iv):
+    """timestamp + MonthDayNano interval (reference interval type,
+    arrow-udf/src/types.rs:31-36; Spark lacks a MonthDayNano scalar so the
+    engine carries it as struct<months,days,nanos> — SURVEY §1.2).
+    Month arithmetic clamps to month end (Postgres/DuckDB semantics)."""
+    import calendar
+
+    if ts is None or iv is None:
+        return None
+    months = (iv.get("months") or 0) if isinstance(iv, dict) else (iv["months"] or 0)
+    days = (iv.get("days") or 0) if isinstance(iv, dict) else (iv["days"] or 0)
+    nanos = (iv.get("nanos") or 0) if isinstance(iv, dict) else (iv["nanos"] or 0)
+    y, m = ts.year, ts.month - 1 + months
+    y, m = y + m // 12, m % 12 + 1
+    d = min(ts.day, calendar.monthrange(y, m)[1])
+    out = ts.replace(year=y, month=m, day=d)
+    return out + timedelta(days=days, microseconds=nanos // 1000)

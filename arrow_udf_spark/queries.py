@@ -1589,3 +1589,115 @@ def q_return_all(spark, sf):
         r.getField("kv").getField("key").alias("kv_key"),
         r.getField("kv").getField("value").alias("kv_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation carriers + window breadth + interval type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_skew_agg(spark, sf):
+    from .operators.skew import skew_agg
+
+    o = t(spark, sf, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = skew_agg(
+        o,
+        by=["o_orderpriority"],
+        aggs={"n": ("count", "o_orderkey"), "total": ("sum", "price_dec")},
+        buckets=16,
+    )
+    return out.select(
+        "o_orderpriority", "n", F.col("total").cast("string").alias("total")
+    )
+
+
+@query(
+    "salted_join_agg",
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity * 1) AS BIGINT) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_salted_join(spark, sf):
+    from .operators.skew import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, on=["p_partkey"], buckets=4)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+
+
+@query(
+    "window_functions",
+    """
+    SELECT o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           LAG(o_orderkey) OVER w AS prev_k,
+           LEAD(o_orderkey) OVER w AS next_k,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_functions(spark, sf):
+    from pyspark.sql import Window
+
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("o_orderkey").over(w).alias("prev_k"),
+        F.lead("o_orderkey").over(w).alias("next_k"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "interval_add_fn",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP)
+                    + to_months(CAST(o_orderkey % 5 AS INT))
+                    + to_days(CAST(o_orderkey % 20 AS INT)),
+                    '%Y-%m-%d %H:%M:%S') AS ts2
+    FROM orders
+    """,
+)
+def q_interval_add(spark, sf):
+    o = t(spark, sf, "orders")
+    iv = F.struct(
+        (F.col("o_orderkey") % 5).cast("int").alias("months"),
+        (F.col("o_orderkey") % 20).cast("int").alias("days"),
+        F.lit(0).cast("long").alias("nanos"),
+    )
+    ts = F.col("o_orderdate").cast("timestamp_ntz")
+    return o.select(
+        "o_orderkey",
+        F.date_format(C.interval_add(ts, iv), "yyyy-MM-dd HH:mm:ss").alias("ts2"),
+    )
