@@ -64,3 +64,44 @@ def test_scalar_udf_single_python_eval(spark, sf_dir):
     v, e = div.value_and_error(F.col("l_partkey"), F.col("l_suppkey") % 7)
     plan = _plan(li.select(v, e))
     assert plan.count("ArrowEvalPython") == 1
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_e2e_single_scan(spark, sf_dir):
+    from arrow_udf_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_e2e"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # quality filter + dedup + sample + pack must fuse over ONE scan of
+    # documents; a second scan would double the 100 TB read
+    assert opt.count("Relation [") == 1
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(text)]" in p
+
+
+def test_salted_join_is_equi_join(spark, sf_dir):
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["salted_join_agg"](spark, sf_dir))
+    assert "__salt" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_skew_agg_two_stages(spark, sf_dir):
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["skew_agg"](spark, sf_dir))
+    # stage 1 groups by (key, salt), stage 2 by key alone
+    assert p.count("HashAggregate") >= 4  # partial+final for each stage
+    assert "__salt" in p
+
+
+def test_streaming_source_not_rescanned(spark, sf_dir):
+    # asof join: one window, no join operator, single exchange on the key
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["asof_join"](spark, sf_dir))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
