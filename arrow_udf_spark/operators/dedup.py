@@ -31,6 +31,7 @@ from .text import token_hash, tokens
 
 __all__ = [
     "content_hash",
+    "dup_clusters",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",
@@ -231,3 +232,58 @@ def embedding_near_dup(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Resolve near-duplicate *clusters* from candidate pairs: connected
+    components by iterative min-label propagation, returning
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the smallest doc id in
+    the component (the canonical survivor).
+
+    Each iteration is one distributed join + min-aggregate; convergence
+    takes O(component diameter) rounds — tiny for dup clusters, which are
+    near-cliques by construction.  ``localCheckpoint`` truncates lineage so
+    plans don't grow across iterations (the standard Spark iterative
+    pattern; GraphX/GraphFrames do the same internally).  The driver only
+    ever sees a per-iteration change *count*, never the data.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.n)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.n == neighbor_min.dst, "left")
+            .select(
+                F.col("n"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .where(F.col("x.lbl") != F.col("y.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id"))

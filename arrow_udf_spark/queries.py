@@ -1701,3 +1701,45 @@ def q_interval_add(spark, sf):
         "o_orderkey",
         F.date_format(C.interval_add(ts, iv), "yyyy-MM-dd HH:mm:ss").alias("ts2"),
     )
+
+
+@query(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+             ] AS s
+      FROM documents WHERE doc_id < 100
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s[1] || '|' || s[2] AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, s[3] || '|' || s[4] AS bval FROM sig
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs
+    ), reach(n, m) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.m FROM edges e JOIN reach r ON e.src = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def q_dup_clusters(spark, sf):
+    """Near-dup clusters: LSH candidate pairs -> connected components.
+    The oracle computes the same components with a recursive CTE."""
+    from .operators.dedup import dup_clusters, lsh_candidate_pairs
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    pairs = lsh_candidate_pairs(
+        d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
+    )
+    return dup_clusters(pairs)

@@ -29,3 +29,14 @@ def test_pack_sequences_budget(spark):
     assert got[("s", 100)] > got[("s", 9)]
     # shards pack independently
     assert got[("t", 0)] == 0
+
+
+def test_dup_clusters_components(spark):
+    from arrow_udf_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3-4 (one component), pair 10-11, isolated-by-absence 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
