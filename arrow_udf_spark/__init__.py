@@ -14,9 +14,22 @@ from .operators.scalar import CallMode, ScalarFunction, udf
 from .operators.table import TableFunction, udtf
 from .operators.aggregate import AggregateFunction, udaf
 from .session import get_spark, configure
+from .operators.temporal import asof_join, range_join, sessionize
+from .operators.sampling import hash_sample, pack_sequences
+from .operators.skew import salted_join, skew_agg
+from .operators.dedup import dup_clusters, exact_dedup
 from . import functions  # noqa: F401  (self-registers the built-in corpus)
 
 __all__ = [
+    "asof_join",
+    "sessionize",
+    "range_join",
+    "hash_sample",
+    "pack_sequences",
+    "salted_join",
+    "skew_agg",
+    "dup_clusters",
+    "exact_dedup",
     "udf",
     "udtf",
     "udaf",

@@ -108,3 +108,34 @@ def sample_frames(duration_s, fps):
     n = int(duration_s * fps)
     for i in range(n):
         yield {"frame_idx": i, "t_ms": int(i * 1000 / fps)}
+
+
+@udtf(
+    input_types=["bigint", "int", "int"],
+    result_type="struct<chunk_idx:int,start_ms:bigint,end_ms:bigint,n_samples:bigint>",
+    name="audio_chunks",
+)
+def audio_chunks(n_samples, sample_rate, chunk_ms):
+    """Audio chunking fan-out: split a clip of ``n_samples`` frames at
+    ``sample_rate`` Hz into fixed ``chunk_ms`` windows — the audio-pipeline
+    shape (decode → chunk → embed); the final partial chunk is kept.
+    Deterministic integer math, so it is oracle-checkable without codecs."""
+    if n_samples is None or sample_rate is None or chunk_ms is None:
+        return
+    if sample_rate <= 0 or chunk_ms <= 0 or n_samples <= 0:
+        return
+    total_ms = n_samples * 1000 // sample_rate
+    samples_per_chunk = sample_rate * chunk_ms // 1000
+    i = 0
+    start = 0
+    while start * samples_per_chunk < n_samples:
+        s0 = start * samples_per_chunk
+        s1 = min(s0 + samples_per_chunk, n_samples)
+        yield {
+            "chunk_idx": i,
+            "start_ms": s0 * 1000 // sample_rate,
+            "end_ms": min((s1 * 1000 + sample_rate - 1) // sample_rate, total_ms),
+            "n_samples": s1 - s0,
+        }
+        i += 1
+        start += 1

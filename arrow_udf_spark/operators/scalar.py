@@ -391,14 +391,33 @@ def udf(
 
         @udf(input_types=["int", "int"], result_type="int", batch=True)
         def gcd(a: pd.Series, b: pd.Series) -> pd.Series: ...
+
+    When ``result_type`` is omitted, it is inferred from the function's
+    return annotation for plain Python types (the reference's ``type_infer``
+    registration knob, arrow-udf-macros/src/parse.rs:71-97):
+    ``int -> int64``, ``float -> float64``, ``str -> string``,
+    ``bool -> boolean``, ``bytes -> binary``.
     """
     if isinstance(input_types, str):
         input_types = [input_types]
 
+    _PY_TYPES = {int: "int64", float: "float64", str: "string",
+                 bool: "boolean", bytes: "binary"}
+
     def deco(fn: Callable) -> ScalarFunction:
         fname = name or fn.__name__
+        res = result_type
+        if res == "null":  # infer from the return annotation (type_infer)
+            ann = getattr(fn, "__annotations__", {}).get("return")
+            if ann in _PY_TYPES:
+                res = _PY_TYPES[ann]
+            elif isinstance(ann, str) and ann in (
+                "int", "float", "str", "bool", "bytes"
+            ):
+                res = _PY_TYPES[{"int": int, "float": float, "str": str,
+                                 "bool": bool, "bytes": bytes}[ann]]
         first: Optional[ScalarFunction] = None
-        for ins, res_t in expand_signature(list(input_types), result_type):
+        for ins, res_t in expand_signature(list(input_types), res):
             sf = ScalarFunction(
                 fn=fn,
                 sig=Signature(

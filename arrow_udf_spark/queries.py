@@ -1743,3 +1743,40 @@ def q_dup_clusters(spark, sf):
         d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
     )
     return dup_clusters(pairs)
+
+
+@query(
+    "audio_chunks",
+    """
+    WITH src AS (
+        SELECT doc_id, CAST(n_chars * 160 AS BIGINT) AS n FROM documents
+    ), idx AS (
+        SELECT doc_id, n, unnest(range(0, (n + 15999) // 16000)) AS i FROM src
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 1000 AS BIGINT) AS start_ms,
+           CAST(least((least((i + 1) * 16000, n) * 1000 + 15999) // 16000,
+                      n * 1000 // 16000) AS BIGINT) AS end_ms,
+           CAST(least((i + 1) * 16000, n) - i * 16000 AS BIGINT) AS n_samples
+    FROM idx
+    """,
+)
+def q_audio_chunks(spark, sf):
+    from .operators.multimodal import audio_chunks
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("n_chars") * 160).cast("long").alias("n"),
+        F.lit(16000).cast("int").alias("sr"),
+        F.lit(1000).cast("int").alias("cm"),
+    )
+    out = audio_chunks.apply(d, cols=["n", "sr", "cm"], passthrough=["doc_id"], fan_out=True)
+    c = F.col("audio_chunks")
+    return out.select(
+        "doc_id",
+        c.getField("chunk_idx").alias("chunk_idx"),
+        c.getField("start_ms").alias("start_ms"),
+        c.getField("end_ms").alias("end_ms"),
+        c.getField("n_samples").alias("n_samples"),
+    )

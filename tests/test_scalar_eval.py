@@ -215,3 +215,21 @@ def test_error_path_output_type_mismatch(reg):
     out = bad_out._eval(pd.Series([1]))
     # not silently coerced to a wrong number
     assert out.tolist() == ["oops"]
+
+
+def test_result_type_inference(reg):
+    """result_type omitted -> inferred from the return annotation
+    (reference type_infer knob, parse.rs:71-97)."""
+
+    @udf(input_types=["bigint"], registry=reg)
+    def doubled(x) -> int:
+        return None if x is None else x * 2
+
+    assert doubled.sig.return_type == "int64"
+    assert doubled._eval(pd.Series([3])).tolist() == [6]
+
+    @udf(input_types=["string"], registry=reg)
+    def shout(s) -> "str":
+        return None if s is None else s.upper()
+
+    assert shout.sig.return_type == "string"
