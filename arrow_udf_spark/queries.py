@@ -1780,3 +1780,112 @@ def q_audio_chunks(spark, sf):
         c.getField("end_ms").alias("end_ms"),
         c.getField("n_samples").alias("n_samples"),
     )
+
+
+@query(
+    "tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    # per-row deterministic cent quantization -> exact BIGINT sum on both
+    # engines (double SUM association differs across engines; int sum not)
+    li = t(spark, sf, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
+@query(
+    "tpch_q3",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(o_orderdate AS VARCHAR) AS odate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf):
+    # classic 3-way star join: customer dim broadcast, fact shuffles once
+    from pyspark.sql.functions import broadcast
+
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey", "revenue_cents", F.col("o_orderdate").cast("string").alias("odate")
+        )
+    )
+
+
+@query(
+    "percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"))

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "sessionize",               # gap sessions, pure JVM window
     "range_join_count",         # binned range equi-join
     "pipeline_e2e",             # quality->dedup->sample->pack composition
+    "tpch_q3",                  # broadcast star join + top-k
 ]
 
 
