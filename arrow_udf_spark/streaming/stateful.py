@@ -36,7 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.aggregate import AggregateFunction
 
-__all__ = ["windowed_agg", "streaming_running_agg", "sliding_window_agg"]
+__all__ = ["windowed_agg", "streaming_running_agg", "sliding_window_agg", "streaming_dedup"]
 
 
 def windowed_agg(
@@ -183,3 +183,26 @@ def sliding_window_agg(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    content_col: str,
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content digest wins.
+
+    With ``ts_col``, duplicates are only tracked within the watermark
+    horizon, so state is bounded (the only scalable choice on an unbounded
+    stream — an un-watermarked digest set grows forever at 100 TB/day).
+    Built on ``dropDuplicates``; Spark's state store shards the seen-set by
+    digest across executors.
+    """
+    from ..operators.dedup import content_hash
+
+    out = df.withColumn("__h", content_hash(content_col))
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicates(["__h", ts_col]).drop("__h")
+    return out.dropDuplicates(["__h"]).drop("__h")

@@ -3,6 +3,7 @@ import tempfile
 
 import pyarrow as pa
 import pyarrow.feather as feather
+from pyspark.sql import functions as F
 
 from arrow_udf_spark.sources.io import Catalog, read_arrow_ipc, write_parquet
 
@@ -43,3 +44,46 @@ def test_write_parquet_partitioned(spark, sf_dir):
         assert "PartitionFilters" in plan or one.count() > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Co-located bucketed tables join without any Exchange: the ingest-time
+    shuffle replaces every per-query shuffle (the 100 TB fact-join plan)."""
+    from arrow_udf_spark.sources.io import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    write_bucketed(o, "o_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("o_b"),
+            spark.table("li_b").l_orderkey == spark.table("o_b").o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partition_pruning_at_read(spark, sf_dir, tmp_path):
+    from arrow_udf_spark.sources.io import write_parquet
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_part")
+    write_parquet(o, dest, partition_by=["o_orderpriority"], sort_by=["o_orderkey"])
+    back = spark.read.parquet(dest).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the partition filter must prune directories, not scan-and-filter
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    n_urgent = back.count()
+    n_all = spark.read.parquet(dest).count()
+    assert 0 < n_urgent < n_all

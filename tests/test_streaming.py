@@ -124,3 +124,31 @@ def test_sliding_window_retract(spark):
         assert rows[-1]["sum_udaf"] == 8
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_first_wins(spark, stream_dir, tmp_path):
+    """Duplicate payloads arriving on a stream are emitted once."""
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import streaming_dedup
+
+    # craft a source with known duplicates: event_type repeats heavily
+    src = str(tmp_path / "dupsrc")
+    ev = spark.read.parquet(stream_dir).select("event_id", "event_type")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_dedup(stream, "event_type")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT event_type FROM {name}").collect()
+    distinct_types = {r.event_type for r in ev.collect()}
+    assert len(got) == len(distinct_types)
+    assert {r.event_type for r in got} == distinct_types
