@@ -23,6 +23,7 @@ for the judge:
 
 from __future__ import annotations
 
+import inspect
 from dataclasses import dataclass
 from typing import Callable, Iterable, Iterator, Optional, Sequence
 
@@ -44,6 +45,25 @@ def _is_null(v) -> bool:
         return v is None or v != v or v is pd.NA
     except Exception:
         return False
+
+
+def _sync_gen(fn: Callable) -> Callable:
+    """Adapt an async generator fn to a sync generator (reference async
+    table functions, javascript.rs:1483 ``async function*``): the row's
+    async stream is drained on a private event loop inside the worker."""
+    if not inspect.isasyncgenfunction(fn):
+        return fn
+
+    def sync_fn(*args):
+        import asyncio
+
+        async def drain():
+            return [v async for v in fn(*args)]
+
+        yield from asyncio.run(drain())
+
+    sync_fn.__name__ = getattr(fn, "__name__", "async_udtf")
+    return sync_fn
 
 
 @dataclass
@@ -88,7 +108,7 @@ class TableFunction:
         """
         from pyspark.sql.functions import udtf as spark_udtf
 
-        fn = self.fn
+        fn = _sync_gen(self.fn)
         fallible = self.fallible
         dtype = self.result_field.dtype
         if isinstance(dtype, T.StructType):
@@ -155,7 +175,7 @@ class TableFunction:
         if fan_out:
             df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         csize = chunk_size or self.chunk_size
-        fn = self.fn
+        fn = _sync_gen(self.fn)
         fallible = self.fallible
         name = self.sig.name
         use_row_index = not passthrough

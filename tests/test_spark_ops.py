@@ -98,3 +98,23 @@ def test_decimal_exactness(spark):
     out = [r[0] for r in df.select(C.decimal_add(F.col("a"), F.col("b"))).collect()]
     assert out[0] == "0.3"  # no float drift
     assert out[1] == "100000000000000000000000000000000000000.0"  # >38 digits
+
+
+def test_async_generator_udtf(spark):
+    """Async-generator table fns (reference javascript.rs:1483) drain on an
+    event loop per row and behave exactly like sync generators."""
+    import asyncio
+
+    from arrow_udf_spark.operators.table import udtf
+    from arrow_udf_spark.plans.registry import Registry
+
+    @udtf(input_types=["int"], result_type="int", name="aseries", registry=Registry())
+    async def aseries(n):
+        for i in range(n or 0):
+            await asyncio.sleep(0)
+            yield i
+
+    df = spark.createDataFrame([(3, "x"), (0, "y"), (2, "z")], "n int, tag string")
+    out = aseries.apply(df, cols=["n"], passthrough=["tag"])
+    got = sorted((r.tag, r.aseries) for r in out.collect())
+    assert got == [("x", 0), ("x", 1), ("x", 2), ("z", 0), ("z", 1)]
