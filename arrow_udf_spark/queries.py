@@ -1788,8 +1788,8 @@ def q_audio_chunks(spark, sf):
     SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -1803,8 +1803,8 @@ def q_tpch_q6(spark, sf):
     ).cast("long")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -1823,8 +1823,8 @@ def q_tpch_q6(spark, sf):
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < DATE '1995-03-15'
-      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
     GROUP BY o_orderkey, o_orderdate
     ORDER BY revenue_cents DESC, o_orderkey
     LIMIT 10
@@ -1836,10 +1836,10 @@ def q_tpch_q3(spark, sf):
 
     c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf, "orders").where(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
     )
     li = t(spark, sf, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
     )
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
@@ -1889,3 +1889,52 @@ def q_value_histogram(spark, sf):
     return ev.groupBy(
         F.floor(F.col("value") / 50).cast("long").alias("bucket")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape: one fact table, five dims — every dim broadcast, the
+    fact shuffles once for the order join; exact cent math for the oracle."""
+    from pyspark.sql.functions import broadcast
+
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
