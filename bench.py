@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "range_join_count",         # binned range equi-join
     "pipeline_e2e",             # quality->dedup->sample->pack composition
     "tpch_q3",                  # broadcast star join + top-k
+    "tpch_q5",                  # 5-way broadcast star join
+    "vocab_topk",               # UDTF fan-out -> relational top-k
+    "audio_chunks",             # multimodal chunking fan-out
 ]
 
 
