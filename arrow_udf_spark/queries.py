@@ -1938,3 +1938,25 @@ def q_tpch_q5(spark, sf):
         .groupBy("n_name")
         .agg(F.sum(cents).alias("revenue_cents"))
     )
+
+
+@query(
+    "remote_series_udtf",
+    """
+    SELECT p_partkey, unnest(range(0, p_size % 6)) AS series
+    FROM part WHERE p_size % 6 > 0
+    """,
+)
+def q_remote_series(spark, sf):
+    """Table function evaluated over Arrow Flight (reference
+    call_table_function): executors stream batches to the UdfFlightServer
+    and gather the (row, value) fan-out back onto the passthrough key."""
+    from arrow_udf_spark import GLOBAL
+    from .sources.flight import remote_table, serve_registry
+
+    uri = serve_registry(GLOBAL)
+    p = t(spark, sf, "part").select(
+        "p_partkey", (F.col("p_size") % 6).cast("int").alias("n")
+    )
+    out = remote_table(p, uri, "series", cols=["n"], passthrough=["p_partkey"])
+    return out.select("p_partkey", F.col("series").cast("long").alias("series"))

@@ -37,9 +37,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..operators.scalar import ScalarFunction
+from ..operators.table import TableFunction
 from ..plans.registry import Registry
 
-__all__ = ["UdfFlightServer", "FlightUdfClient", "remote_scalar", "serve_registry"]
+__all__ = [
+    "UdfFlightServer",
+    "FlightUdfClient",
+    "remote_scalar",
+    "remote_table",
+    "serve_registry",
+]
 
 PROTOCOL_VERSION = b"1"
 
@@ -61,6 +68,7 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
     def __init__(self, location: str = "grpc://0.0.0.0:0"):
         super().__init__(location)
         self._fns: dict[str, ScalarFunction] = {}
+        self._tfs: dict[str, TableFunction] = {}
 
     # -- registration ---------------------------------------------------
     def add_function(self, fn: ScalarFunction) -> None:
@@ -68,6 +76,12 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
         # mangled name (mirrors Registry.register_sql)
         self._fns.setdefault(fn.sig.name, fn)
         self._fns[fn.sig.mangled()] = fn
+
+    def add_table_function(self, tf: TableFunction) -> None:
+        """Host a set-returning function (reference call_table_function,
+        remote/mod.rs:102-156; server @udtf, __init__.py:150-205)."""
+        self._tfs.setdefault(tf.sig.name, tf)
+        self._tfs[tf.sig.mangled()] = tf
 
     def _schemas(self, fn: ScalarFunction) -> tuple[pa.Schema, pa.Schema]:
         in_fields = [
@@ -79,11 +93,28 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
             out_fields.append(pa.field("error", pa.string()))
         return pa.schema(in_fields), pa.schema(out_fields)
 
+    def _tf_schemas(self, tf: TableFunction) -> tuple[pa.Schema, pa.Schema]:
+        in_fields = [
+            _spark_to_arrow_field(f"arg{i}", f.dtype)
+            for i, f in enumerate(tf.input_fields)
+        ]
+        # reference table-fn output shape: (row: int32, value, [error])
+        out_fields = [
+            pa.field("row", pa.int32()),
+            _spark_to_arrow_field(tf.sig.name, tf.result_field.dtype),
+        ]
+        if tf.fallible:
+            out_fields.append(pa.field("error", pa.string()))
+        return pa.schema(in_fields), pa.schema(out_fields)
+
     # -- Flight handlers ------------------------------------------------
     def get_flight_info(self, context, descriptor):
         name = descriptor.path[0].decode()
-        fn = self._fns[name]
-        in_s, out_s = self._schemas(fn)
+        if name in self._tfs:
+            in_s, out_s = self._tf_schemas(self._tfs[name])
+        else:
+            fn = self._fns[name]
+            in_s, out_s = self._schemas(fn)
         # concat(input, output) fields; total_records = #args (the
         # reference's discovery encoding)
         full = pa.schema(list(in_s) + list(out_s))
@@ -92,7 +123,7 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
         )
 
     def list_flights(self, context, criteria):
-        for name in self._fns:
+        for name in list(self._fns) + list(self._tfs):
             yield self.get_flight_info(
                 context, flight.FlightDescriptor.for_path(name.encode())
             )
@@ -106,6 +137,8 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
         import pandas as pd
 
         name = descriptor.path[0].decode()
+        if name in self._tfs:
+            return self._exchange_table(self._tfs[name], reader, writer)
         fn = self._fns[name]
         _, out_s = self._schemas(fn)
         writer.begin(out_s)
@@ -127,6 +160,49 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
                     schema=out_s,
                 )
             writer.write_batch(out)
+        writer.close()
+
+    def _exchange_table(self, tf: TableFunction, reader, writer) -> None:
+        """Stream (row, value[, error]) batches per input batch, re-chunked
+        at the reference BATCH_SIZE (codegen_utils.rs:634-667)."""
+        from ..operators.table import BATCH_SIZE, _sync_gen
+
+        _, out_s = self._tf_schemas(tf)
+        fn = _sync_gen(tf.fn)
+        val_t = out_s.field(1).type
+        writer.begin(out_s)
+
+        def flush(rows, vals, errs):
+            arrays = [
+                pa.array(rows, type=pa.int32()),
+                pa.array(vals, type=val_t),
+            ]
+            if tf.fallible:
+                arrays.append(pa.array(errs, type=pa.string()))
+            writer.write_batch(pa.RecordBatch.from_arrays(arrays, schema=out_s))
+
+        for chunk in reader:
+            batch = chunk.data
+            arg_cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            rows, vals, errs = [], [], []
+            for r in range(batch.num_rows):
+                args = [c[r] for c in arg_cols]
+                try:
+                    for v in fn(*args):
+                        rows.append(r)
+                        vals.append(v)
+                        errs.append(None)
+                        if len(rows) >= BATCH_SIZE:
+                            flush(rows, vals, errs)
+                            rows, vals, errs = [], [], []
+                except Exception as e:
+                    if not tf.fallible:
+                        raise
+                    rows.append(r)
+                    vals.append(None)
+                    errs.append(str(e))
+            if rows:
+                flush(rows, vals, errs)
         writer.close()
 
 
@@ -161,6 +237,10 @@ class FlightUdfClient:
         writer.close()
         return out
 
+    #: table functions share the same exchange wire shape; the result table
+    #: is (row, value[, error]) — reference Client::call_table_function
+    call_table_function = call
+
     def close(self) -> None:
         self._client.close()
 
@@ -184,6 +264,8 @@ def serve_registry(registry: Registry, host: str = "127.0.0.1") -> str:
             for f in registry.all():
                 if isinstance(f, ScalarFunction):
                     srv.add_function(f)
+                elif isinstance(f, TableFunction):
+                    srv.add_table_function(f)
             threading.Thread(target=srv.serve, daemon=True).start()
             _server = srv
             _server_uri = f"grpc://{host}:{srv.port}"
@@ -235,6 +317,74 @@ def remote_scalar(
                 result = client.call(name, args)
                 res_cols = [batch.column(i) for i in range(n_pt)]
                 res_cols.extend(result.column(i).combine_chunks() for i in range(result.num_columns))
+                yield pa.RecordBatch.from_arrays(
+                    res_cols, names=[f.name for f in out_fields]
+                )
+        finally:
+            client.close()
+
+    return df.select(*(passthrough + cols)).mapInArrow(exchange, schema=out_schema)
+
+
+def remote_table(
+    df: DataFrame,
+    uri: str,
+    name: str,
+    cols: Sequence[str],
+    passthrough: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate a remote *table* function over ``df`` via Arrow Flight
+    (reference Client::call_table_function, remote/mod.rs:102-156).
+
+    The server streams ``(row, value[, error])`` batches where ``row``
+    indexes the input batch; passthrough columns are gathered back onto the
+    fan-out with a vectorized ``take`` — no Python row loop on the Spark
+    side.  Without passthrough, the batch-local ``row`` index is emitted
+    (the reference's exact shape).
+    """
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    cols = list(cols)
+    passthrough = list(passthrough)
+
+    disco = FlightUdfClient(uri)
+    full_schema, n_args = disco.function_info(name)
+    disco.close()
+    if n_args != len(cols):
+        raise ValueError(f"{name} takes {n_args} args, got {len(cols)}")
+    result_fields = list(full_schema)[n_args:]  # row, value, [error]
+    value_fields = result_fields[1:]
+
+    if passthrough:
+        out_fields = [T.StructField(c, df.schema[c].dataType) for c in passthrough]
+    else:
+        out_fields = [T.StructField("row", T.IntegerType())]
+    out_fields.extend(
+        T.StructField(f.name, from_arrow_type(f.type)) for f in value_fields
+    )
+    out_schema = T.StructType(out_fields)
+    n_pt = len(passthrough)
+
+    def exchange(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        client = FlightUdfClient(uri)
+        try:
+            for batch in batches:
+                args = pa.RecordBatch.from_arrays(
+                    [batch.column(n_pt + i) for i in range(len(cols))],
+                    names=[f"arg{i}" for i in range(len(cols))],
+                )
+                result = client.call_table_function(name, args)
+                row_idx = result.column(0).combine_chunks()
+                if passthrough:
+                    res_cols = [
+                        batch.column(i).take(row_idx) for i in range(n_pt)
+                    ]
+                else:
+                    res_cols = [row_idx]
+                res_cols.extend(
+                    result.column(i).combine_chunks()
+                    for i in range(1, result.num_columns)
+                )
                 yield pa.RecordBatch.from_arrays(
                     res_cols, names=[f.name for f in out_fields]
                 )

@@ -117,3 +117,38 @@ def test_nullary_udf(spark):
     df = spark.range(3)
     vals = [r[0] for r in df.select(int_42()).collect()]
     assert vals == [42, 42, 42]
+
+
+def test_remote_table_function(spark):
+    """Table function over Arrow Flight (reference call_table_function):
+    fan-out rows stream back as (row, value) and zip onto passthrough."""
+    from arrow_udf_spark import GLOBAL
+    from arrow_udf_spark.functions import corpus as C
+    from arrow_udf_spark.sources.flight import remote_table, serve_registry
+
+    uri = serve_registry(GLOBAL)
+    df = spark.createDataFrame([(1, 3), (2, 0), (3, 2)], "k int, n int")
+    got = remote_table(df, uri, "series", cols=["n"], passthrough=["k"])
+    rows = sorted((r.k, r.series) for r in got.collect())
+    assert rows == [(1, 0), (1, 1), (1, 2), (3, 0), (3, 1)]
+
+    # local apply must agree
+    local = C.series.apply(df, cols=["n"], passthrough=["k"])
+    lrows = sorted((r.k, r.series) for r in local.collect())
+    assert rows == lrows
+
+
+def test_remote_table_function_fallible(spark):
+    from arrow_udf_spark import GLOBAL
+    from arrow_udf_spark.sources.flight import remote_table, serve_registry
+
+    uri = serve_registry(GLOBAL)
+    df = spark.createDataFrame([(1, '[1,2]'), (2, '"x"')], "k int, j string")
+    got = remote_table(
+        df, uri, "json_array_elements", cols=["j"], passthrough=["k"]
+    ).collect()
+    by_k = {}
+    for r in got:
+        by_k.setdefault(r.k, []).append((r.json_array_elements, r.error))
+    assert sorted(by_k[1]) == [("1", None), ("2", None)]
+    assert by_k[2] == [(None, "not an array")]
