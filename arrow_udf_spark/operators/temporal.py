@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "range_join"]
+__all__ = ["asof_join", "sessionize", "range_join", "resample_ffill"]
 
 
 def asof_join(
@@ -159,3 +159,53 @@ def range_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.lit(upper))
     )
     return joined.drop("__bin")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step: int,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Regularize an irregular time series: per key, one row per ``step``
+    tick on ``[start, end)``, carrying the last observed ``value`` at or
+    before the tick (forward fill).  The hypertable-rollup / gap-fill
+    primitive of time-series stores.
+
+    Spark plan: the tick grid is generated *distributed* (sequence+explode
+    per key — no driver loop), unioned with the observations, and filled
+    with one running ``last(ignorenulls)`` window per key: a single shuffle
+    on the key, O(rows + ticks) work.  Ticks before a key's first
+    observation stay NULL.
+    """
+    ticks = (end - start + step - 1) // step
+    keys = df.select(key).distinct()
+    grid = keys.select(
+        key,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ticks - 1))
+        ).alias("__i"),
+    ).select(
+        key, (F.lit(start) + F.col("__i") * step).cast("long").alias(ts)
+    )
+    obs = df.select(
+        key, F.col(ts).cast("long").alias(ts), F.col(value).alias("__v")
+    ).withColumn("__is_tick", F.lit(0))
+    grid = grid.withColumn("__v", F.lit(None).cast(df.schema[value].dataType))
+    grid = grid.withColumn("__is_tick", F.lit(1))
+    unioned = obs.unionByName(grid)
+    w = (
+        Window.partitionBy(key)
+        # observations sort before the tick at the same instant => a tick
+        # at time t includes an observation at exactly t
+        .orderBy(F.col(ts).asc(), F.col("__is_tick").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__f", F.last("__v", ignorenulls=True).over(w))
+    return (
+        filled.where(F.col("__is_tick") == 1)
+        .select(key, ts, F.col("__f").alias(value))
+    )

@@ -1960,3 +1960,71 @@ def q_remote_series(spark, sf):
     )
     out = remote_table(p, uri, "series", cols=["n"], passthrough=["p_partkey"])
     return out.select("p_partkey", F.col("series").cast("long").alias("series"))
+
+
+@query(
+    "resample_ffill",
+    """
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS us, max(value) AS v
+        FROM events GROUP BY user_id, epoch_us(ts)
+    ), grid AS (
+        SELECT u.user_id,
+               CAST(1704067200000000 + t.i * 86400000000 AS BIGINT) AS tick
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(range(0, 14)) AS i) t
+    )
+    SELECT g.user_id, g.tick, o.v AS value
+    FROM grid g
+    ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.tick >= o.us
+    """,
+)
+def q_resample_ffill(spark, sf):
+    """Time-series gap fill: daily grid per user over 2024-01-01..-15,
+    forward-filled from irregular events (hypertable-rollup primitive)."""
+    from .operators.temporal import resample_ffill
+
+    start = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    step = 86_400_000_000
+    ev = (
+        t(spark, sf, "events")
+        .select("user_id", F.expr("ts DIV 1000").alias("us"), "value")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("value"))
+    )
+    out = resample_ffill(
+        ev, key="user_id", ts="us", value="value",
+        step=step, start=start, end=start + 14 * step,
+    )
+    return out.select("user_id", F.col("us").alias("tick"), "value")
+
+
+@query(
+    "decimal_native_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(printf('%.2f', l_extendedprice) AS DECIMAL(30,10))
+                + CAST(printf('%.2f', l_discount * 100) AS DECIMAL(30,10))
+                AS VARCHAR) AS dsum,
+           CAST(CAST(printf('%.2f', l_extendedprice) AS DECIMAL(30,10))
+                - CAST(printf('%.2f', l_tax * 100) AS DECIMAL(30,10))
+                AS VARCHAR) AS ddiff
+    FROM lineitem
+    """,
+)
+def q_decimal_native_math(spark, sf):
+    """Native bounded-decimal arithmetic (reference decimal128/256 math,
+    javascript.rs:333-420) carried by Spark's DecimalType — exact at
+    (30,10) on both engines (precision 30 so the sum keeps scale 10 —
+    at 38 Spark caps precision and drops the result to scale 9), stringified for the hash."""
+    li = t(spark, sf, "lineitem")
+    a = F.format_string("%.2f", "l_extendedprice").cast("decimal(30,10)")
+    b = F.format_string("%.2f", F.col("l_discount") * 100).cast("decimal(30,10)")
+    c = F.format_string("%.2f", F.col("l_tax") * 100).cast("decimal(30,10)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (a + b).cast("string").alias("dsum"),
+        (a - c).cast("string").alias("ddiff"),
+    )

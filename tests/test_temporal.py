@@ -86,3 +86,33 @@ def test_range_join_is_equi_join(spark):
     # fall back to a nested-loop/cartesian strategy
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill(spark):
+    from arrow_udf_spark.operators.temporal import resample_ffill
+
+    obs = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 25, 2.0), ("b", 12, 9.0)],
+        "k string, t long, v double",
+    )
+    out = resample_ffill(obs, key="k", ts="t", value="v", step=10, start=0, end=40)
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got == {
+        ("a", 0): None,   # before first observation
+        ("a", 10): 1.0,
+        ("a", 20): 1.0,
+        ("a", 30): 2.0,
+        ("b", 0): None,
+        ("b", 10): None,
+        ("b", 20): 9.0,
+        ("b", 30): 9.0,
+    }
+
+
+def test_resample_ffill_tick_includes_exact_time(spark):
+    from arrow_udf_spark.operators.temporal import resample_ffill
+
+    obs = spark.createDataFrame([("a", 10, 7.0)], "k string, t long, v double")
+    out = resample_ffill(obs, key="k", ts="t", value="v", step=10, start=0, end=20)
+    got = {r.t: r.v for r in out.collect()}
+    assert got == {0: None, 10: 7.0}  # observation AT the tick is included
