@@ -2028,3 +2028,60 @@ def q_decimal_native_math(spark, sf):
         (a + b).cast("string").alias("dsum"),
         (a - c).cast("string").alias("ddiff"),
     )
+
+
+@query(
+    "tfidf_topterms",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 200
+    ), tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM words
+        GROUP BY word
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM words
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * (CAST(n.n AS DOUBLE) / df.df)
+                                           DESC, tf.word) AS rk
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored WHERE rk <= 3
+    """,
+)
+def q_tfidf_topterms(spark, sf):
+    """TF-IDF top-3 terms per document: UDTF tokenization feeding joins +
+    window top-k — one composed Catalyst plan.  Linear idf (tf * N/df,
+    identical op order both engines) keeps doubles bit-deterministic; libm
+    `ln` is NOT guaranteed identical across engines."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    words = C.split_words.apply(d, cols=["text"], passthrough=["doc_id"]).select(
+        "doc_id", F.col("split_words").getField("word").alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = words.select(F.countDistinct("doc_id").alias("n"))
+    score = F.col("tf") * (F.col("n").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word").asc())
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        scored.where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            (F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score"),
+        )
+    )

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "tpch_q5",                  # 5-way broadcast star join
     "vocab_topk",               # UDTF fan-out -> relational top-k
     "audio_chunks",             # multimodal chunking fan-out
+    "resample_ffill",           # time-series gap fill (grid + window)
+    "tfidf_topterms",           # UDTF -> join -> window composition
 ]
 
 
