@@ -72,6 +72,47 @@ class AggregateFunction:
     accumulate_batch: Optional[Callable[..., Any]] = None
 
     # ------------------------------------------------------------------
+    def as_spark_grouped_agg(self):
+        """SQL surface: wrap the 5-phase protocol as a pandas GROUPED_AGG
+        UDF so ``SELECT f(x) ... GROUP BY`` works after ``register_sql``
+        (the reference's hosts call aggregates from SQL the same way).
+
+        The whole group arrives as Series; accumulate_batch (or the row
+        fold) runs once, then finish.  Spark does not split GROUPED_AGG
+        into partials — for the distributed two-phase plan use
+        :meth:`agg`; this path is the SQL-compatibility surface.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        try:
+            from pyspark.sql.pandas.functions import PandasUDFType
+
+            _GROUPED = PandasUDFType.GROUPED_AGG
+        except ImportError:  # pragma: no cover
+            _GROUPED = 201
+
+        create, acc, acc_b, finish = (
+            self.create_state,
+            self.accumulate,
+            self.accumulate_batch,
+            self.finish,
+        )
+
+        def agg_fn(*series):
+            st = create()
+            if acc_b is not None:
+                st = acc_b(st, *series)
+            else:
+                for row in zip(*[s.tolist() for s in series]):
+                    st = acc(st, *[None if _is_null(v) else v for v in row])
+            return finish(st) if finish is not None else st
+
+        agg_fn.__name__ = self.sig.name
+        return pandas_udf(
+            agg_fn, returnType=self.result_field.dtype, functionType=_GROUPED
+        )
+
+    # ------------------------------------------------------------------
     def _fold_partition(
         self, by_n: int, arg_n: int, ops_col: bool
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:

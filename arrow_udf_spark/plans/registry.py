@@ -114,6 +114,11 @@ class Registry:
                     sql_name = name if use_bare else f.sig.mangled()
                     spark.udtf.register(sql_name, f.as_spark_udtf())
                     table_i += 1
+                elif f.sig.kind == "aggregate":
+                    # aggregates own their name space: first overload bare
+                    sql_name = name if bare_ok else f.sig.mangled()
+                    spark.udf.register(sql_name, f.as_spark_grouped_agg())
+                    bare_ok = False
                 else:
                     continue
                 if sql_name == name:

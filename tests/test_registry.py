@@ -79,3 +79,32 @@ def test_udtf_sql_fallible_error_row(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0].json_array_elements is None and "not an array" in rows[0].error
+
+
+def test_udaf_sql_registration(spark):
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("li_udaf")
+    got = spark.sql(
+        """
+        SELECT l_returnflag, sum_udaf(l_orderkey) AS s,
+               weighted_avg(l_extendedprice, l_quantity) AS w
+        FROM li_udaf GROUP BY l_returnflag
+        """
+    ).collect()
+    exp = {
+        r.l_returnflag: (r.s, r.w)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, SUM(l_orderkey) AS s,
+                   SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS w
+            FROM li_udaf GROUP BY l_returnflag
+            """
+        ).collect()
+    }
+    assert len(got) == len(exp)
+    for r in got:
+        s, w = exp[r.l_returnflag]
+        assert r.s == s and abs(r.w - w) < 1e-6
