@@ -13,7 +13,7 @@ from .plans.types import (EXT_DECIMAL, EXT_JSON, EXT_PICKLE, ExtField,
 from .operators.scalar import CallMode, ScalarFunction, udf
 from .operators.table import TableFunction, udtf
 from .operators.aggregate import AggregateFunction, udaf
-from .session import get_spark, configure
+from .session import bootstrap, configure, get_spark
 from .operators.temporal import asof_join, range_join, sessionize
 from .operators.sampling import hash_sample, pack_sequences
 from .operators.skew import salted_join, skew_agg
@@ -48,6 +48,7 @@ __all__ = [
     "AggregateFunction",
     "get_spark",
     "configure",
+    "bootstrap",
 ]
 
 __version__ = "0.1.0"

@@ -45,3 +45,19 @@ def get_spark(app_name: str = "arrow_udf_spark", master: str | None = None) -> S
     b = SparkSession.builder.appName(app_name)
     b = b.master(master or f"local[{cpus}]")
     return configure(b).getOrCreate()
+
+
+def bootstrap(sf_dir: str, app_name: str = "arrow_udf_spark"):
+    """One-call setup: session with engine defaults, the testdata star
+    schema registered as SQL views, and every corpus function (scalar /
+    table / aggregate) registered for ``spark.sql``.
+
+    Returns the :class:`~pyspark.sql.SparkSession`.
+    """
+    from .plans.registry import GLOBAL
+    from .sources.io import Catalog
+
+    spark = get_spark(app_name)
+    Catalog(spark, sf_dir).register_views()
+    GLOBAL.register_sql(spark)
+    return spark
