@@ -2085,3 +2085,22 @@ def q_tfidf_topterms(spark, sf):
             (F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score"),
         )
     )
+
+
+@query(
+    "global_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_global_topk(spark, sf):
+    """Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps + a k-row driver merge, never a full sort/shuffle
+    of the table (the only sane global-ordering plan at 100 TB)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

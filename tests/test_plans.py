@@ -105,3 +105,12 @@ def test_streaming_source_not_rescanned(spark, sf_dir):
 
     p = _plan(QUERIES["asof_join"](spark, sf_dir))
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_global_topk_uses_heap_not_sort(spark, sf_dir):
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["global_topk"](spark, sf_dir))
+    # top-k must be per-partition heaps + k-row merge, not a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p

@@ -152,3 +152,42 @@ def test_streaming_dedup_first_wins(spark, stream_dir, tmp_path):
     distinct_types = {r.event_type for r in ev.collect()}
     assert len(got) == len(distinct_types)
     assert {r.event_type for r in got} == distinct_types
+
+
+def test_streaming_session_window(spark, stream_dir):
+    """Session windows on a stream (F.session_window) match the batch
+    gap-sessionization count per user."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    out = (
+        stream.withWatermark("ts2", "0 seconds")
+        .groupBy(F.session_window("ts2", "1 hour"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_sessions = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+
+    from arrow_udf_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(stream_dir).select(
+        "user_id", F.unix_micros("ts2").alias("us"), "event_id"
+    )
+    batch = sessionize(
+        ev, key="user_id", ts="us", gap=3_600_000_000, order_tiebreak="event_id"
+    )
+    batch_sessions = (
+        batch.select("user_id", "session_id").distinct().count()
+    )
+    assert stream_sessions == batch_sessions
