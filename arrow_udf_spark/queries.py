@@ -2104,3 +2104,56 @@ def q_global_topk(spark, sf):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_agg(spark, sf):
+    li = t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").cast("string").alias("qty_F"),
+        F.col("O").cast("string").alias("qty_O"),
+    )
+
+
+@query(
+    "upsert_latest",
+    """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q_upsert_latest(spark, sf):
+    """Latest-state compaction (the batch upsert / SCD-1 pattern): one
+    window per key keeps the newest row — the standard way to materialize
+    a changelog into current state at scale."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "value")
+    )
