@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "pack_sequences"]
+__all__ = ["hash_sample", "pack_sequences", "negative_pairs"]
 
 
 def hash_sample(
@@ -74,3 +74,38 @@ def pack_sequences(
         .withColumn(seq_col, F.expr(f"(__cum - 1) DIV {budget}"))
         .drop("__cum")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    key: str,
+    k: int,
+    n_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Contrastive-training negative sampling: pair each row with ``k``
+    pseudo-random partners, deterministically.
+
+    Partner ids come from ``md5(key:j)`` mod ``n_rows`` — reproducible
+    across runs, engines, and retries (a random sample is not), and the
+    pairing is a plain equi-join on the derived id: one shuffle, no
+    cartesian anything.  ``n_rows`` is the table's row count with
+    contiguous 0-based keys (the layout ``pack_sequences``-style pipelines
+    produce); self-pairs are kept — filter afterwards if undesired.
+    """
+    pairs = df.select(F.col(key)).withColumn(
+        "j", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    )
+    h = F.conv(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col(key).cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        ).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    return pairs.withColumn("partner", h % n_rows)

@@ -2157,3 +2157,37 @@ def q_upsert_latest(spark, sf):
         .where(F.col("rk") == 1)
         .select("user_id", "event_id", "value")
     )
+
+
+@query(
+    "negative_pairs",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    pairs AS (
+        SELECT d.doc_id, t.j,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                        || CAST(t.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % n.n AS partner
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS j) t
+        CROSS JOIN n
+    )
+    SELECT p.doc_id, p.j, p.partner,
+           CAST(d2.n_chars AS BIGINT) AS partner_chars
+    FROM pairs p JOIN documents d2 ON p.partner = d2.doc_id
+    """,
+)
+def q_negative_pairs(spark, sf):
+    """Deterministic negative sampling for contrastive pairs: md5-derived
+    partner ids joined back equi-style — reproducible, shuffle-once."""
+    from .operators.sampling import negative_pairs
+
+    d = t(spark, sf, "documents")
+    n_rows = d.count()
+    pairs = negative_pairs(d, key="doc_id", k=3, n_rows=n_rows)
+    partner_side = d.select(
+        F.col("doc_id").alias("partner"), F.col("n_chars").alias("partner_chars")
+    )
+    return pairs.join(partner_side, "partner").select(
+        "doc_id", "j", "partner", F.col("partner_chars").cast("long").alias("partner_chars")
+    )
