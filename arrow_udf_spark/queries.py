@@ -2191,3 +2191,50 @@ def q_negative_pairs(spark, sf):
     return pairs.join(partner_side, "partner").select(
         "doc_id", "j", "partner", F.col("partner_chars").cast("long").alias("partner_chars")
     )
+
+
+@query(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_join(spark, sf):
+    """left_semi / left_anti carriers (SURVEY §2.C joins row): existence
+    joins that never materialize the match fan-out — the right plan shape
+    for 'has any orders' predicates at fact-table scale."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return semi.agg(
+        F.lit("with_orders").alias("grp"), F.count("*").alias("n")
+    ).unionAll(
+        anti.agg(F.lit("without_orders").alias("grp"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "set_ops_full",
+    """
+    SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_custkey AS k FROM customer
+        UNION ALL SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT ALL SELECT o_custkey FROM orders)
+    """,
+)
+def q_set_ops_full(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    ua = c.unionAll(o).agg(F.lit("union_all").alias("op"), F.count("*").alias("n"))
+    ea = c.exceptAll(o).agg(F.lit("except_all").alias("op"), F.count("*").alias("n"))
+    return ua.unionAll(ea)
