@@ -2238,3 +2238,44 @@ def q_set_ops_full(spark, sf):
     ua = c.unionAll(o).agg(F.lit("union_all").alias("op"), F.count("*").alias("n"))
     ea = c.exceptAll(o).agg(F.lit("except_all").alias("op"), F.count("*").alias("n"))
     return ua.unionAll(ea)
+
+
+@query(
+    "string_agg_nations",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg(spark, sf):
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "stats_aggs",
+    """
+    SELECT l_returnflag,
+           floor(stddev_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS sd,
+           floor(var_samp(l_quantity) * 1000000 + 0.5) / 1000000 AS var,
+           floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000
+               AS cr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_aggs(spark, sf):
+    li = t(spark, sf, "lineitem")
+
+    def r6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd"),
+        r6(F.var_samp("l_quantity")).alias("var"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("cr"),
+    )
