@@ -2279,3 +2279,32 @@ def q_stats_aggs(spark, sf):
         r6(F.var_samp("l_quantity")).alias("var"),
         r6(F.corr("l_quantity", "l_extendedprice")).alias("cr"),
     )
+
+
+@query(
+    "expr_breadth",
+    """
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           least(o_custkey, o_orderkey % 1000) AS lo,
+           greatest(o_custkey, o_orderkey % 1000) AS hi,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS tag
+    FROM orders
+    """,
+)
+def q_expr_breadth(spark, sf):
+    """Scalar function-library carrier: regex extraction, date truncation,
+    least/greatest, multi-arg concat — the everyday expression surface,
+    all whole-stage-codegen JVM expressions."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_num"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        ),
+        F.least(F.col("o_custkey"), F.col("o_orderkey") % 1000).alias("lo"),
+        F.greatest(F.col("o_custkey"), F.col("o_orderkey") % 1000).alias("hi"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+    )
