@@ -2308,3 +2308,24 @@ def q_expr_breadth(spark, sf):
         F.greatest(F.col("o_custkey"), F.col("o_orderkey") % 1000).alias("hi"),
         F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
     )
+
+
+@query(
+    "uint64_widening",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS DECIMAL(20,0))
+                + CAST('9223372036854775808' AS DECIMAL(20,0)) AS VARCHAR)
+               AS u64
+    FROM orders
+    """,
+)
+def q_uint64_widening(spark, sf):
+    """uint64 widening rule (SURVEY §1.2): Spark has no unsigned types, so
+    uint64 maps to DECIMAL(20,0) — here values past int64 max (2^63)
+    round-trip exactly through the widened representation."""
+    o = t(spark, sf, "orders")
+    u = F.col("o_orderkey").cast("decimal(20,0)") + F.lit(
+        "9223372036854775808"
+    ).cast("decimal(20,0)")
+    return o.select("o_orderkey", u.cast("string").alias("u64"))
