@@ -2614,3 +2614,135 @@ def q_tpch_q7(spark, sf):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(F.sum(cents).alias("revenue_cents"))
     )
+
+
+@query(
+    "tpch_q8",
+    """
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           floor(1.0 * SUM(CASE WHEN supp_nation = 'NATION_1' THEN cents
+                           ELSE 0 END) / SUM(cents) * 1e6 + 0.5) / 1e6
+               AS mkt_share
+    FROM vol GROUP BY yr
+    """,
+)
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share, names adapted to the driver data):
+    NATION_1's share of ECONOMY-part revenue sold into ASIA per year.  All
+    five dims are filtered before joining and broadcast; the lineitem fact
+    shuffles once (order join).  Share divides two exact BIGINT cent sums
+    in the same operation order on both engines."""
+    from pyspark.sql.functions import broadcast
+
+    p = t(spark, sf, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n1 = t(spark, sf, "nation").join(
+        broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = t(spark, sf, "customer").join(
+        broadcast(n1), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = t(spark, sf, "supplier").join(
+        broadcast(n2), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    vol = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("cents")).otherwise(0))
+    tot = F.sum("cents")
+    return vol.groupBy("yr").agg(
+        nat.cast("long").alias("nation_cents"),
+        tot.cast("long").alias("total_cents"),
+        (F.floor(F.lit(1.0) * nat / tot * 1e6 + F.lit(0.5)) / 1e6).alias("mkt_share"),
+    )
+
+
+@query(
+    "tpch_q17",
+    """
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+    ), st AS (
+        SELECT l_partkey,
+               0.2 * (SUM(l_quantity) / COUNT(*)) AS thr
+        FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           floor(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 7.0 * 1e6 + 0.5) / 1e6 AS avg_yearly_cents
+    FROM li JOIN st ON li.l_partkey = st.l_partkey
+    WHERE l_quantity < thr
+    """,
+)
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue; predicate adapted — the
+    driver schema has no p_container, so the part filter is brand-only).
+    The per-part average is computed as an aggregate and joined back on
+    l_partkey, so both sides of the correlated subquery share one shuffle
+    partitioning instead of a windowed second scan.  The threshold
+    0.2*(sum/count) uses integer-valued doubles — exact on both engines."""
+    from pyspark.sql.functions import broadcast
+
+    p = t(spark, sf, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = (
+        t(spark, sf, "lineitem")
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    st = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("*"))).alias("thr")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    total = F.sum(cents)
+    return (
+        li.join(st, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            total.cast("long").alias("revenue_cents"),
+            (F.floor(total / 7.0 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "avg_yearly_cents"
+            ),
+        )
+    )
