@@ -110,3 +110,42 @@ def fingerprint(text: Column | str) -> Column:
 def oracle_token_hash(expr: str) -> str:
     """DuckDB rendering of token_hash for oracle SQL construction."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    n_col: str = "n_chars",
+    window: int = 200,
+    stride: int = 150,
+    passthrough: tuple[str, ...] = ("doc_id",),
+):
+    """Sliding-window document chunking for LLM training pipelines: emit
+    overlapping character windows of ``window`` chars every ``stride``
+    chars (overlap = window - stride).
+
+    Pure Catalyst plan — sequence/explode/substring, no Python eval — so
+    the fan-out runs inside whole-stage codegen and scales linearly with
+    input partitions (no shuffle at all: chunking is per-row).  Uses
+    integer DIV (never float floor-division) so char offsets are exact
+    past 2^53.
+    """
+    nchunks = F.expr(f"CAST(({n_col} + {stride - 1}) DIV {stride} AS INT)")
+    # sequence(0, -1) ramps DOWN in Spark — guard empty docs explicitly
+    idx = F.when(nchunks > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    end = F.least(start + window, F.col(n_col).cast("long"))
+    return (
+        df.select(*passthrough, text_col, n_col, F.explode(idx).alias("chunk_idx"))
+        .select(
+            *passthrough,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("start_pos"),
+            end.alias("end_pos"),
+            F.substring(
+                F.col(text_col), (start + 1).cast("int"), (end - start).cast("int")
+            ).alias("chunk_text"),
+        )
+    )

@@ -2746,3 +2746,30 @@ def q_tpch_q17(spark, sf):
             ),
         )
     )
+
+
+@query(
+    "chunk_documents",
+    """
+    WITH idx AS (
+        SELECT doc_id, n_chars, text,
+               unnest(range(0, (n_chars + 149) // 150)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 150 AS BIGINT) AS start_pos,
+           CAST(least(i * 150 + 200, n_chars) AS BIGINT) AS end_pos,
+           substr(text, CAST(i * 150 + 1 AS BIGINT),
+                  CAST(least(i * 150 + 200, n_chars) - i * 150 AS BIGINT))
+               AS chunk_text
+    FROM idx
+    """,
+)
+def q_chunk_documents(spark, sf):
+    """Sliding-window chunking (200-char windows, 150-char stride, 50-char
+    overlap) over the documents table — the standard pre-tokenization step
+    of an LLM data pipeline, kept entirely JVM-side."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(t(spark, sf, "documents"))

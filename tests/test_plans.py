@@ -114,3 +114,45 @@ def test_global_topk_uses_heap_not_sort(spark, sf_dir):
     # top-k must be per-partition heaps + k-row merge, not a global sort
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_tpch_carriers_broadcast_dims(spark, sf_dir):
+    """Every TPC-H carrier joins dims via broadcast — the fact table must
+    never shuffle for a dimension join (scale gate: at 100 TB the fact is
+    partitioned across 1000 executors, dims still fit in memory)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    for name in ["tpch_q3", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14"]:
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:400]}"
+
+
+def test_tpch_q6_pushdown(spark, sf_dir):
+    """Q6 predicates must reach the parquet scan as pushed filters."""
+    from arrow_udf_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q6"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_tpch_q18_preaggregates_fact(spark, sf_dir):
+    """Q18 must aggregate lineitem to per-order quantity BEFORE any join —
+    the first HashAggregate in the plan tree sits directly over the scan,
+    with partial aggregation (map-side combine) ahead of the shuffle."""
+    from arrow_udf_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q18"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    # partial_sum proves map-side combine before the exchange
+    assert "partial_sum" in plan, plan[:500]
+
+
+def test_chunk_documents_stays_jvm_side(spark, sf_dir):
+    """Sliding-window chunking is sequence/explode/substring — pure
+    Catalyst, no Python eval node, no shuffle (per-row fan-out)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan, "chunking must not shuffle"
