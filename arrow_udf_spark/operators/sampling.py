@@ -109,3 +109,40 @@ def negative_pairs(
         10,
     ).cast("long")
     return pairs.withColumn("partner", h % n_rows)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — the corpus-mixture
+    primitive of a training-data pipeline (each source kept at its own
+    rate, e.g. upweight books / downweight crawl).
+
+    The (stratum → rate) table is tiny and broadcast-joined onto the fact,
+    so the plan is scan → BroadcastHashJoin → filter: no shuffle of the
+    corpus at any scale, and the md5 keep-decision is reproducible row-wise
+    across engines and re-runs (same family as ``hash_sample``).  Strata
+    missing from ``rates_bp`` fall back to ``default_bp``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [(k, int(v)) for k, v in rates_bp.items()],
+        f"{stratum} string, rate_bp int",
+    )
+    h = F.conv(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(broadcast(weights), stratum, "left")
+        .where(h % 10000 < F.coalesce(F.col("rate_bp"), F.lit(int(default_bp))))
+        .drop("rate_bp")
+    )

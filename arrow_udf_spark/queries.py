@@ -2773,3 +2773,33 @@ def q_chunk_documents(spark, sf):
     from .operators.text import chunk_documents
 
     return chunk_documents(t(spark, sf, "documents"))
+
+
+@query(
+    "corpus_mixture",
+    """
+    WITH w(source, rate_bp) AS (
+        VALUES ('src0', 10000), ('src1', 5000), ('src2', 2500)
+    )
+    SELECT doc_id, source FROM documents d
+    LEFT JOIN w USING (source)
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < coalesce(rate_bp, 1000)
+    """,
+)
+def q_corpus_mixture(spark, sf):
+    """Corpus mixture sampling: keep src0 at 100%, src1 at 50%, src2 at
+    25%, everything else at 10% — deterministic md5 Bernoulli per doc, so
+    the sampled set is identical across engines, re-runs, and cluster
+    sizes (no rand(), no per-partition state)."""
+    from .operators.sampling import stratified_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d,
+        stratum="source",
+        key="doc_id",
+        rates_bp={"src0": 10000, "src1": 5000, "src2": 2500},
+        default_bp=1000,
+        salt="mix",
+    )
