@@ -149,3 +149,61 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def repetition_ratio(
+    df,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+):
+    """Gopher-style repetition quality signal: the fraction of duplicate
+    word n-grams in each document (1 - unique/total).  High values flag
+    boilerplate / spam for corpus filtering.
+
+    Pure Catalyst: split → sequence/transform n-gram build →
+    array_distinct, all inside whole-stage codegen, no shuffle (per-row).
+    The one-arg transform lambda is deliberate — Spark passes the element
+    index to a second lambda arg, which would corrupt closure-bound
+    constants.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ntok = F.size(toks)
+    # sequence(0, -k) ramps DOWN — guard docs shorter than n tokens
+    grams = F.when(
+        ntok >= n,
+        F.transform(
+            F.sequence(F.lit(0), ntok - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.withColumn("__g", grams).select(
+        key,
+        F.size(F.col("__g")).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(F.col("__g"))).cast("long").alias("n_unique"),
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.floor(
+            (F.lit(1.0) - F.lit(1.0) * F.col("n_unique") / F.col("n_grams")) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    return out.withColumn("dup_ratio", ratio)
+
+
+def redact_pii(df, text_col: str = "text", key: str = "doc_id"):
+    """Scrub emails and long digit runs from text — the standard PII pass
+    before training-data release.  Two chained regexp_replace expressions
+    (patterns valid in both Java regex and RE2), JVM-side, zero shuffle."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col(text_col), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        "[0-9]{6,}",
+        "<NUM>",
+    )
+    return df.select(key, redacted.alias("redacted"))

@@ -2803,3 +2803,52 @@ def q_corpus_mixture(spark, sf):
         default_bp=1000,
         salt="mix",
     )
+
+
+@query(
+    "repetition_ratio",
+    r"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END AS g
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_unique,
+           CASE WHEN len(g) > 0
+                THEN floor((1.0 - 1.0 * len(list_distinct(g)) / len(g)) * 1e6
+                           + 0.5) / 1e6
+                END AS dup_ratio
+    FROM g
+    """,
+)
+def q_repetition_ratio(spark, sf):
+    """Duplicate-trigram ratio per document (Gopher repetition filter)."""
+    from .operators.text import repetition_ratio
+
+    return repetition_ratio(t(spark, sf, "documents"))
+
+
+@query(
+    "redact_pii",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_redact_pii(spark, sf):
+    """Email + long-digit-run scrubbing over the documents corpus."""
+    from .operators.text import redact_pii
+
+    return redact_pii(t(spark, sf, "documents"))

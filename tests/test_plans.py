@@ -36,7 +36,7 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     no Python evaluation node may appear in their plans."""
     from arrow_udf_spark.queries import QUERIES
 
-    for name in ["minhash_signature", "simhash", "fingerprint", "lang_id", "token_count", "quality_score"]:
+    for name in ["minhash_signature", "simhash", "fingerprint", "lang_id", "token_count", "quality_score", "repetition_ratio", "redact_pii"]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:300]}"
         # (higher-order fns are JVM-interpreted expressions; they don't
