@@ -2852,3 +2852,51 @@ def q_redact_pii(spark, sf):
     from .operators.text import redact_pii
 
     return redact_pii(t(spark, sf, "documents"))
+
+
+@query(
+    "tpch_q19",
+    """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 (discounted revenue, predicates adapted — no
+    p_container/shipmode columns exist; the brand/size/quantity
+    disjunction structure is preserved).  Catalyst splits the disjunction:
+    the common part-side condition (brand IN, size <= 30) prunes the
+    broadcast build side, the quantity ranges filter the fact at the scan,
+    and the full disjunction evaluates once post-join."""
+    from pyspark.sql.functions import broadcast
+
+    p = t(spark, sf, "part")
+    li = t(spark, sf, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )

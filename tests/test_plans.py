@@ -122,7 +122,7 @@ def test_tpch_carriers_broadcast_dims(spark, sf_dir):
     partitioned across 1000 executors, dims still fit in memory)."""
     from arrow_udf_spark.queries import QUERIES
 
-    for name in ["tpch_q3", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14"]:
+    for name in ["tpch_q3", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q19"]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:400]}"
 
