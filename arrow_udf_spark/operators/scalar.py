@@ -174,15 +174,33 @@ def _eval_rows(
         # per-call deadline (reference A21, javascript/mod.rs:245-260):
         # run each row on a watchdog pool; late rows become error rows.
         # The worker thread is not killed (CPython can't), but the batch
-        # stops waiting for it.
-        with ThreadPoolExecutor(max_workers=spec.io_threads or 1) as pool:
+        # stops waiting for it: the pool is shut down without waiting and
+        # with pending futures cancelled, so a wedged call leaks only its
+        # one thread instead of blocking the executor task.  Deadlines are
+        # measured from a shared batch start so n sequential waits cannot
+        # compound to n*timeout.
+        import time as _time
+        from concurrent.futures import CancelledError
+
+        workers = spec.io_threads or 1
+        pool = ThreadPoolExecutor(max_workers=workers)
+        try:
             futures = [pool.submit(call_one, r) for r in rows]
+            # shared batch deadline: the legitimate budget is one timeout per
+            # execution wave (ceil(n/workers)); waits on individual futures
+            # overlap against it, so a single wedged call cannot make the
+            # batch wait n*timeout.
+            waves = -(-len(rows) // workers)
+            deadline = _time.monotonic() + spec.timeout * waves
             results = []
             for f in futures:
+                remaining = deadline - _time.monotonic()
                 try:
-                    results.append(f.result(timeout=spec.timeout))
-                except FuturesTimeout:
+                    results.append(f.result(timeout=max(0.0, remaining)))
+                except (FuturesTimeout, TimeoutError, CancelledError):
                     results.append((None, "timeout"))
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
     elif spec.io_threads and spec.io_threads > 1:
         with ThreadPoolExecutor(max_workers=spec.io_threads) as pool:
             results = list(pool.map(call_one, rows))

@@ -393,13 +393,18 @@ def q_json_array_elements(spark, sf):
 @query(
     "sum_udaf",
     """
-    SELECT l_returnflag, SUM(CAST(l_quantity AS BIGINT)) AS sum_udaf
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_udaf
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_sum_udaf(spark, sf):
+    # Outer CAST on the oracle side: DuckDB SUM(BIGINT) widens to HUGEINT,
+    # which renders differently from Spark's int64 under the driver's exact
+    # value hash.  Pin both engines to int64.
     li = t(spark, sf, "lineitem").withColumn("q", F.col("l_quantity").cast("long"))
-    return C.SumAgg.agg(li, by=["l_returnflag"], args=["q"])
+    out = C.SumAgg.agg(li, by=["l_returnflag"], args=["q"])
+    return out.select("l_returnflag", F.col("sum_udaf").cast("long").alias("sum_udaf"))
 
 
 @query(
@@ -725,15 +730,19 @@ def q_ngram_jaccard(spark, sf):
     FROM embeddings l JOIN embeddings r
       ON l.label = r.label AND l.vec_id < r.vec_id
     WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
-                                       CAST(r.embedding AS DOUBLE[])), 6) >= 0.5
+                                       CAST(r.embedding AS DOUBLE[])), 6) >= 0.3
     """,
 )
 def q_embedding_near_dup(spark, sf):
+    # threshold 0.3: the synthetic embeddings max out near cosine 0.47, so a
+    # 0.5 cut returns 0 rows on both engines — a vacuous pass.  0.3 yields
+    # ~80-110 pairs at the sf0.001/sf0.01 gate scales, actually exercising
+    # the bucketed join + cosine + threshold path.
     from .operators.dedup import embedding_near_dup
 
     e = t(spark, sf, "embeddings")
     return embedding_near_dup(
-        e, "vec_id", "embedding", "label", threshold=0.5
+        e, "vec_id", "embedding", "label", threshold=0.3
     )
 
 
@@ -934,9 +943,13 @@ def q_sample_frames(spark, sf):
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           round(AVG(l_discount), 6) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_base_price_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+           floor(CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -944,17 +957,44 @@ def q_sample_frames(spark, sf):
     """,
 )
 def q_tpch_q1(spark, sf):
+    # Exact-cent BIGINT math on both engines (TPC-H money is 2-dp by spec);
+    # decimal SUM widening differs between Spark (38,2→28,2) and DuckDB
+    # (→38,2/HUGEINT) and fails the driver's exact value hash.  avg_disc is an
+    # integer-percent sum divided once — a single deterministic IEEE division —
+    # then portable-rounded with floor(x*1e6+0.5)/1e6 (engines disagree on
+    # round() midpoints).
     li = t(spark, sf, "lineitem")
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_price_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    disc_pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                "sum_base_price"
-            ),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(disc_price_cents).alias("sum_disc_price_cents"),
+            F.sum(disc_pct).alias("disc_pct_sum"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_cents",
+            "sum_disc_price_cents",
+            (
+                F.floor(
+                    F.col("disc_pct_sum").cast("double")
+                    / (100.0 * F.col("count_order"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -1012,14 +1052,19 @@ def q_window_topk(spark, sf):
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
 )
 def q_rollup(spark, sf):
+    # BIGINT sum on both engines (decimal widening renders differently under
+    # the exact hash); grouping_id() disambiguates NULL-valued rollup rows
+    # from genuine NULL group keys.
     li = t(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
     )
 
 
@@ -2900,3 +2945,103 @@ def q_tpch_q19(spark, sf):
         .where(cond)
         .agg(F.sum(cents).alias("revenue_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog ordering for the driver's correctness gate
+# ---------------------------------------------------------------------------
+# The driver walks ``queries()`` in dict order and gates as many entries as
+# its budget allows (round 1 covered exactly the first 50 of 108).  Order the
+# catalog so the least-proven entries meet the hash gate first:
+#   1. the four queries re-worked after round 1 (3 hash-rendering fixes + the
+#      de-vacuated embedding_near_dup) — must re-prove;
+#   2. the 58 queries added after the round-1 gate ran, most
+#      architecturally-unique environments first (remote table exchange,
+#      streaming, iterative clustering, temporal, sampling, TPC-H breadth);
+#   3. the 46 queries already fully green in CORRECTNESS_r01.
+_GATE_PRIORITY = [
+    # -- re-worked after round-1 verdict --
+    "sum_udaf",
+    "tpch_q1",
+    "rollup_agg",
+    "embedding_near_dup",
+    # -- never driver-gated: unique environments --
+    "remote_series_udtf",
+    "streaming_window_agg",
+    "dup_clusters",
+    "pipeline_e2e",
+    # -- temporal operators --
+    "asof_join",
+    "sessionize",
+    "range_join_count",
+    "resample_ffill",
+    # -- sampling / training-data ops --
+    "hash_sample",
+    "corpus_mixture",
+    "pack_sequences",
+    "negative_pairs",
+    # -- text pipeline ops --
+    "chunk_documents",
+    "repetition_ratio",
+    "redact_pii",
+    "tfidf_topterms",
+    "vocab_topk",
+    # -- TPC-H breadth --
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    # -- relational carriers --
+    "cube_agg",
+    "grouping_sets",
+    "window_functions",
+    "global_topk",
+    "pivot_agg",
+    "upsert_latest",
+    "semi_anti_join",
+    "set_ops_full",
+    "string_agg_nations",
+    "stats_aggs",
+    "percentiles",
+    "value_histogram",
+    "expr_breadth",
+    "skew_agg",
+    "salted_join_agg",
+    # -- scalar/type corpus variants --
+    "count_udaf",
+    "gcd3_fn",
+    "map_fn",
+    "struct_to_json_fn",
+    "json_concat_fn",
+    "float_to_decimal_fn",
+    "binary_fns",
+    "array_identity_fn",
+    "split_words_udtf",
+    "return_all_fn",
+    "interval_add_fn",
+    "decimal_native_math",
+    "uint64_widening",
+    "audio_chunks",
+]
+
+
+def _reorder_catalog() -> None:
+    ordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
+    for n, fn in QUERIES.items():
+        ordered.setdefault(n, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o = {n: ORACLE[n] for n in ordered if n in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(o)
+
+
+_reorder_catalog()

@@ -65,7 +65,12 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
     identically whether a function runs in-process or remote).
     """
 
-    def __init__(self, location: str = "grpc://0.0.0.0:0"):
+    def __init__(self, location: str = "grpc://127.0.0.1:0"):
+        # Loopback by default: the server exposes every registered UDF
+        # (including fetch()-style functions, an SSRF primitive) to any peer
+        # that can reach the port.  Exposing beyond loopback requires
+        # explicitly passing a location AND fronting it with auth/TLS
+        # (Flight middleware) — see reference arrow-udf-remote server docs.
         super().__init__(location)
         self._fns: dict[str, ScalarFunction] = {}
         self._tfs: dict[str, TableFunction] = {}

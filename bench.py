@@ -4,9 +4,11 @@ Prints exactly one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>}
 
-Each query is collected (materialized) so the measurement covers the full
-scan -> compute -> gather path.  A warm-up query runs first so JVM/Python
-worker startup is not billed to the first benchmark entry.
+Each query is fully materialized with a ``noop``-format write, which
+evaluates every output column and row (a bare ``count()`` would let Catalyst
+prune the operator under test — UDF/window/join stages can be dropped
+entirely when only a row count is demanded).  A warm-up query runs first so
+JVM/Python worker startup is not billed to the first benchmark entry.
 """
 
 from __future__ import annotations
@@ -74,14 +76,18 @@ def main() -> None:
         if fn is None:
             continue
         # best of 2: first run pays Python-worker spin-up for this plan
-        # shape, second run measures steady-state throughput
-        best, n = None, 0
+        # shape, second run measures steady-state throughput.  noop write
+        # forces evaluation of EVERY output column/row (count() would let
+        # Catalyst column-prune the operator under test).
+        best = None
+        df = None
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        n = df.count()  # untimed, reporting only
         timings[name] = round(best, 3)
         sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
 

@@ -1,7 +1,12 @@
 """Local replica of the driver's correctness gate: run every entry of
 ``queries()`` on Spark and its ``oracle_sql()`` on DuckDB over the same
 parquet tables; compare row count, column names, and order-insensitive
-values (floats rounded to 6 dp, per FIXTURES.md conventions).
+values.
+
+Value comparison is STRICT: floats via shortest-round-trip repr (no 6 dp
+masking — the driver hashes exact renderings, so queries must do their own
+portable rounding), decimals exactly.  A query that only passes under lossy
+normalization would fail the driver's hash gate.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -34,10 +39,9 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "␀"
-        r = round(v, 6)
-        if r == int(r):
-            return str(int(r))
-        return f"{r:.6f}".rstrip("0")
+        if v == 0.0:
+            return "0.0"  # fold -0.0 into 0.0
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, bytes):
@@ -52,8 +56,9 @@ def norm_cell(v) -> str:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return norm_cell(f)
+            # exact plain rendering; trailing zeros kept so scale differences
+            # between engines surface here instead of at the driver's hash
+            return format(v, "f")
     except Exception:
         pass
     return str(v)
