@@ -81,7 +81,25 @@ class AggregateFunction:
         fold) runs once, then finish.  Spark does not split GROUPED_AGG
         into partials — for the distributed two-phase plan use
         :meth:`agg`; this path is the SQL-compatibility surface.
+
+        SCALE WARNING (emitted once per aggregate at wrap time): Spark
+        ships every row of a group to a single Python worker for
+        GROUPED_AGG — there is no map-side combine, so a hot key at large
+        scale concentrates the whole group's rows on one task.  The
+        DataFrame :meth:`agg` path shuffles only O(groups) pickled partial
+        states and is the one to use in pipelines.
         """
+        import warnings
+
+        warnings.warn(
+            f"aggregate '{self.sig.name}' registered for SQL via GROUPED_AGG: "
+            "Spark evaluates this without partial aggregation (every row of a "
+            "group moves to one worker). For large/skewed keys use the "
+            "distributed two-phase AggregateFunction.agg(df, by=..., args=...) "
+            "path instead.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         from pyspark.sql.functions import pandas_udf
 
         try:

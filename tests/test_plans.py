@@ -66,10 +66,6 @@ def test_scalar_udf_single_python_eval(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
 
 
-def _plan(df):
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_pipeline_e2e_single_scan(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
@@ -122,9 +118,24 @@ def test_tpch_carriers_broadcast_dims(spark, sf_dir):
     partitioned across 1000 executors, dims still fit in memory)."""
     from arrow_udf_spark.queries import QUERIES
 
-    for name in ["tpch_q3", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q19"]:
+    for name in [
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q10",
+        "tpch_q14",
+        "tpch_q17",
+        "tpch_q19",
+    ]:
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:400]}"
+        # the fact table must not be exchanged for a *dimension* join.  q17 is
+        # exempt from the shuffle-join ban: it joins lineitem against its own
+        # per-part aggregate — both sides fact-scale at 100 TB — where a
+        # co-partitioned shuffle join on l_partkey is the correct plan.
+        if name != "tpch_q17":
+            assert "SortMergeJoin" not in plan, f"{name}: fact shuffled for a join"
 
 
 def test_tpch_q6_pushdown(spark, sf_dir):

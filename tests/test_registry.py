@@ -108,3 +108,19 @@ def test_udaf_sql_registration(spark):
     for r in got:
         s, w = exp[r.l_returnflag]
         assert r.s == s and abs(r.w - w) < 1e-6
+
+
+def test_udaf_sql_surface_warns_no_partial_agg(spark):
+    """The SQL GROUPED_AGG surface cannot do map-side combine (Spark ships
+    the whole group to one worker); wrapping must warn loudly so pipelines
+    reach for the two-phase AggregateFunction.agg path on hot keys."""
+    import warnings
+
+    from arrow_udf_spark.functions import corpus as C
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        C.SumAgg.as_spark_grouped_agg()
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("without partial aggregation" in m for m in msgs), msgs
+    assert any("agg(df, by=" in m for m in msgs), msgs
