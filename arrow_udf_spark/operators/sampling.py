@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "pack_sequences", "negative_pairs"]
+__all__ = ["hash_sample", "pack_sequences", "negative_pairs", "split_assign"]
 
 
 def hash_sample(
@@ -146,3 +146,43 @@ def stratified_sample(
         .where(h % 10000 < F.coalesce(F.col("rate_bp"), F.lit(int(default_bp))))
         .drop("rate_bp")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 9000),
+        ("val", 500),
+        ("test", 500),
+    ),
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket each row by
+    ``md5(key) mod 10000`` (basis points) and map cumulative ranges to split
+    names.  Pure integer compares on the same md5 primitive as
+    :func:`hash_sample` — no RNG, stable under re-runs/repartitioning, and
+    bit-identical across engines.  Per-row map-side work: no shuffle, so it
+    composes with any downstream write at 100 TB.
+
+    ``splits`` is ``(name, weight_bp)`` pairs; weights must sum to 10000.
+    """
+    total = sum(w for _, w in splits)
+    if total != 10000:
+        raise ValueError(f"split weights must sum to 10000 bp, got {total}")
+    h = F.conv(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))).substr(1, 8),
+        16,
+        10,
+    ).cast("long") % 10000
+    expr = None
+    hi = 0
+    for name, w in splits[:-1]:
+        hi += w
+        cond = h < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
+    )
+    return df.withColumn(out, expr)

@@ -227,10 +227,21 @@ def _eval_clean(
         if not spec.fallible:
             return spec.fn(*cols), None
         try:
-            return spec.fn(*cols), None
+            res = spec.fn(*cols)
         except Exception:
             # vectorized fast path failed -> re-run row-wise to isolate errors
             return _eval_rows(spec, cols, n)
+        if isinstance(res, pd.DataFrame) and {"value", "error"}.issubset(res.columns):
+            # vectorized-fallible protocol: the batch fn computed the error
+            # column itself (masked numpy arithmetic), so bad rows never
+            # raise and the whole batch stays on the fast path.  Mirrors the
+            # reference's batched Result mode.
+            errs = res["error"].astype(object).where(res["error"].notna(), None)
+            has = errs.notna().any()
+            return res["value"].reset_index(drop=True), (
+                errs.reset_index(drop=True) if has else None
+            )
+        return res, None
     return _eval_rows(spec, cols, n)
 
 

@@ -678,11 +678,12 @@ def _simhash_oracle(bits: int = 16) -> str:
 
 @query("simhash", _simhash_oracle())
 def q_simhash(spark, sf):
-    from .operators.dedup import simhash
+    # with_simhash materializes the per-token hash array in its own
+    # projection so the 16 bit-vote filters don't each recompute the md5s
+    from .operators.dedup import with_simhash
 
-    return t(spark, sf, "documents").select(
-        "doc_id", simhash(F.col("text")).alias("sh")
-    )
+    d = t(spark, sf, "documents")
+    return with_simhash(d, "text", out="sh").select("doc_id", "sh")
 
 
 @query(
@@ -2947,6 +2948,64 @@ def q_tpch_q19(spark, sf):
     )
 
 
+@query(
+    "split_assign",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < 9000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < 9500 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark, sf):
+    # deterministic 90/5/5 corpus split: md5 basis-point bucketing, no RNG,
+    # identical assignment in any engine and under any repartitioning
+    from .operators.sampling import split_assign
+
+    d = t(spark, sf, "documents")
+    return split_assign(d, key="doc_id").select("doc_id", "split")
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS g
+      FROM (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
+    ),
+    eval_g AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(any_value(t.n_grams) AS BIGINT) AS n_grams
+    FROM (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
+          FROM grams WHERE doc_id % 97 <> 0) t
+    JOIN eval_g e USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark, sf):
+    # Benchmark decontamination: training docs sharing any word 3-gram with
+    # the (deterministic doc_id % 97 == 0) eval slice.  Eval shingle set is
+    # broadcast; the corpus explodes map-side and only hits reach a shuffle.
+    from .operators.dedup import decontaminate
+
+    d = t(spark, sf, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering for the driver's correctness gate
 # ---------------------------------------------------------------------------
@@ -2977,10 +3036,12 @@ _GATE_PRIORITY = [
     "resample_ffill",
     # -- sampling / training-data ops --
     "hash_sample",
+    "split_assign",
     "corpus_mixture",
     "pack_sequences",
     "negative_pairs",
     # -- text pipeline ops --
+    "decontaminate",
     "chunk_documents",
     "repetition_ratio",
     "redact_pii",

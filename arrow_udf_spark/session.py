@@ -31,6 +31,12 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # split file scans into at least defaultParallelism partitions:
+        # without this a single ~100 MB parquet scans as 1-3 tasks and any
+        # Python-UDF stage above it is capped at 3-way parallelism on a
+        # 32-core executor.  Expressed as a partition COUNT (not a byte
+        # size) so the same config is scale-correct on a real cluster.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.python.worker.reuse", "true")
         # Arrow-optimized native Python UDTFs (the SQL LATERAL surface)

@@ -167,3 +167,13 @@ def test_chunk_documents_stays_jvm_side(spark, sf_dir):
     plan = _plan(QUERIES["chunk_documents"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan, "chunking must not shuffle"
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """Decontamination must broadcast the (small) eval shingle set and never
+    shuffle-join the exploded corpus side."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
