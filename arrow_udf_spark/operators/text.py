@@ -25,6 +25,8 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "STOPWORDS",
+    "normalize_text",
+    "source_quota",
 ]
 
 #: small fixed stopword lists per language (order = tiebreak priority)
@@ -207,3 +209,37 @@ def redact_pii(df, text_col: str = "text", key: str = "doc_id"):
         "<NUM>",
     )
     return df.select(key, redacted.alias("redacted"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    whitespace runs to single spaces, trim.  Pure Catalyst string exprs —
+    per-row map work, no shuffle, safe at any scale.  (Unicode NFC/NFKC is
+    deliberately NOT applied here: normalization forms differ subtly across
+    engines/ICU versions, which would break cross-engine reproducibility of
+    content hashes.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def source_quota(
+    df,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+):
+    """Cap documents per source/domain (anti-spam corpus balancing): keep at
+    most ``quota`` docs per source, chosen deterministically by md5(id) so
+    the survivors are a stable pseudo-random sample, not a scan-order
+    artifact.  One window per source partition — shuffles O(rows) once on
+    the source key; heavy domains are exactly the rows the quota discards,
+    so skew self-limits at emission."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

@@ -1441,6 +1441,40 @@ def q_streaming_window_agg(spark, sf):
     )
 
 
+@query(
+    "streaming_dedup_digests",
+    """
+    SELECT DISTINCT md5(text) AS h FROM documents
+    """,
+)
+def q_streaming_dedup(spark, sf):
+    """Streaming exact-dedup carrier: documents replayed as a file stream
+    through ``streaming_dedup`` (state-store digest set, dropDuplicates),
+    emitted via availableNow.  The surviving DISTINCT digest set is
+    deterministic even though which duplicate row wins is not — so the
+    digest set is what the batch oracle checks."""
+    import tempfile
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import streaming_dedup
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="stream_dd_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    out = streaming_dedup(stream, "text").select(F.md5("text").alias("h"))
+    sink = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT h FROM {sink}")
+
+
 # ---------------------------------------------------------------------------
 # pipeline: deterministic sampling, vocabulary, sequence packing
 # ---------------------------------------------------------------------------
@@ -2949,6 +2983,46 @@ def q_tpch_q19(spark, sf):
 
 
 @query(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def q_normalize_text(spark, sf):
+    # canonicalization ahead of content-hash dedup; md5 of the normal form
+    # proves byte-identical normalization across engines
+    from .operators.text import normalize_text
+
+    d = t(spark, sf, "documents")
+    n = normalize_text("text")
+    return d.select("doc_id", n.alias("norm"), F.md5(n).alias("norm_hash"))
+
+
+@query(
+    "source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q_source_quota(spark, sf):
+    # per-domain quota: keep a deterministic md5-ordered sample of at most
+    # 10 docs per source (corpus balancing / anti-spam capping)
+    from .operators.text import source_quota
+
+    d = t(spark, sf, "documents")
+    return source_quota(d, quota=10).select("doc_id", "source")
+
+
+@query(
     "split_assign",
     """
     SELECT doc_id,
@@ -3027,6 +3101,7 @@ _GATE_PRIORITY = [
     # -- never driver-gated: unique environments --
     "remote_series_udtf",
     "streaming_window_agg",
+    "streaming_dedup_digests",
     "dup_clusters",
     "pipeline_e2e",
     # -- temporal operators --
@@ -3042,6 +3117,8 @@ _GATE_PRIORITY = [
     "negative_pairs",
     # -- text pipeline ops --
     "decontaminate",
+    "normalize_text",
+    "source_quota",
     "chunk_documents",
     "repetition_ratio",
     "redact_pii",

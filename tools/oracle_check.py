@@ -110,13 +110,17 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
-                print(f"  {name:28s} ROWS-ONLY ({n} rows)")
+                dt = time.perf_counter() - t0
+                print(f"  {name:28s} ROWS-ONLY ({n} rows) [{dt:.2f}s]")
             except Exception as e:
                 print(f"  {name:28s} ERROR {e}")
                 failed.append(name)
@@ -125,7 +129,8 @@ def main() -> int:
             ok, msg = compare(name, fn(spark, sf_dir), con, oracles[name])
         except Exception as e:
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
-        print(f"  {name:28s} {'PASS' if ok else 'FAIL'} {msg}")
+        dt = time.perf_counter() - t0
+        print(f"  {name:28s} {'PASS' if ok else 'FAIL'} {msg} [{dt:.2f}s]")
         if not ok:
             failed.append(name)
     print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
