@@ -3,11 +3,19 @@
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / frame-sample run as Arrow-batched functions over
 ``mapInPandas``.  The Spark-side plumbing — schemas, batch iteration,
-partition-parallel decode, UDTF-style frame fan-out — is real and tested;
-the actual codec call is STUBBED (this container has no image/audio
-libraries): ``decode_image_meta(real_decode=True)`` raises
-``NotImplementedError``, and the default path derives deterministic fake
-metadata from the payload bytes so the full pipeline is oracle-checkable.
+partition-parallel decode, UDTF-style frame fan-out — is real and tested.
+
+Decode status by format:
+
+- **WAV (RIFF/PCM)** and **PPM (P6)** / **BMP**: REAL encode + parse,
+  implemented here with ``struct``/numpy only (these container formats
+  need no codec library).  ``wav_meta`` runs a genuine
+  synthesize→bytes→parse roundtrip whose metadata is oracle-checked.
+- **Compressed codecs (JPEG/PNG/MP3/H.264 …)**: STUBBED — this container
+  has no codec libraries; ``decode_image_meta(real_decode=True)`` parses
+  PPM/BMP payloads for real and raises ``NotImplementedError`` for codec
+  magics, and the default fake path derives deterministic metadata from
+  payload bytes so the full pipeline stays oracle-checkable.
 
 At scale: decode is per-row CPU work with no shuffle — it parallelizes
 perfectly across executors; the only sizing concern is Arrow batch bytes
@@ -17,7 +25,8 @@ perfectly across executors; the only sizing concern is Arrow batch bytes
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -26,7 +35,17 @@ from pyspark.sql import types as T
 
 from ..operators.table import udtf
 
-__all__ = ["synthesize_payload", "decode_image_meta", "sample_frames", "IMAGE_META"]
+__all__ = [
+    "synthesize_payload",
+    "decode_image_meta",
+    "sample_frames",
+    "IMAGE_META",
+    "encode_wav_pcm16",
+    "parse_wav_meta",
+    "encode_ppm",
+    "parse_image_header",
+    "wav_meta",
+]
 
 #: metadata struct produced by decode
 IMAGE_META = T.StructType(
@@ -45,6 +64,132 @@ def synthesize_payload(text: Column | str) -> Column:
     return F.unhex(F.md5(c))
 
 
+# ---------------------------------------------------------------------------
+# REAL container formats (no codec library needed): WAV/RIFF, PPM, BMP
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Encode int16 PCM samples as a canonical 44-byte-header WAV file."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(pcm)),
+            b"WAVEfmt ",
+            struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16),
+            b"data",
+            struct.pack("<I", len(pcm)),
+            pcm,
+        ]
+    )
+
+
+def parse_wav_meta(payload: Optional[bytes]) -> Optional[dict]:
+    """Parse a RIFF/WAVE header — independent of the encoder above, walking
+    chunks properly (fmt may not be the first chunk in the wild)."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    _audio_fmt, n_channels, sample_rate, _br, block_align, bits = fmt
+    n_samples = data_len // block_align if block_align else 0
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate if sample_rate else 0,
+        "n_bytes": len(payload),
+    }
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes as binary PPM (P6)."""
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
+    """Parse width/height/channels from PPM (P6) or BMP headers — the two
+    image containers decodable without a codec library.  Returns None for
+    anything else (JPEG/PNG need real codecs; see module docstring)."""
+    if payload is None:
+        return None
+    if payload[:2] == b"P6":
+        try:
+            parts = payload[2:64].split()
+            w, h = int(parts[0]), int(parts[1])
+            return {"width": w, "height": h, "channels": 3, "n_bytes": len(payload)}
+        except (ValueError, IndexError):
+            return None
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        return {
+            "width": w,
+            "height": abs(h),  # negative height = top-down DIB
+            "channels": max(1, bpp // 8),
+            "n_bytes": len(payload),
+        }
+    return None
+
+
+WAV_META = T.StructType(
+    [
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def wav_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real audio roundtrip: per row, synthesize a deterministic PCM16 WAV
+    (sine-ish integer ramp keyed on the id), then parse it back with the
+    independent RIFF chunk walker and emit the metadata struct.
+
+    Proves the binary-column plumbing on genuine WAV bytes: encoder and
+    parser share nothing but the format spec, so a bug in either breaks
+    the oracle (metadata is integer math on the id → SQL-expressible).
+    Per-row map work over ``mapInPandas``; no shuffle.
+    """
+    import numpy as np
+
+    out_schema = T.StructType([df.schema[id_col], T.StructField("meta", WAV_META)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf.iloc[:, 0]
+            metas = []
+            for i in ids:
+                n = 400 + int(i) % 50 * 16
+                sr = 8000
+                tone = (np.arange(n, dtype=np.int64) * (int(i) % 797 + 1) % 2048 - 1024).astype("<i2")
+                payload = encode_wav_pcm16(tone, sr)
+                metas.append(parse_wav_meta(payload))
+            out = pdf.iloc[:, :1].copy()
+            out["meta"] = metas
+            yield out
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
 def decode_image_meta(
     df: DataFrame,
     payload_col: str,
@@ -54,38 +199,41 @@ def decode_image_meta(
     """Decode image metadata from a binary payload column.
 
     Fake path (default): width/height/channels derived from the first
-    payload bytes — bit-identical to the SQL oracle.  Real path: stub that
-    raises until an image library is provisioned.
+    payload bytes — bit-identical to the SQL oracle (works on ANY binary
+    payload, including the 16-byte synthetic digests).  Real path: parses
+    PPM/BMP headers with :func:`parse_image_header`; compressed codec
+    payloads (JPEG/PNG magic) raise ``NotImplementedError`` — this
+    container ships no codec library.
     """
-    if real_decode:
-        raise NotImplementedError(
-            "real image decode requires an image library (PIL/opencv), "
-            "not present in this environment; the fake path exercises the "
-            "full Spark plumbing"
-        )
-
     out_schema = T.StructType(
         [df.schema[c] for c in passthrough]
         + [T.StructField("meta", IMAGE_META)]
     )
     n_pt = len(passthrough)
 
+    def meta_of(b):
+        if b is None:
+            return None
+        if real_decode:
+            m = parse_image_header(b)
+            if m is None:
+                raise NotImplementedError(
+                    "payload is not PPM/BMP; compressed codecs (JPEG/PNG/...) "
+                    "require an image library not present in this environment"
+                )
+            return m
+        return {
+            "width": b[0] % 64 + 1,
+            "height": b[1] % 64 + 1,
+            "channels": b[2] % 3 + 1,
+            "n_bytes": len(b),
+        }
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf.iloc[:, n_pt]
-            metas = [
-                None
-                if b is None
-                else {
-                    "width": b[0] % 64 + 1,
-                    "height": b[1] % 64 + 1,
-                    "channels": b[2] % 3 + 1,
-                    "n_bytes": len(b),
-                }
-                for b in payloads
-            ]
             out = pdf.iloc[:, :n_pt].copy()
-            out["meta"] = metas
+            out["meta"] = [meta_of(b) for b in payloads]
             yield out
 
     return df.select(*passthrough, payload_col).mapInPandas(decode, out_schema)

@@ -3023,6 +3023,40 @@ def q_source_quota(spark, sf):
 
 
 @query(
+    "wav_roundtrip",
+    """
+    SELECT doc_id,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           16 AS bits,
+           CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+           CAST((400 + (doc_id % 50) * 16) // 8 AS BIGINT) AS duration_ms,
+           CAST(44 + (400 + (doc_id % 50) * 16) * 2 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_wav_roundtrip(spark, sf):
+    """REAL audio container decode: synthesize PCM16 WAV bytes per doc,
+    re-parse them with an independent RIFF chunk walker (multimodal.py),
+    and check the recovered metadata against pure integer math.  No codec
+    library involved — WAV is struct-parseable — so this is a genuine
+    decode path, not the fake-metadata stub."""
+    from .operators.multimodal import wav_meta
+
+    d = t(spark, sf, "documents")
+    out = wav_meta(d, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.bits").alias("bits"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
     "split_assign",
     """
     SELECT doc_id,
@@ -3119,6 +3153,7 @@ _GATE_PRIORITY = [
     "decontaminate",
     "normalize_text",
     "source_quota",
+    "wav_roundtrip",
     "chunk_documents",
     "repetition_ratio",
     "redact_pii",

@@ -115,3 +115,44 @@ def test_split_assign_rejects_bad_weights():
     # weights are validated before any Spark access, so df=None is safe
     with pytest.raises(ValueError, match="10000"):
         split_assign(None, key="x", splits=(("a", 1), ("b", 2)))
+
+
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_encode_parse_roundtrip(n, sr, ch):
+    """parse_wav_meta must recover exactly what encode_wav_pcm16 wrote,
+    for any sample count / rate / channel layout."""
+    import numpy as np
+
+    from arrow_udf_spark.operators.multimodal import encode_wav_pcm16, parse_wav_meta
+
+    frames = n // ch * ch  # whole frames only
+    if frames == 0:
+        frames = ch
+    samples = np.arange(frames, dtype="<i2")
+    m = parse_wav_meta(encode_wav_pcm16(samples, sr, ch))
+    assert m["n_channels"] == ch and m["sample_rate"] == sr and m["bits"] == 16
+    assert m["n_samples"] == frames // ch
+    assert m["n_bytes"] == 44 + 2 * frames
+
+
+def test_image_header_parsers():
+    import struct as _s
+
+    from arrow_udf_spark.operators.multimodal import encode_ppm, parse_image_header
+
+    ppm = encode_ppm(17, 9, b"\x00" * (17 * 9 * 3))
+    assert parse_image_header(ppm) == {
+        "width": 17, "height": 9, "channels": 3, "n_bytes": len(ppm),
+    }
+    # minimal BMP header: signature, width/height at offset 18, planes at
+    # 26, bits-per-pixel at 28
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 33, -21) + b"\x00" * 2 + _s.pack("<H", 24) + b"\x00" * 10
+    m = parse_image_header(bmp)
+    assert (m["width"], m["height"], m["channels"]) == (33, 21, 3)
+    # codec formats are honestly rejected (no codec libs in container)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n....") is None
