@@ -41,6 +41,9 @@ __all__ = [
     "near_dup_pairs_jaccard",
     "embedding_near_dup",
     "cosine",
+    "decontaminate",
+    "lsh_join",
+    "with_simhash",
 ]
 
 SIMHASH_BITS = 16
@@ -85,23 +88,14 @@ def minhash_signature(text: Column | str, k: int = 8) -> Column:
     return F.array(*[F.array_min(F.transform(toks, perm(j))) for j in range(k)])
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 8,
-    band_size: int = 2,
-    max_bucket: int = 1000,
+def _banded(
+    df: DataFrame, id_col: str, text_col: str, k: int, band_size: int
 ) -> DataFrame:
-    """Banded-LSH candidate pairs ``(a, b)`` with a < b.
-
-    Signature of k minhashes split into k/band_size bands; docs sharing any
-    band value become a candidate pair.  Quadratic work is confined to
-    buckets, and buckets larger than ``max_bucket`` are dropped (skew guard).
-    """
+    """Explode each doc's minhash signature into (id, band, bval) rows —
+    the shared first stage of within-corpus and cross-corpus LSH."""
     n_bands = k // band_size
     sig = minhash_signature(F.col(text_col), k)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
         "id",
         F.explode(
             F.array(
@@ -117,6 +111,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(a, b)`` with a < b.
+
+    Signature of k minhashes split into k/band_size bands; docs sharing any
+    band value become a candidate pair.  Quadratic work is confined to
+    buckets, and buckets larger than ``max_bucket`` are dropped (skew guard).
+    """
+    banded = _banded(df, id_col, text_col, k, band_size)
 
     counts = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("c"))
     small = counts.where(F.col("c") <= max_bucket).select("band", "bval")
@@ -357,4 +368,44 @@ def decontaminate(
         .groupBy(id_col, "n_grams")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
         .select(id_col, "n_overlap", "n_grams")
+    )
+
+
+def lsh_join(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-corpus LSH: candidate near-dup pairs between an incoming batch
+    and an existing reference corpus — the incremental-ingestion dedup
+    shape ("is this new doc already in the corpus?").
+
+    Returns ``(new_id, ref_id)`` distinct pairs.  Both sides band with the
+    shared minhash family; the join is band-bucketed so the cross product
+    never materializes, and reference buckets above ``max_bucket`` are
+    dropped (a band value shared by thousands of reference docs is a
+    degenerate shingle, not a useful match — the standard skew guard).
+    At 100 TB the reference side's (band, bval) index is computed once and
+    reused across ingest batches.
+    """
+    nb = _banded(new_df, id_col, text_col, k, band_size)
+    rb = _banded(ref_df, id_col, text_col, k, band_size)
+
+    counts = rb.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("c"))
+    small = counts.where(F.col("c") <= max_bucket).select("band", "bval")
+    rb = rb.join(F.broadcast(small), ["band", "bval"])
+
+    return (
+        nb.alias("n")
+        .join(
+            rb.alias("r"),
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.bval") == F.col("r.bval")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("r.id").alias("ref_id"))
+        .distinct()
     )

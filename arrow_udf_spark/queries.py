@@ -3023,6 +3023,73 @@ def q_source_quota(spark, sf):
 
 
 @query(
+    "lsh_join_new_vs_ref",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+             ] AS s
+      FROM documents WHERE doc_id < 200
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s[1] || '|' || s[2] AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, s[3] || '|' || s[4] AS bval FROM sig
+    )
+    SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+    FROM bands n JOIN bands r
+      ON n.band = r.band AND n.bval = r.bval
+    WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    """,
+)
+def q_lsh_join(spark, sf):
+    # incremental-ingestion dedup: odd doc_ids are the "incoming batch",
+    # even ids the existing reference corpus; pairs = new docs whose minhash
+    # band collides with a reference doc
+    from .operators.dedup import lsh_join
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return lsh_join(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "text",
+        k=4,
+        band_size=2,
+        max_bucket=100_000,
+    )
+
+
+@query(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(source || ' ' || text,
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_tok
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark, sf):
+    # BPE-style pre-tokenization count: letter runs, digit runs, and
+    # punctuation runs count separately ("src1" -> 2 tokens), unlike the
+    # whitespace token_count.  RE2/Java-compatible character classes only.
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.expr(
+                r"regexp_extract_all(source || ' ' || text,"
+                r" '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)"
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+
+@query(
     "wav_roundtrip",
     """
     SELECT doc_id,
@@ -3154,6 +3221,8 @@ _GATE_PRIORITY = [
     "normalize_text",
     "source_quota",
     "wav_roundtrip",
+    "lsh_join_new_vs_ref",
+    "token_count_bpe",
     "chunk_documents",
     "repetition_ratio",
     "redact_pii",

@@ -177,3 +177,12 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
     p = _plan(QUERIES["decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lsh_join_is_band_bucketed_equi_join(spark, sf_dir):
+    """Cross-corpus LSH must join on (band, bval) equality — never a
+    cartesian/nested-loop pair blow-up."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["lsh_join_new_vs_ref"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
