@@ -408,6 +408,36 @@ def q_sum_udaf(spark, sf):
 
 
 @query(
+    "retract_udaf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linenumber % 5 = 0
+                         THEN -CAST(l_quantity AS BIGINT)
+                         ELSE  CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS retract_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_retract_udaf(spark, sf):
+    """Reference A8 ops-bitmap: rows flagged by the ops column are
+    RETRACTED (inverse-folded) instead of accumulated — here every 5th
+    line number.  The oracle models retraction as sign flip, which is
+    exactly what SumAgg.retract does; a UDAF with a wrong retract/merge
+    interaction diverges immediately."""
+    li = (
+        t(spark, sf, "lineitem")
+        .withColumn("q", F.col("l_quantity").cast("long"))
+        .withColumn("ops", F.col("l_linenumber") % 5 == 0)
+    )
+    out = C.SumAgg.accumulate_or_retract(
+        li, by=["l_returnflag"], args=["q"], ops_col="ops"
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_udaf").cast("long").alias("retract_sum")
+    )
+
+
+@query(
     "weighted_avg_udaf",
     """
     SELECT l_returnflag,
@@ -3199,6 +3229,8 @@ _GATE_PRIORITY = [
     "tpch_q1",
     "rollup_agg",
     "embedding_near_dup",
+    # -- A8 retract protocol, driver-gated for the first time --
+    "retract_udaf",
     # -- never driver-gated: unique environments --
     "remote_series_udtf",
     "streaming_window_agg",
