@@ -3053,6 +3053,50 @@ def q_source_quota(spark, sf):
 
 
 @query(
+    "unigram_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           floor(avg(ln(CAST(n AS DOUBLE) / c)) * 1e6 + 0.5) / 1e6
+             AS surprisal
+    FROM tok JOIN cnt USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark, sf):
+    """CCNet-style language-model quality proxy: mean token surprisal
+    ``avg(ln(N / count(token)))`` under the corpus's own unigram model.
+    Low = common boilerplate-ish text, high = rare-token text.
+
+    Two passes over documents (vocab counts, then scoring) — the standard
+    shape; the count table is corpus-vocabulary-sized and BROADCASTS, so
+    the scoring pass is map-side and the only shuffle is the per-doc avg.
+    """
+    from .operators.text import tokens
+
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tk"))
+    cnt = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar: corpus token count (an O(1) driver value)
+    return (
+        tok.join(F.broadcast(cnt), "tk")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.avg(F.log(F.lit(float(total)) / F.col("c"))) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("surprisal")
+        )
+    )
+
+
+@query(
     "lsh_join_new_vs_ref",
     f"""
     WITH sig AS (
@@ -3255,6 +3299,7 @@ _GATE_PRIORITY = [
     "wav_roundtrip",
     "lsh_join_new_vs_ref",
     "token_count_bpe",
+    "unigram_surprisal",
     "chunk_documents",
     "repetition_ratio",
     "redact_pii",
