@@ -262,9 +262,13 @@ def _dec_str(d: Decimal) -> str:
 )
 def decimal_add(a: pd.Series, b: pd.Series):
     """Exact arbitrary-precision add — reference example/src/lib.rs:54-57,
-    tests/tests.rs:573-592.  Batched: one precision context per Arrow batch
-    instead of a context-manager entry per row (~2x on the ext-decimal
-    string path; the Decimal objects themselves are irreducibly Python)."""
+    tests/tests.rs:573-592.
+
+    Batched: one precision context per Arrow batch instead of a
+    context-manager entry per row.  (An int64-cents "fast path" via pandas
+    ``.str`` ops was measured 2.8x SLOWER than this single-pass Decimal
+    loop — each ``.str`` call is its own object-dtype pass — so the
+    straightforward loop is the fast one.)"""
     with localcontext() as ctx:
         ctx.prec = 1000  # arbitrary precision, like PG unconstrained numeric
         return pd.Series(

@@ -156,3 +156,45 @@ def test_image_header_parsers():
     assert (m["width"], m["height"], m["channels"]) == (33, 21, 3)
     # codec formats are honestly rejected (no codec libs in container)
     assert parse_image_header(b"\x89PNG\r\n\x1a\n....") is None
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**15),
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=10**15),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_decimal_add_matches_decimal_reference(rows):
+    """Batched decimal_add must be bit-identical to plain Decimal+Decimal
+    rendering for every generated 2-dp input batch."""
+    from decimal import Decimal, localcontext
+
+    from arrow_udf_spark.functions.corpus import decimal_add
+
+    a = pd.Series([f"{w}.{f:02d}" for w, f, _, _ in rows])
+    b = pd.Series([f"{w}.{f:02d}" for _, _, w, f in rows])
+    got = decimal_add._eval(a, b)
+    with localcontext() as ctx:
+        ctx.prec = 1000
+        want = [format(Decimal(x) + Decimal(y), "f") for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+def test_decimal_add_odd_shapes():
+    """Negative / odd-scale / scientific / null inputs stay correct under
+    the arbitrary-precision path."""
+    from arrow_udf_spark.functions.corpus import decimal_add
+
+    a = pd.Series(["-1.50", "2.5", "1e2", None, "123.45"], dtype=object)
+    b = pd.Series(["0.25", "0.125", "1", "9.99", "0.55"], dtype=object)
+    got = decimal_add._eval(a, b)
+    assert got.tolist()[:3] == ["-1.25", "2.625", "101"]
+    assert pd.isna(got.tolist()[3])
+    assert got.tolist()[4] == "124.00"
