@@ -82,15 +82,23 @@ def div(a: pd.Series, b: pd.Series):
     av, bv = a.to_numpy(), b.to_numpy()
     null = pd.isna(av) | pd.isna(bv)
     zero = ~null & (bv == 0)
-    ok = ~(null | zero)
+    # INT64_MIN / -1 = 2^63 is unrepresentable in i64 (the reference's Rust
+    # i64 division panics on it) -> error row, not a silent wraparound
+    ovfl = ~null & ~zero & (av == -(2**63)) & (bv == -1)
+    ok = ~(null | zero | ovfl)
     values = np.full(len(av), None, dtype=object)
     if ok.any():
         ai = av[ok].astype("int64")
         bi = bv[ok].astype("int64")
-        q = np.abs(ai) // np.abs(bi)
-        values[ok] = np.where((ai >= 0) == (bi >= 0), q, -q)
+        # truncated division from floor division: floor + 1 when the signs
+        # differ and there is a remainder.  No abs() — np.abs(INT64_MIN)
+        # silently overflows to INT64_MIN and corrupts the quotient.
+        qf = ai // bi
+        r = ai - qf * bi
+        values[ok] = qf + ((r != 0) & ((ai < 0) != (bi < 0)))
     errors = np.full(len(av), None, dtype=object)
     errors[zero] = "division by zero"
+    errors[ovfl] = "integer overflow"
     return pd.DataFrame({"value": pd.Series(values), "error": pd.Series(errors)})
 
 

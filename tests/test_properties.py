@@ -57,6 +57,22 @@ def test_vectorized_div_matches_row_semantics(fns, rows):
         assert (re is None) == (ve is None), (rows[i], re, ve)
 
 
+def test_vectorized_div_int64_edges(fns):
+    """Truncated-division edge cases around INT64_MIN: the quotient must
+    not be corrupted by np.abs overflow, and INT64_MIN / -1 (2^63, not
+    representable in i64 — the reference's Rust i64 division panics there,
+    arrow-udf/arrow-udf-macros eval contract) becomes an error row."""
+    _, vdiv = fns
+    lo = -(2**63)
+    a = pd.Series([lo, lo, lo, -7, 7, -7], dtype="object")
+    b = pd.Series([-1, 1, 2, 2, -2, -2], dtype="object")
+    out = vdiv._eval(a, b)
+    assert pd.isna(out.loc[0, "value"])
+    assert out.loc[0, "error"] == "integer overflow"
+    assert out["value"].tolist()[1:] == [lo, -(2**62), -3, -3, 3]
+    assert out["error"].tolist()[1:] == [None] * 5
+
+
 @given(st.lists(opt_ints, min_size=1, max_size=64))
 @settings(max_examples=100, deadline=None)
 def test_null_propagation_returns_null_on_null_input(vals):
