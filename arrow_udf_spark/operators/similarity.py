@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from .dedup import cosine
 
-__all__ = ["brute_force_topk", "brute_force_topk_numpy", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_numpy", "ivf_topk", "quantize_int8"]
 
 
 def _as_double(col):
@@ -152,4 +152,34 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(x * 127 / s)``
+    with ``s = max(|x|)``, clamped to [-127, 127]; adds ``{out_col}``
+    (array<tinyint>) and ``{out_col}_scale`` (double).
+
+    The standard embedding-storage trick at corpus scale — 4× smaller than
+    float32, and int8 dot products are exact in int32 — expressed entirely
+    in Catalyst (``transform``/``array_max``; zero shuffle, zero Python).
+
+    Cross-engine determinism: float32→double widening is exact, the single
+    expression ``FLOOR((x*127)/s + 0.5)`` does multiply-then-divide in the
+    same order on both engines, and floor-based half-up rounding avoids
+    engine-specific ``round()`` midpoint rules (memory: engines disagree
+    there).  Zero vectors quantize to all-zero with scale 0.
+    """
+    x = F.col(vec_col)
+    s = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+
+    def _q(v):
+        raw = F.floor(v.cast("double") * F.lit(127.0) / F.col(f"{out_col}_scale") + F.lit(0.5))
+        clamped = F.greatest(F.lit(-127), F.least(F.lit(127), raw))
+        return F.when(F.col(f"{out_col}_scale") == 0, F.lit(0)).otherwise(clamped).cast("tinyint")
+
+    return df.withColumn(f"{out_col}_scale", s).withColumn(
+        out_col, F.transform(x, _q)
     )

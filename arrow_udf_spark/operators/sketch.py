@@ -1,0 +1,133 @@
+"""Mergeable cardinality sketches (KMV approximate distinct).
+
+A 100 TB ``COUNT(DISTINCT key)`` is one of the most shuffle-hostile
+queries there is: exact distinct must move every distinct value to its
+group's reducer.  The K-minimum-values sketch (Bar-Yossef et al., "Counting
+distinct elements in a data stream", RANDOM 2002) bounds the state at ``k``
+hashes per group: hash every value into [0, M), keep only the ``k``
+smallest distinct hashes, and estimate the cardinality from how densely
+the smallest corner of the hash space is populated::
+
+    estimate = (k - 1) * M / kth_smallest      (exact count when < k seen)
+
+Two realizations, same estimate, same oracle:
+
+- :func:`kmv_distinct` — pure Catalyst: one hash-aggregate with map-side
+  combine (``collect_set`` carries the distinct hashes; bounded only by
+  true cardinality).  Best when per-group cardinality is modest or when
+  the plan must stay whole-stage-codegen.
+- :data:`KmvAgg` (``kmv_udaf``) — the framework's 5-phase aggregate
+  protocol (SURVEY §2.A A6/A9/A10) with a **bounded** state: each partial
+  state is at most ``k`` int64s regardless of input size, so the shuffle
+  moves O(groups * k) bytes at any scale.  This is the sketch-proper
+  scale path and exercises ``merge`` exactly like a distributed host.
+
+Cross-engine determinism (the oracle gate hashes values exactly):
+
+- hash = first 15 hex chars of md5 → BIGINT in [0, 16^15); identical in
+  Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``) — see memory of verified
+  primitives; 15 nibbles keep the value well under 2^63.
+- the estimate is computed as ``FLOOR((k-1.0) * M / kth)`` in IEEE double
+  with the SAME operand order on both engines; ``M = 16^15 = 2^60`` and
+  ``(k-1)*M`` are exactly representable, so the division is the only
+  rounding step and IEEE-identical.
+
+Reference hook: the reference's aggregate corpus (SURVEY §2.B, e.g.
+arrow-udf-runtime/tests/python.rs:670 ``sum``/``weighted_avg``) proves the
+create/accumulate/merge/finish protocol; KMV is that protocol applied to a
+state the reference cannot express in SQL — a fixed-size sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import udaf
+
+__all__ = ["kmv_distinct", "KmvAgg", "KMV_K", "KMV_SPACE", "kmv_hash_col"]
+
+#: sketch width: 64 hashes/group ≈ 12% standard error — plenty for
+#: partition planning / skew detection, the 100 TB use cases
+KMV_K = 64
+#: hash space size: 15 md5 nibbles
+KMV_SPACE = 16**15
+
+
+def kmv_hash_col(key: str):
+    """md5-derived BIGINT hash in [0, 16^15), bit-identical in DuckDB."""
+    return F.conv(F.md5(F.col(key).cast("string")).substr(1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _estimate_expr(mins, k: int):
+    """Catalyst estimate from the sorted k-min array (exact when < k)."""
+    kth = F.element_at(mins, k).cast("double")
+    est = F.floor(F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)) / kth).cast("long")
+    return F.when(F.size(mins) < k, F.size(mins).cast("long")).otherwise(est)
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, by: Sequence[str] = (), k: int = KMV_K
+) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT key)`` per group, pure Catalyst.
+
+    Single hash-aggregate: ``collect_set`` of hashes (partial aggregation
+    on the map side, so each group's distinct hashes are deduplicated
+    before the shuffle), then sort + slice to the k smallest.  One shuffle
+    of O(distinct hashes); for bounded state at any cardinality use the
+    ``KmvAgg`` two-phase aggregate instead.
+    """
+    by = list(by)
+    h = df.select(*by, kmv_hash_col(key).alias("__kmv_h"))
+    mins = F.slice(F.sort_array(F.collect_set("__kmv_h")), 1, k)
+    out = h.groupBy(*by).agg(mins.alias("__kmv_mins"))
+    return out.select(*by, _estimate_expr(F.col("__kmv_mins"), k).alias("approx_distinct"))
+
+
+@udaf(input_types=["bigint"], result_type="bigint", name="kmv_udaf")
+class KmvAgg:
+    """KMV sketch as a 5-phase aggregate: state = sorted tuple of ≤ k
+    smallest distinct hashes.  ``merge`` is a sorted-set union truncated
+    to k — associative and commutative, so Spark's two-phase plan
+    (partial per partition → shuffle O(groups·k) → merge) is exact."""
+
+    K = KMV_K
+
+    def create_state(self):
+        return ()
+
+    def accumulate(self, state, h):
+        if h is None or (state and len(state) == self.K and h >= state[-1]):
+            return state
+        if h in state:
+            return state
+        return tuple(sorted(state + (int(h),))[: self.K])
+
+    def accumulate_batch(self, state, hs):
+        vals = hs.dropna()
+        if not len(vals):
+            return state
+        merged = set(state)
+        merged.update(int(v) for v in vals)
+        return tuple(sorted(merged)[: self.K])
+
+    def merge(self, a, b):
+        if not a:
+            return b
+        if not b:
+            return a
+        return tuple(sorted(set(a) | set(b))[: self.K])
+
+    def finish(self, state):
+        n = len(state)
+        if n < self.K:
+            return n
+        import math
+
+        # same IEEE-double expression as the Catalyst/oracle formulation
+        return int(math.floor((self.K - 1.0) * float(KMV_SPACE) / float(state[-1])))

@@ -1,0 +1,123 @@
+"""KMV sketch + int8 quantization: algebraic invariants (no Spark) and
+plan/equivalence gates (Spark)."""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from arrow_udf_spark.operators.sketch import KMV_K, KMV_SPACE, KmvAgg
+
+hashes = st.integers(min_value=0, max_value=KMV_SPACE - 1)
+
+
+def _fold(vals):
+    st_ = KmvAgg.create_state()
+    for v in vals:
+        st_ = KmvAgg.accumulate(st_, v)
+    return st_
+
+
+@given(st.lists(hashes, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_kmv_state_is_bounded_sorted_kmin(vals):
+    """State is always the sorted set of the ≤ K smallest distinct hashes
+    — the exact invariant that makes the shuffle O(groups·k)."""
+    s = _fold(vals)
+    assert len(s) <= KMV_K
+    assert list(s) == sorted(set(s))
+    assert set(s) == set(sorted(set(vals))[:KMV_K])
+
+
+@given(st.lists(hashes, max_size=200), st.lists(hashes, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_kmv_merge_equals_single_pass(a, b):
+    """merge(fold(a), fold(b)) == fold(a+b): the property Spark's two-phase
+    plan relies on for exactness under any partitioning."""
+    merged = KmvAgg.merge(_fold(a), _fold(b))
+    assert merged == _fold(a + b)
+    # commutative
+    assert merged == KmvAgg.merge(_fold(b), _fold(a))
+
+
+@given(st.lists(hashes, min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_kmv_batch_matches_row_fold(vals):
+    row = _fold(vals)
+    batch = KmvAgg.accumulate_batch(KmvAgg.create_state(), pd.Series(vals))
+    assert row == batch
+
+
+def test_kmv_finish_branches():
+    # < K distinct: exact count
+    assert KmvAgg.finish(_fold([5, 5, 9])) == 2
+    # >= K distinct: (k-1)*M/kth, floor, same double expression as oracle
+    vals = list(range(1, KMV_K + 1))  # kth smallest = K
+    est = KmvAgg.finish(_fold(vals + [KMV_SPACE - 1]))
+    assert est == math.floor((KMV_K - 1.0) * float(KMV_SPACE) / float(KMV_K))
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    """End-to-end sanity: both formulations estimate within ~3/sqrt(k)
+    (3σ ≈ 37%) of the true cardinality, and agree with each other when
+    fed the same key."""
+    from arrow_udf_spark.operators.sketch import kmv_distinct, kmv_hash_col, KmvAgg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    truth = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    cat = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in kmv_distinct(li, key="l_partkey", by=["l_returnflag"]).collect()
+    }
+    hashed = li.select("l_returnflag", kmv_hash_col("l_partkey").alias("hv"))
+    ag = {
+        r["l_returnflag"]: r["kmv_udaf"]
+        for r in KmvAgg.agg(hashed, by=["l_returnflag"], args=["hv"]).collect()
+    }
+    assert cat == ag
+    for flag, n in truth.items():
+        assert abs(cat[flag] - n) <= max(3, 0.37 * n), (flag, n, cat[flag])
+
+
+def test_kmv_distinct_single_shuffle(spark, sf_dir):
+    """The Catalyst formulation must be one partial→final hash aggregate:
+    exactly one Exchange, no Python eval."""
+    from arrow_udf_spark.operators.sketch import kmv_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        kmv_distinct(li, key="l_partkey", by=["l_returnflag"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_quantize_int8_roundtrip(spark, sf_dir):
+    """Dequantized values are within half a quantization step of the
+    original, codes stay in [-127, 127], and the max-|x| element maps to
+    ±127 exactly."""
+    from arrow_udf_spark.operators.similarity import quantize_int8
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = quantize_int8(e).select("embedding", "q8", "q8_scale").limit(50).collect()
+    assert rows
+    for r in rows:
+        s = r["q8_scale"]
+        assert all(-127 <= q <= 127 for q in r["q8"])
+        if s == 0:
+            assert all(q == 0 for q in r["q8"])
+            continue
+        step = s / 127.0
+        for x, q in zip(r["embedding"], r["q8"]):
+            assert abs(q * step - x) <= step / 2 + 1e-9, (x, q, s)
+        assert 127 in [abs(q) for q in r["q8"]]
