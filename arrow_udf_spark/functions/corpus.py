@@ -500,6 +500,49 @@ def sleep_fn(seconds: float):
     return seconds
 
 
+def _make_neg_probe():
+    # the pinned error text renders the code object's co_qualname (CPython
+    # 3.11+), so build a function whose code object is literally named
+    # ``neg`` — a nested def would render as "_make_neg_probe.<locals>.neg"
+    import types
+
+    def _n(x):
+        return -x
+
+    code = _n.__code__.replace(co_name="neg", co_qualname="neg")
+    return types.FunctionType(code, _n.__globals__, "neg")
+
+
+#: Arity-mismatch probe (reference test_type_mismatch case 3,
+#: arrow-udf-runtime/tests/python.rs:1080-1103): a 1-arg ``neg`` registered
+#: and called with two columns — every row captures PyO3-style
+#: "TypeError: neg() takes 1 positional argument but 2 were given".
+neg_arity = udf(
+    input_types=["bigint", "bigint"],
+    result_type="bigint",
+    fallible=True,
+    error_style="pyerr",
+    name="neg_arity",
+)(_make_neg_probe())
+
+
+@udf(
+    input_types=["bigint"],
+    result_type="bigint",
+    fallible=True,
+    error_style="pyerr",
+    name="import_err_fn",
+)
+def import_err_fn(x):
+    """Import-failure probe (reference test_import,
+    arrow-udf-runtime/tests/python.rs:1010-1032 exercises in-body imports):
+    a call-time import of a missing module becomes per-row error text
+    "ModuleNotFoundError: No module named 'arrow_udf_missing_dependency'"."""
+    import arrow_udf_missing_dependency  # noqa: F401  (deliberately absent)
+
+    return x
+
+
 # ---------------------------------------------------------------------------
 # table functions
 # ---------------------------------------------------------------------------

@@ -286,6 +286,19 @@ def udaf(
 
     def deco(cls: type) -> AggregateFunction:
         inst = cls()
+        # registration-time validation from the reference runtime
+        # (python/mod.rs:305): with no finish(), the state IS the output,
+        # so a declared Arrow state type must equal the result type.  The
+        # default "pickle" state is opaque and exempt (the reference's
+        # pickled-state mode, pyarrow.rs:296-313).
+        if getattr(inst, "finish", None) is None and state_type not in (
+            "pickle",
+            result_type,
+        ):
+            raise ValueError(
+                "`output_type` must be the same as `state_type` "
+                "when `finish` is not defined"
+            )
         af = AggregateFunction(
             sig=Signature(
                 name=name or cls.__name__.lower(),

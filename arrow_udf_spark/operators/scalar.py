@@ -128,6 +128,19 @@ class _EvalSpec(NamedTuple):
     # loop (reference A12 async mode, javascript/mod.rs:954-974); io_threads
     # doubles as the concurrency cap
     is_async: bool = False
+    # error-column text convention: "message" = bare str(e) (the Rust macro
+    # runtime's Display texts, e.g. "division by zero", tests/tests.rs:389),
+    # "pyerr" = "Type: message" (PyO3's PyErr Display used by the embedded
+    # Python runtime, python/mod.rs:374 e.to_string() — e.g.
+    # "TypeError: neg() takes 1 positional argument but 2 were given")
+    error_style: str = "message"
+
+
+def _format_error(style: str) -> Callable[[BaseException], str]:
+    """Error-column renderer for a given convention (see _EvalSpec)."""
+    if style == "pyerr":
+        return lambda e: f"{type(e).__name__}: {e}"
+    return str
 
 
 def _eval_rows(
@@ -143,11 +156,13 @@ def _eval_rows(
         def fn(*args):  # noqa: ANN001
             return user(*(pd.Series([a]) for a in args)).iloc[0]
 
+    fmt = _format_error(spec.error_style)
+
     def call_one(args: tuple) -> tuple[Any, Optional[str]]:
         try:
             return fn(*(None if _is_null(a) else a for a in args)), None
         except Exception as e:  # row-level isolation, never abort the batch
-            return None, str(e)
+            return None, fmt(e)
 
     if spec.is_async:
         import asyncio
@@ -165,7 +180,7 @@ def _eval_rows(
                     except asyncio.TimeoutError:
                         return None, "timeout"
                     except Exception as e:
-                        return None, str(e)
+                        return None, fmt(e)
 
             return await asyncio.gather(*[one(r) for r in rows])
 
@@ -332,6 +347,8 @@ class ScalarFunction:
     # volatile fns (reference macro attr `volatile`, arrow-udf-macros/src/
     # lib.rs:297-330) must not be constant-folded / CSE'd by Catalyst
     volatile: bool = False
+    # "message" (Rust-runtime bare texts) | "pyerr" (PyO3 "Type: message")
+    error_style: str = "message"
     _udf: Any = field(default=None, repr=False, compare=False)
 
     def _spec(self) -> _EvalSpec:
@@ -348,6 +365,7 @@ class ScalarFunction:
             timeout=self.timeout,
             nullary=not self.input_fields,
             is_async=is_async,
+            error_style=self.error_style,
         )
 
     def _eval(self, *cols: pd.Series):
@@ -407,6 +425,7 @@ def udf(
     timeout: Optional[float] = None,
     volatile: bool = False,
     variadic: bool = False,
+    error_style: str = "message",
     registry: Registry = GLOBAL,
 ) -> Callable[[Callable], ScalarFunction]:
     """Declare a scalar function (reference ``#[function("name(t,..)->t")]``).
@@ -464,6 +483,7 @@ def udf(
                 io_threads=io_threads,
                 timeout=timeout,
                 volatile=volatile,
+                error_style=error_style,
             )
             registry.add(sf)
             first = first or sf

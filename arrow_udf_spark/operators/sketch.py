@@ -83,7 +83,12 @@ def kmv_distinct(
     ``KmvAgg`` two-phase aggregate instead.
     """
     by = list(by)
-    h = df.select(*by, kmv_hash_col(key).alias("__kmv_h"))
+    # NULL keys are excluded, matching COUNT(DISTINCT) semantics (and the
+    # oracle's WHERE key IS NOT NULL) — without the filter a NULL hash would
+    # ride along as float64 through pandas paths and as a phantom distinct.
+    h = df.where(F.col(key).isNotNull()).select(
+        *by, kmv_hash_col(key).alias("__kmv_h")
+    )
     mins = F.slice(F.sort_array(F.collect_set("__kmv_h")), 1, k)
     out = h.groupBy(*by).agg(mins.alias("__kmv_mins"))
     return out.select(*by, _estimate_expr(F.col("__kmv_mins"), k).alias("approx_distinct"))
@@ -109,11 +114,15 @@ class KmvAgg:
         return tuple(sorted(state + (int(h),))[: self.K])
 
     def accumulate_batch(self, state, hs):
+        # pandas coerces int64-with-nulls to float64, and int() on a float
+        # near 2^60 silently drops low bits (53-bit mantissa) — go through
+        # a single vectorized astype so any coercion fails loudly instead
+        # of corrupting hashes one value at a time
         vals = hs.dropna()
         if not len(vals):
             return state
         merged = set(state)
-        merged.update(int(v) for v in vals)
+        merged.update(vals.astype("int64").tolist())
         return tuple(sorted(merged)[: self.K])
 
     def merge(self, a, b):

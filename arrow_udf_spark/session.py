@@ -42,6 +42,9 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # Arrow-optimized native Python UDTFs (the SQL LATERAL surface)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
+        # tolerate parquet TIMESTAMP(NANOS) columns (read as nanos-long);
+        # a no-op for MICROS fixtures.  sources.io.normalize_events handles
+        # whichever shape comes out of the scan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
 

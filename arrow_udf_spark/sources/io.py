@@ -23,7 +23,14 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["Catalog", "read_arrow_ipc", "write_parquet", "write_bucketed", "TABLES"]
+__all__ = [
+    "Catalog",
+    "normalize_events",
+    "read_arrow_ipc",
+    "write_parquet",
+    "write_bucketed",
+    "TABLES",
+]
 
 TABLES = [
     "region",
@@ -39,6 +46,31 @@ TABLES = [
 ]
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Schema-sensitive normalization of the events table's ``ts`` column.
+
+    The driver's fixtures have shipped ``ts`` under two physical types so
+    far (int64 nanos-since-epoch in round 1, parquet TIMESTAMP(MICROS) in
+    round 2+); deriving from the *observed* schema instead of assuming one
+    makes every downstream query robust to either.  Output contract:
+
+    - ``ts``  — TimestampType (session tz is UTC, so NTZ->TZ cast is the
+      identity on the wall-clock value, matching DuckDB's naive timestamp);
+    - ``us``  — BIGINT micros-since-epoch (what DuckDB's ``epoch_us(ts)``
+      returns), appended as the stable arithmetic-friendly column.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # nanos-since-epoch long (legacy fixture shape)
+        df = df.withColumn("us", F.expr("ts DIV 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("us"))
+        )
+    elif dt in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "us", F.unix_micros(F.col("ts"))
+        )
+    return df
+
+
 class Catalog:
     """The testdata star schema as named DataFrames (+ temp views)."""
 
@@ -47,13 +79,9 @@ class Catalog:
         self.sf_dir = sf_dir
 
     def table(self, name: str) -> DataFrame:
-        if name == "events":
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if name == "events":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = normalize_events(df)
         return df
 
     def register_views(self) -> None:

@@ -70,7 +70,10 @@ def main() -> None:
         gcd_i64("l_partkey", "l_suppkey")
     ).count()
 
-    timings: dict[str, float] = {}
+    # per-query error isolation: one broken query must never zero the whole
+    # round's benchmark — failures record as null and the JSON line always
+    # prints (round-2 lesson: a single analysis error DNF'd the bench).
+    timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
@@ -79,19 +82,25 @@ def main() -> None:
         # shape, second run measures steady-state throughput.  noop write
         # forces evaluation of EVERY output column/row (count() would let
         # Catalyst column-prune the operator under test).
-        best = None
-        df = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        n = df.count()  # untimed, reporting only
-        timings[name] = round(best, 3)
-        sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
+        try:
+            best = None
+            df = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            n = df.count()  # untimed, reporting only
+            timings[name] = round(best, 3)
+            sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            timings[name] = None
+            sys.stderr.write(
+                f"  {name}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:200]}\n"
+            )
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {

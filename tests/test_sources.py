@@ -11,8 +11,13 @@ from arrow_udf_spark.sources.io import Catalog, read_arrow_ipc, write_parquet
 def test_catalog_events_timestamp(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     ev = cat.table("events")
+    # normalize_events contract: ts is a timestamp whatever the fixture's
+    # physical type; us is bigint micros-since-epoch consistent with ts
     assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["us"] == "bigint"
     assert ev.count() == 1000
+    bad = ev.where(F.unix_micros(F.col("ts")) != F.col("us")).count()
+    assert bad == 0
 
 
 def test_arrow_ipc_roundtrip(spark):

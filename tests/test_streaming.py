@@ -18,11 +18,12 @@ from arrow_udf_spark.streaming.stateful import (
 @pytest.fixture(scope="module")
 def stream_dir(spark, sf_dir):
     """events with a proper timestamp column, written for streaming reads."""
+    from arrow_udf_spark.sources.io import normalize_events
+
     d = tempfile.mkdtemp(prefix="stream_src_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts2", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .withColumn("ts2", F.col("ts"))
         .select("event_id", "user_id", "event_type", "value", "ts2")
     )
     ev.write.mode("overwrite").parquet(d)
