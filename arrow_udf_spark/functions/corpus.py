@@ -420,6 +420,26 @@ def identity_bin(x: pd.Series) -> pd.Series:
     return x
 
 
+@udf(input_types=["date32"], result_type="date32", name="identity", batch=True)
+def identity_date(x: pd.Series) -> pd.Series:
+    """Temporal round-trip through the Arrow boundary — the reference
+    proves date/time/timestamp survive its remote runtime
+    (arrow-udf-remote/python/arrow_udf/test_udf.py:254-330)."""
+    return x
+
+
+@udf(input_types=["timestamp"], result_type="timestamp", name="identity", batch=True)
+def identity_ts(x: pd.Series) -> pd.Series:
+    return x
+
+
+@udf(input_types=["time64"], result_type="time64", name="identity", batch=True)
+def identity_time(x: pd.Series) -> pd.Series:
+    """time64 rides as int64 micros-since-midnight (SURVEY §1.2: Spark has
+    no TimeType; the long carrier is the documented mapping)."""
+    return x
+
+
 @udf(
     input_types=["binary"],
     result_type="struct<src_addr:string,dst_addr:string,src_port:int,dst_port:int>",

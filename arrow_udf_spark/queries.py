@@ -3356,6 +3356,49 @@ def q_quantize_int8(spark, sf):
 
 
 @query(
+    "temporal_roundtrip",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + to_hours(o_orderkey % 24),
+                    '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST((o_orderkey % 86400) * 1000000 AS BIGINT) AS tmicros
+    FROM orders
+    """,
+)
+def q_temporal_roundtrip(spark, sf):
+    """SURVEY §1.2 temporal rows as a type-matrix query: date32, timestamp
+    and time64 (long micros-since-midnight carrier) each cross the
+    JVM->Arrow->pandas->Arrow boundary through an identity UDF and must
+    come back value-identical (reference remote runtime round-trip,
+    arrow-udf-remote/python/arrow_udf/test_udf.py:254-330).  Added after
+    the round-2 fixture change showed temporal ingestion assumed one
+    physical type; this row pins the conversion layer at the gate."""
+    from arrow_udf_spark import GLOBAL
+
+    o = t(spark, sf, "orders")
+    id_date = GLOBAL.get("identity", ("date32",))
+    id_ts = GLOBAL.get("identity", ("timestamp",))
+    id_time = GLOBAL.get("identity", ("time64",))
+    us = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+        * 86_400_000_000
+        + (F.col("o_orderkey") % 24) * 3_600_000_000
+    )
+    return o.select(
+        "o_orderkey",
+        id_date(F.col("o_orderdate").cast("date")).cast("string").alias("d"),
+        F.date_format(
+            id_ts(F.timestamp_micros(us).cast("timestamp_ntz")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts"),
+        id_time(((F.col("o_orderkey") % 86400) * 1_000_000).cast("long")).alias(
+            "tmicros"
+        ),
+    )
+
+
+@query(
     "streaming_retract_sliding",
     """
     SELECT event_type, CAST(SUM(v) AS BIGINT) AS sum_udaf
@@ -3512,6 +3555,7 @@ _GATE_PRIORITY = [
     # -- round-3 additions, never gated --
     "error_text_corpus",
     "streaming_retract_sliding",
+    "temporal_roundtrip",
     # -- round-2 additions, never gated --
     "kmv_distinct",
     "kmv_udaf",

@@ -48,7 +48,11 @@ __all__ = [
     "serve_registry",
 ]
 
-PROTOCOL_VERSION = b"1"
+#: single raw byte, NOT ASCII: the reference client reads body[0] as a u8
+#: (remote/mod.rs:53-64) and its servers yield b"\x02"
+#: (arrow-udf-remote/python/arrow_udf/__init__.py:423-425) — an ASCII "1"
+#: would decode as protocol version 49 on a conforming peer
+PROTOCOL_VERSION = b"\x02"
 
 
 def _spark_to_arrow_field(name: str, dtype: T.DataType) -> pa.Field:

@@ -86,7 +86,7 @@ def test_flight_protocol(flight_uri):
     import pyarrow as pa
 
     c = FlightUdfClient(flight_uri)
-    assert c.protocol_version() == b"1"
+    assert c.protocol_version() == b"\x02"
     assert "gcd" in c.list_functions()
     schema, nargs = c.function_info("gcd__bigint_bigint")
     assert nargs == 2
@@ -96,6 +96,80 @@ def test_flight_protocol(flight_uri):
     )
     out = c.call("gcd__bigint_bigint", batch)
     assert out.column(0).to_pylist() == [4, 5]
+    c.close()
+
+
+def test_flight_reference_client_decode(flight_uri):
+    """Interop golden test: decode our server's discovery handshake exactly
+    the way the reference Rust client does (Function::from_flight_info,
+    remote/mod.rs:160-195): function name from descriptor.path[0],
+    input/output split of the concatenated schema at total_records, and a
+    u8 protocol version from the action body's first byte.  Any conforming
+    peer (the Java UdfServer / Python arrow_udf server speak the same
+    shape) interoperates iff this decode round-trips."""
+    import pyarrow as pa
+    from pyarrow import flight as fl
+
+    client = fl.connect(flight_uri)
+
+    # protocol version: reference client reads body.first() as u8
+    body = next(iter(client.do_action(fl.Action("protocol_version", b"")))).body
+    assert body.to_pybytes()[0] == 2
+
+    def reference_decode(name: str):
+        info = client.get_flight_info(fl.FlightDescriptor.for_path(name.encode()))
+        assert info.descriptor.path[0].decode() == name
+        input_num = info.total_records
+        fields = list(info.schema)
+        assert input_num <= len(fields)  # from_flight_info's validity check
+        return pa.schema(fields[:input_num]), pa.schema(fields[input_num:])
+
+    # plain scalar: args split cleanly from the single return field
+    args, rets = reference_decode("gcd__bigint_bigint")
+    assert args.types == [pa.int64(), pa.int64()]
+    assert rets.names == ["gcd"] and rets.types == [pa.int64()]
+
+    # fallible scalar advertises the (value, error: utf8) return pair
+    args, rets = reference_decode("div__bigint_bigint")
+    assert rets.names == ["div", "error"]
+    assert rets.field("error").type == pa.string()
+
+    # table function advertises (row: int32, value, [error])
+    args, rets = reference_decode("series")
+    assert rets.names[0] == "row" and rets.field("row").type == pa.int32()
+
+    client.close()
+
+
+def test_flight_temporal_roundtrip(flight_uri):
+    """date32 / timestamp(us) / time64-as-int64 survive the remote exchange
+    value-identically (reference test_udf.py:254-330 round-trips all
+    temporal types through its Flight server)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from arrow_udf_spark.sources.flight import FlightUdfClient
+
+    c = FlightUdfClient(flight_uri)
+
+    d = datetime.date(2023, 6, 1)
+    batch = pa.RecordBatch.from_arrays([pa.array([d, None], pa.date32())], ["arg0"])
+    out = c.call("identity__date32", batch)
+    assert out.column(0).to_pylist() == [d, None]
+
+    ts = datetime.datetime(2023, 6, 1, 1, 2, 3, 456789)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([ts, None], pa.timestamp("us"))], ["arg0"]
+    )
+    out = c.call("identity__timestamp", batch)
+    assert out.column(0).to_pylist() == [ts, None]
+
+    micros = (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 456789
+    batch = pa.RecordBatch.from_arrays([pa.array([micros, None], pa.int64())], ["arg0"])
+    out = c.call("identity__time64", batch)
+    assert out.column(0).to_pylist() == [micros, None]
+
     c.close()
 
 
