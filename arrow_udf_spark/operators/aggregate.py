@@ -131,6 +131,77 @@ class AggregateFunction:
         )
 
     # ------------------------------------------------------------------
+    def as_spark_grouped_agg_partial(self):
+        """SQL two-phase surface, phase 1: fold a group slice into ONE
+        pickled state (BinaryType).  Pair with
+        :meth:`as_spark_grouped_agg_merge` in a salted two-level GROUP BY::
+
+            SELECT k, f__merge(p) FROM (
+                SELECT k, f__partial(x) AS p
+                FROM t GROUP BY k, pmod(hash(x), 32)
+            ) GROUP BY k
+
+        Scale posture vs the single-phase GROUPED_AGG surface: a hot key's
+        rows split across the 32 salt buckets (no single Python worker
+        receives the whole group), and the outer aggregation moves only
+        O(groups x 32) pickled states.  The one inherent cost SQL can't
+        avoid — Python aggregates get no JVM map-side combine, so rows
+        shuffle once either way — is shared with every GROUP BY surface;
+        the DataFrame :meth:`agg` path (mapInPandas partials, zero row
+        shuffle) remains the pipeline-grade option.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        try:
+            from pyspark.sql.pandas.functions import PandasUDFType
+
+            _GROUPED = PandasUDFType.GROUPED_AGG
+        except ImportError:  # pragma: no cover
+            _GROUPED = 201
+
+        create, acc, acc_b = self.create_state, self.accumulate, self.accumulate_batch
+
+        def partial_fn(*series):
+            st = create()
+            if acc_b is not None:
+                st = acc_b(st, *series)
+            else:
+                for row in zip(*[s.tolist() for s in series]):
+                    st = acc(st, *[None if _is_null(v) else v for v in row])
+            return pickle.dumps(st)
+
+        partial_fn.__name__ = f"{self.sig.name}__partial"
+        return pandas_udf(partial_fn, returnType=T.BinaryType(), functionType=_GROUPED)
+
+    def as_spark_grouped_agg_merge(self):
+        """SQL two-phase surface, phase 2: merge pickled partial states and
+        finish (see :meth:`as_spark_grouped_agg_partial`)."""
+        from pyspark.sql.functions import pandas_udf
+
+        try:
+            from pyspark.sql.pandas.functions import PandasUDFType
+
+            _GROUPED = PandasUDFType.GROUPED_AGG
+        except ImportError:  # pragma: no cover
+            _GROUPED = 201
+
+        merge, finish = self.merge, self.finish
+
+        def merge_fn(blobs):
+            state = None
+            for blob in blobs:
+                if blob is None:
+                    continue
+                s = pickle.loads(blob)
+                state = s if state is None else merge(state, s)
+            return finish(state) if finish is not None else state
+
+        merge_fn.__name__ = f"{self.sig.name}__merge"
+        return pandas_udf(
+            merge_fn, returnType=self.result_field.dtype, functionType=_GROUPED
+        )
+
+    # ------------------------------------------------------------------
     def _fold_partition(
         self, by_n: int, arg_n: int, ops_col: bool
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:

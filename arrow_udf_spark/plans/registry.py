@@ -118,6 +118,18 @@ class Registry:
                     # aggregates own their name space: first overload bare
                     sql_name = name if bare_ok else f.sig.mangled()
                     spark.udf.register(sql_name, f.as_spark_grouped_agg())
+                    # two-phase SQL pair: the salted GROUP BY pattern
+                    # (partial -> pickled state, merge -> finish) splits
+                    # hot keys across workers; see
+                    # AggregateFunction.as_spark_grouped_agg_partial
+                    spark.udf.register(
+                        f"{sql_name}__partial", f.as_spark_grouped_agg_partial()
+                    )
+                    spark.udf.register(
+                        f"{sql_name}__merge", f.as_spark_grouped_agg_merge()
+                    )
+                    registered.append(f"{sql_name}__partial")
+                    registered.append(f"{sql_name}__merge")
                     bare_ok = False
                 else:
                     continue

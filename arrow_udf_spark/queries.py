@@ -412,6 +412,42 @@ def q_sum_udaf(spark, sf):
 
 
 @query(
+    "sum_udaf_two_phase_sql",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_udaf
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sum_udaf_two_phase_sql(spark, sf):
+    """The SQL-surface aggregate on its scale path: the salted two-level
+    GROUP BY over the ``__partial`` / ``__merge`` GROUPED_AGG pair.  A hot
+    key's rows split across 32 salt buckets (each folds to one pickled
+    state on its own worker), and the outer aggregation moves only
+    O(groups x 32) states — the same two-phase shape as
+    ``AggregateFunction.agg``, expressible in plain SQL.  Result must
+    equal the single-phase oracle exactly (merge associativity at the
+    gate)."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    li = t(spark, sf, "lineitem").withColumn("q", F.col("l_quantity").cast("long"))
+    li.createOrReplaceTempView("li_two_phase")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum_udaf__merge(p) AS BIGINT) AS sum_udaf
+        FROM (
+            SELECT l_returnflag, sum_udaf__partial(q) AS p
+            FROM li_two_phase
+            GROUP BY l_returnflag, pmod(hash(l_orderkey), 32)
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
     "retract_udaf",
     """
     SELECT l_returnflag,
@@ -3556,6 +3592,7 @@ _GATE_PRIORITY = [
     "error_text_corpus",
     "streaming_retract_sliding",
     "temporal_roundtrip",
+    "sum_udaf_two_phase_sql",
     # -- round-2 additions, never gated --
     "kmv_distinct",
     "kmv_udaf",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "Catalog",
+    "conform_schema",
     "normalize_events",
     "read_arrow_ipc",
     "write_parquet",
@@ -162,6 +163,79 @@ def write_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+#: physical-type families conform_schema knows how to reconcile
+_TS_TYPES = ("timestamp", "timestamp_ntz")
+_INT_WIDEN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def conform_schema(df: DataFrame, target: "T.StructType") -> DataFrame:
+    """Schema-driven physical-type adapter: coerce ``df`` to ``target``'s
+    logical types wherever a lossless conversion exists.
+
+    Fixtures and upstream producers legitimately vary physical encodings
+    over time — the round-2 events table silently moved from int64
+    nanos-since-epoch to parquet TIMESTAMP(MICROS) and broke every query
+    that assumed the old shape.  Reading through an explicit target schema
+    makes ingestion robust to that class of drift (the reference declares
+    fixed signatures per function, SURVEY §1.1; this is the table-level
+    analogue).  Handled conversions:
+
+    - timestamp <-> timestamp_ntz (cast; session tz UTC keeps wall-clock)
+    - int64 epoch (nanos/micros/millis/seconds by magnitude) -> timestamp
+    - integer widening (never narrowing) along tinyint->bigint
+    - timestamp -> date truncation when the target says date
+    - float -> double widening
+
+    Columns absent from ``target`` pass through; columns absent from
+    ``df`` are an error (no silent NULL invention).
+    """
+    from pyspark.sql import types as ST
+
+    have = {f.name: f for f in df.schema.fields}
+    missing = [f.name for f in target.fields if f.name not in have]
+    if missing:
+        raise ValueError(f"conform_schema: source lacks columns {missing}")
+    out = []
+    for f in df.schema.fields:
+        tgt = next((t for t in target.fields if t.name == f.name), None)
+        col = F.col(f.name)
+        if tgt is None or tgt.dataType == f.dataType:
+            out.append(col)
+            continue
+        src_s, tgt_s = f.dataType.simpleString(), tgt.dataType.simpleString()
+        if tgt_s in _TS_TYPES and src_s in _TS_TYPES:
+            out.append(col.cast(tgt_s).alias(f.name))
+        elif tgt_s in _TS_TYPES and src_s == "bigint":
+            # epoch-integer to timestamp: unit inferred per row from
+            # magnitude (nanos ~1e18, micros ~1e15, millis ~1e12, seconds
+            # ~1e9 for contemporary dates).  Integer DIV, not float /:
+            # double's 53-bit mantissa corrupts the low bits of int64 nanos.
+            q = f"`{f.name}`"
+            us = F.expr(
+                f"CASE WHEN abs({q}) >= 100000000000000000 THEN {q} DIV 1000 "
+                f"WHEN abs({q}) >= 100000000000000 THEN {q} "
+                f"WHEN abs({q}) >= 100000000000 THEN {q} * 1000 "
+                f"ELSE {q} * 1000000 END"
+            )
+            out.append(F.timestamp_micros(us).cast(tgt_s).alias(f.name))
+        elif tgt_s == "date" and src_s in _TS_TYPES:
+            out.append(col.cast("date").alias(f.name))
+        elif (
+            src_s in _INT_WIDEN
+            and tgt_s in _INT_WIDEN
+            and _INT_WIDEN[tgt_s] >= _INT_WIDEN[src_s]
+        ):
+            out.append(col.cast(tgt_s).alias(f.name))
+        elif src_s == "float" and tgt_s == "double":
+            out.append(col.cast("double").alias(f.name))
+        else:
+            raise ValueError(
+                f"conform_schema: no lossless conversion {f.name}: "
+                f"{src_s} -> {tgt_s}"
+            )
+    return df.select(*out)
 
 
 def write_bucketed(

@@ -186,3 +186,17 @@ def test_lsh_join_is_band_bucketed_equi_join(spark, sf_dir):
 
     p = _plan(QUERIES["lsh_join_new_vs_ref"](spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_two_phase_sql_agg_salted_plan(spark, sf_dir):
+    """The __partial/__merge SQL pattern compiles to the two-level shape:
+    inner aggregate keyed by (group, salt) so hot keys split, outer
+    exchange keyed by group alone carrying only pickled states."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["sum_udaf_two_phase_sql"](spark, sf_dir))
+    assert p.count("ArrowAggregatePython") == 2
+    # inner grouping carries the pmod salt expression
+    assert "pmod(hash(l_orderkey" in p
+    # exactly two exchanges: (group, salt) then (group)
+    assert p.count("Exchange hashpartitioning") == 2

@@ -110,6 +110,47 @@ def test_udaf_sql_registration(spark):
         assert r.s == s and abs(r.w - w) < 1e-6
 
 
+def test_udaf_sql_two_phase_pair(spark):
+    """The __partial/__merge GROUPED_AGG pair gives SQL the salted
+    two-level plan: partial folds per (key, salt) bucket, merge+finish per
+    key.  weighted_avg carries a struct state, so a wrong merge (e.g.
+    averaging averages) diverges immediately."""
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("li_2p")
+    got = spark.sql(
+        """
+        SELECT l_returnflag,
+               sum_udaf__merge(ps) AS s,
+               weighted_avg__merge(pw) AS w
+        FROM (
+            SELECT l_returnflag,
+                   sum_udaf__partial(l_orderkey) AS ps,
+                   weighted_avg__partial(l_extendedprice, l_quantity) AS pw
+            FROM li_2p
+            GROUP BY l_returnflag, pmod(hash(l_orderkey), 16)
+        )
+        GROUP BY l_returnflag
+        """
+    ).collect()
+    exp = {
+        r.l_returnflag: (r.s, r.w)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, SUM(l_orderkey) AS s,
+                   SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS w
+            FROM li_2p GROUP BY l_returnflag
+            """
+        ).collect()
+    }
+    assert len(got) == len(exp)
+    for r in got:
+        s, w = exp[r.l_returnflag]
+        assert r.s == s and abs(r.w - w) < 1e-6
+
+
 def test_udaf_sql_surface_warns_no_partial_agg(spark):
     """The SQL GROUPED_AGG surface cannot do map-side combine (Spark ships
     the whole group to one worker); wrapping must warn loudly so pipelines

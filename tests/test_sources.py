@@ -20,6 +20,60 @@ def test_catalog_events_timestamp(spark, sf_dir):
     assert bad == 0
 
 
+def test_conform_schema_physical_drift(spark):
+    """The round-2 lesson as a feature: the same logical table read from
+    three physical encodings (int64 nanos epoch, TIMESTAMP micros, narrow
+    ints) conforms to one target schema with identical values."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from arrow_udf_spark.sources.io import conform_schema
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    epoch_us = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+
+    # int64 nanos + int32 id
+    a = spark.createDataFrame(
+        [(7, epoch_us * 1000)], "id int, ts bigint"
+    )
+    # already-timestamp + long id
+    b = spark.createDataFrame([(7, base)], "id bigint, ts timestamp")
+
+    ca, cb = conform_schema(a, target), conform_schema(b, target)
+    assert ca.schema["ts"].dataType.simpleString() == "timestamp"
+    assert ca.schema["id"].dataType.simpleString() == "bigint"
+    ra, rb = ca.collect()[0], cb.collect()[0]
+    assert ra.ts == rb.ts == base
+    assert ra.id == rb.id == 7
+
+    # epoch seconds and millis land on the same instant (truncated micros)
+    c = spark.createDataFrame([(1, epoch_us // 1_000_000)], "id int, ts bigint")
+    d = spark.createDataFrame([(1, epoch_us // 1_000)], "id int, ts bigint")
+    assert conform_schema(c, target).collect()[0].ts == base.replace(microsecond=0)
+    assert conform_schema(d, target).collect()[0].ts == base.replace(
+        microsecond=123000
+    )
+
+    # no silent narrowing / NULL invention
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("x",)], "ts string")
+    with _pytest.raises(ValueError, match="lacks columns"):
+        conform_schema(spark.createDataFrame([(1,)], "id int"), target)
+    with _pytest.raises(ValueError, match="no lossless conversion"):
+        conform_schema(
+            bad,
+            T.StructType([T.StructField("ts", T.TimestampType())]),
+        )
+
+
 def test_arrow_ipc_roundtrip(spark):
     d = tempfile.mkdtemp(prefix="ipc_")
     try:
