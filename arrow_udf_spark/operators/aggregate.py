@@ -362,14 +362,17 @@ def udaf(
         # so a declared Arrow state type must equal the result type.  The
         # default "pickle" state is opaque and exempt (the reference's
         # pickled-state mode, pyarrow.rs:296-313).
-        if getattr(inst, "finish", None) is None and state_type not in (
-            "pickle",
-            result_type,
-        ):
-            raise ValueError(
-                "`output_type` must be the same as `state_type` "
-                "when `finish` is not defined"
-            )
+        if getattr(inst, "finish", None) is None and state_type != "pickle":
+            # compare NORMALIZED types, not raw strings: alias pairs like
+            # 'time'/'time64' or 'date'/'date32' are logically equal and
+            # must not raise, while textual equality of unnormalized
+            # spellings is not the contract (ADVICE r3)
+            st, rt = parse_type(state_type), parse_type(result_type)
+            if st.dtype != rt.dtype or st.ext != rt.ext:
+                raise ValueError(
+                    "`output_type` must be the same as `state_type` "
+                    "when `finish` is not defined"
+                )
         af = AggregateFunction(
             sig=Signature(
                 name=name or cls.__name__.lower(),

@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -407,10 +407,45 @@ class ScalarFunction:
         return out.alias(self.sig.name)
 
     def value_and_error(self, *cols: Column | str) -> tuple[Column, Column]:
-        """For fallible functions: (value, error) column pair from one eval."""
+        """For fallible functions: (value, error) column pair from one eval.
+
+        NOTE: projecting both fields in the SAME select duplicates the
+        (nondeterministic, hence non-CSE'd) UDF — ExtractPythonUDFs emits
+        ``ArrowEvalPython [f(...), f(...)]`` and pays 2x eval + transfer.
+        Hot paths should use :meth:`apply` instead, which materializes the
+        struct in its own projection so the function runs exactly once.
+        """
         s = self(*cols)
         return s.getField("value").alias(self.sig.name), s.getField("error").alias(
             "error"
+        )
+
+    def apply(
+        self,
+        df: DataFrame,
+        cols: Sequence[Column | str],
+        passthrough: Sequence[str] = (),
+        value_alias: Optional[str] = None,
+        error_alias: str = "error",
+    ) -> DataFrame:
+        """Evaluate over ``df`` with single-eval guarantees.
+
+        Fallible functions come back as two columns (value, error) projected
+        from ONE evaluation: the struct lands in its own projection and the
+        fields are split in a second one — CollapseProject refuses to merge
+        them because the UDF is nondeterministic, so the plan keeps exactly
+        one ``ArrowEvalPython`` entry.  Non-fallible functions are a plain
+        single-column select.
+        """
+        name = value_alias or self.sig.name
+        out = self(*cols)
+        if not self.fallible:
+            return df.select(*passthrough, out.alias(name))
+        staged = df.select(*passthrough, out.alias("__res"))
+        return staged.select(
+            *passthrough,
+            F.col("__res.value").alias(name),
+            F.col("__res.error").alias(error_alias),
         )
 
 

@@ -114,10 +114,18 @@ class KmvAgg:
         return tuple(sorted(state + (int(h),))[: self.K])
 
     def accumulate_batch(self, state, hs):
-        # pandas coerces int64-with-nulls to float64, and int() on a float
-        # near 2^60 silently drops low bits (53-bit mantissa) — go through
-        # a single vectorized astype so any coercion fails loudly instead
-        # of corrupting hashes one value at a time
+        # Arrow->pandas converts int64-with-nulls to float64 for the WHOLE
+        # batch, and a 53-bit mantissa silently corrupts hashes >= 2^53
+        # before this function ever sees them (astype back to int64 cannot
+        # detect it — the truncation already happened).  A float batch is
+        # therefore unrecoverable: refuse loudly and tell the caller to
+        # pre-filter nulls (kmv_distinct does; the catalog queries do).
+        if hs.dtype.kind == "f":
+            raise ValueError(
+                "kmv_udaf: hash batch arrived as float64 (input column has "
+                "NULLs); filter NULL keys before the aggregate — float "
+                "coercion destroys hash bits above 2^53"
+            )
         vals = hs.dropna()
         if not len(vals):
             return state

@@ -28,7 +28,21 @@ QUERIES: dict[str, Query] = {}
 ORACLE: dict[str, str] = {}
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _scan_parallelism(path: str) -> int:
+    """Partitions a parquet scan of ``path`` will produce (file bytes over
+    ``spark.sql.files.maxPartitionBytes``, the planner's own formula)."""
+    import os
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 1 << 30  # unknown → assume wide, never force a shuffle
+    return max(1, size // (128 << 20))
+
+
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # schema-sensitive ts normalization: guarantees `ts` (timestamp) and
@@ -36,8 +50,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # physical type the fixture ships (int64 nanos or TIMESTAMP(MICROS)).
         from .sources.io import normalize_events
 
-        df = normalize_events(df)
+        df = normalize_events(df, cache_key=f"{sf_dir}/{name}.parquet")
+    # Adaptive spread (opt-in per query): a source whose scan parallelism is
+    # far below the cluster's leaves cores idle for the whole map-side of
+    # the plan (the testdata ships single-row-group files -> 1-task scans).
+    # One cheap round-robin exchange fixes that for queries whose per-row
+    # compute dominates (UDFs, per-token hashing); queries that are cheap
+    # JVM projections or immediately shuffle anyway must NOT pay it (the
+    # exchange also blocks scan-level filter pushdown).  At 100 TB the
+    # branch never fires: a real scan yields >= parallelism splits.
+    if _FORCE_SPREAD is not None:  # A/B testing knob, never set in production
+        spread = _FORCE_SPREAD
+    par = spark.sparkContext.defaultParallelism
+    if spread and _scan_parallelism(f"{sf_dir}/{name}.parquet") < max(2, par // 2):
+        df = df.repartition(par)
     return df
+
+
+#: None = per-query `spread` argument decides; True/False = force (tests)
+_FORCE_SPREAD: bool | None = None
 
 
 def query(name: str, oracle: str | None = None):
@@ -95,8 +126,13 @@ def q_gcd_async(spark, sf):
 )
 def q_div_error(spark, sf):
     li = t(spark, sf, "lineitem")
-    v, e = C.div.value_and_error(F.col("l_partkey"), F.col("l_suppkey") % 7)
-    return li.select("l_orderkey", "l_linenumber", v.alias("d"), e)
+    # single-eval apply: the two-getField form evaluated the UDF twice
+    return C.div.apply(
+        li,
+        cols=[F.col("l_partkey"), F.col("l_suppkey") % 7],
+        passthrough=["l_orderkey", "l_linenumber"],
+        value_alias="d",
+    )
 
 
 @query(
@@ -231,7 +267,7 @@ def q_hex_to_dec(spark, sf):
     """,
 )
 def q_decimal_add(spark, sf):
-    li = t(spark, sf, "lineitem")
+    li = t(spark, sf, "lineitem", spread=True)
     a = F.format_string("%.2f", "l_extendedprice")
     b = F.format_string("%.2f", F.col("l_tax") * 1000)
     return li.select(
@@ -332,7 +368,7 @@ def q_array_access(spark, sf):
     """,
 )
 def q_series(spark, sf):
-    p = t(spark, sf, "part")
+    p = t(spark, sf, "part", spread=True)
     out = C.series.apply(p, cols=["p_size"], passthrough=["p_partkey"], fan_out=True)
     return out.select("p_partkey", F.col("series").cast("long").alias("series"))
 
@@ -696,7 +732,7 @@ def q_dedup_exact(spark, sf):
 def q_minhash_signature(spark, sf):
     from .operators.dedup import minhash_signature
 
-    d = t(spark, sf, "documents")
+    d = t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id",
         F.array_join(minhash_signature(F.col("text"), k=4), "|").alias("sig"),
@@ -752,7 +788,7 @@ def q_simhash(spark, sf):
     # projection so the 16 bit-vote filters don't each recompute the md5s
     from .operators.dedup import with_simhash
 
-    d = t(spark, sf, "documents")
+    d = t(spark, sf, "documents", spread=True)
     return with_simhash(d, "text", out="sh").select("doc_id", "sh")
 
 
@@ -951,7 +987,7 @@ def q_token_count(spark, sf):
 def q_fingerprint(spark, sf):
     from .operators.text import fingerprint
 
-    return t(spark, sf, "documents").select(
+    return t(spark, sf, "documents", spread=True).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
 
@@ -1576,7 +1612,7 @@ def q_hash_sample(spark, sf):
 def q_vocab_topk(spark, sf):
     # composition showcase: UDTF fan-out feeding a relational top-k —
     # the reference's table-fn protocol as one stage of a Spark plan
-    d = t(spark, sf, "documents")
+    d = t(spark, sf, "documents", spread=True)
     words = C.split_words.apply(d, cols=["text"], fan_out=True)
     return (
         words.select(F.col("split_words").getField("word").alias("word"))
@@ -2105,6 +2141,56 @@ def q_remote_series(spark, sf):
     uri = serve_registry(GLOBAL)
     p = t(spark, sf, "part").select(
         "p_partkey", (F.col("p_size") % 6).cast("int").alias("n")
+    )
+    out = remote_table(p, uri, "series", cols=["n"], passthrough=["p_partkey"])
+    return out.select("p_partkey", F.col("series").cast("long").alias("series"))
+
+
+@query(
+    "remote_ref_gcd",
+    """
+    SELECT l_orderkey, l_linenumber, gcd(l_partkey, l_suppkey) AS gcd
+    FROM lineitem
+    """,
+)
+def q_remote_ref_gcd(spark, sf):
+    """Live interop, reference side: the server process runs the REFERENCE
+    implementation (arrow_udf.UdfServer, arrow-udf-remote/python/arrow_udf/
+    __init__.py:356-436, imported unmodified from the read-only tree); our
+    Spark executors call it through sources/flight.py.  Discovery decoding,
+    the schema-concat trick (total_records = #args) and the exchange
+    framing are therefore proven against the reference's actual wire
+    behavior, not a self-test."""
+    from .sources.flight import remote_scalar
+    from .sources.ref_interop import serve_reference
+
+    uri = serve_reference()
+    li = t(spark, sf, "lineitem")
+    return remote_scalar(
+        li,
+        uri,
+        "gcd",
+        cols=["l_partkey", "l_suppkey"],
+        passthrough=["l_orderkey", "l_linenumber"],
+    )
+
+
+@query(
+    "remote_ref_series_udtf",
+    """
+    SELECT p_partkey, unnest(range(0, p_size % 6)) AS series
+    FROM part WHERE p_size % 6 > 0
+    """,
+)
+def q_remote_ref_series(spark, sf):
+    """Reference-server table function (@udtf, reference example.py:64-69
+    shape) called by our remote_table client over Arrow Flight."""
+    from .sources.flight import remote_table
+    from .sources.ref_interop import serve_reference
+
+    uri = serve_reference()
+    p = t(spark, sf, "part").select(
+        "p_partkey", (F.col("p_size") % 6).cast("long").alias("n")
     )
     out = remote_table(p, uri, "series", cols=["n"], passthrough=["p_partkey"])
     return out.select("p_partkey", F.col("series").cast("long").alias("series"))

@@ -47,7 +47,51 @@ TABLES = [
 ]
 
 
-def normalize_events(df: DataFrame) -> DataFrame:
+#: epoch-unit inference thresholds: a column whose max |value| is at least
+#: this is (nanos, micros, millis); below all three -> seconds.  Valid when
+#: the column contains at least one timestamp after ~1973 (earlier-only
+#: columns are indistinguishable from the next-finer unit by magnitude).
+_EPOCH_UNITS = (
+    (100_000_000_000_000_000, "ns"),
+    (100_000_000_000_000, "us"),
+    (100_000_000_000, "ms"),
+)
+
+#: micros-per-unit for each inferred unit
+_UNIT_TO_US = {"ns": ("DIV", 1000), "us": ("MUL", 1), "ms": ("MUL", 1000), "s": ("MUL", 1_000_000)}
+
+
+def _infer_epoch_unit(df: DataFrame, col: str) -> str:
+    """Infer the epoch unit of a bigint column ONCE per column from
+    ``max(abs(col))`` — never per row, so a column is always interpreted
+    under a single unit (mixed-magnitude rows would otherwise be split
+    across units silently)."""
+    row = df.agg(F.max(F.abs(F.col(col)))).first()
+    mx = row[0] if row else None
+    if mx is None:
+        return "us"  # empty/all-null: any unit works, micros is the contract
+    for bound, unit in _EPOCH_UNITS:
+        if mx >= bound:
+            return unit
+    return "s"
+
+
+def _epoch_to_us(col: str, unit: str):
+    op, k = _UNIT_TO_US[unit]
+    if op == "DIV":
+        # integer DIV, not float /: double's 53-bit mantissa corrupts the
+        # low bits of int64 nanos
+        return F.expr(f"`{col}` DIV {k}")
+    return F.col(col) * k if k != 1 else F.col(col)
+
+
+#: (cache_key, simpleSchema) -> inferred unit, so repeated reads of the same
+#: fixture don't re-run the max(abs) job (ADVICE r3: asof/sessionize/
+#: range_join/resample were each re-probing)
+_UNIT_CACHE: dict = {}
+
+
+def normalize_events(df: DataFrame, cache_key: Optional[str] = None) -> DataFrame:
     """Schema-sensitive normalization of the events table's ``ts`` column.
 
     The driver's fixtures have shipped ``ts`` under two physical types so
@@ -59,10 +103,21 @@ def normalize_events(df: DataFrame) -> DataFrame:
       identity on the wall-clock value, matching DuckDB's naive timestamp);
     - ``us``  — BIGINT micros-since-epoch (what DuckDB's ``epoch_us(ts)``
       returns), appended as the stable arithmetic-friendly column.
+
+    For a bigint ``ts`` the unit is inferred once per column from
+    ``max(abs)`` (one tiny agg job) rather than assumed nanos — a fixture
+    shipping int64 micros or millis normalizes correctly instead of being
+    silently divided by 1000.
     """
     dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":  # nanos-since-epoch long (legacy fixture shape)
-        df = df.withColumn("us", F.expr("ts DIV 1000")).withColumn(
+    if dt == "bigint":  # integer epoch (unit inferred, not assumed)
+        ck = (cache_key, df.schema.simpleString()) if cache_key else None
+        unit = _UNIT_CACHE.get(ck) if ck else None
+        if unit is None:
+            unit = _infer_epoch_unit(df, "ts")
+            if ck:
+                _UNIT_CACHE[ck] = unit
+        df = df.withColumn("us", _epoch_to_us("ts", unit)).withColumn(
             "ts", F.timestamp_micros(F.col("us"))
         )
     elif dt in ("timestamp", "timestamp_ntz"):
@@ -82,7 +137,7 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if name == "events":
-            df = normalize_events(df)
+            df = normalize_events(df, cache_key=f"{self.sf_dir}/{name}.parquet")
         return df
 
     def register_views(self) -> None:
@@ -208,17 +263,14 @@ def conform_schema(df: DataFrame, target: "T.StructType") -> DataFrame:
         if tgt_s in _TS_TYPES and src_s in _TS_TYPES:
             out.append(col.cast(tgt_s).alias(f.name))
         elif tgt_s in _TS_TYPES and src_s == "bigint":
-            # epoch-integer to timestamp: unit inferred per row from
-            # magnitude (nanos ~1e18, micros ~1e15, millis ~1e12, seconds
-            # ~1e9 for contemporary dates).  Integer DIV, not float /:
-            # double's 53-bit mantissa corrupts the low bits of int64 nanos.
-            q = f"`{f.name}`"
-            us = F.expr(
-                f"CASE WHEN abs({q}) >= 100000000000000000 THEN {q} DIV 1000 "
-                f"WHEN abs({q}) >= 100000000000000 THEN {q} "
-                f"WHEN abs({q}) >= 100000000000 THEN {q} * 1000 "
-                f"ELSE {q} * 1000000 END"
-            )
+            # epoch-integer to timestamp: unit inferred ONCE per column
+            # from max(abs) (one tiny agg job), never per row — per-row
+            # magnitude probing misreads early-epoch values (e.g. int64
+            # nanos for dates before ~1973 fall into the micros band).
+            # Valid range: the column must contain at least one post-1973
+            # value for its true unit to win; document-level constraint.
+            unit = _infer_epoch_unit(df, f.name)
+            us = _epoch_to_us(f.name, unit)
             out.append(F.timestamp_micros(us).cast(tgt_s).alias(f.name))
         elif tgt_s == "date" and src_s in _TS_TYPES:
             out.append(col.cast("date").alias(f.name))

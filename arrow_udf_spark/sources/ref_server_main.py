@@ -1,0 +1,58 @@
+"""Entry point that serves UDFs through the REFERENCE server implementation.
+
+Run as a subprocess:  python -m arrow_udf_spark.sources.ref_server_main <port>
+
+This imports the reference's pip-distributable ``arrow_udf`` package
+(arrow-udf-remote/python/arrow_udf/__init__.py) straight from the read-only
+reference tree — nothing is vendored or copied — and hosts a few
+example-style functions on its ``UdfServer`` (reference example.py:24-75).
+The point is live wire-level interop: our Spark-side Flight client
+(sources/flight.py) must discover and call functions served by the
+reference's own ``do_exchange``/``get_flight_info`` implementation, not by
+our re-implementation of it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+#: where the reference's python server package lives (read-only)
+REFERENCE_PKG_DIR = "/root/reference/arrow-udf-remote/python"
+
+
+def main() -> None:
+    port = int(sys.argv[1])
+    if not os.path.isdir(REFERENCE_PKG_DIR):
+        raise SystemExit(f"reference package not found: {REFERENCE_PKG_DIR}")
+    sys.path.insert(0, REFERENCE_PKG_DIR)
+    from arrow_udf import UdfServer, udf, udtf  # the REFERENCE package
+
+    @udf(input_types=["BIGINT", "BIGINT"], result_type="BIGINT")
+    def gcd(x: int, y: int) -> int:
+        # the reference server calls row-wise with raw as_py() values and
+        # aborts the exchange on an uncaught exception — NULL-safe by hand
+        if x is None or y is None:
+            return None
+        while y != 0:
+            (x, y) = (y, x % y)
+        return x
+
+    @udf(input_types=["BIGINT"], result_type="VARCHAR")
+    def to_hex(x: int) -> str:
+        return format(x, "x")
+
+    @udtf(input_types="BIGINT", result_types="BIGINT")
+    def series(n: int):
+        for i in range(n):
+            yield i
+
+    server = UdfServer(location=f"127.0.0.1:{port}")
+    server.add_function(gcd)
+    server.add_function(to_hex)
+    server.add_function(series)
+    server.serve()
+
+
+if __name__ == "__main__":
+    main()
