@@ -121,6 +121,12 @@ class _EvalSpec(NamedTuple):
     skip_null: bool  # True for RETURN_NULL_ON_NULL_INPUT
     io_threads: Optional[int]
     timeout: Optional[float] = None  # per-call deadline in seconds (A21)
+    # per-call memory cap in bytes (A21 second half, reference QuickJS
+    # set_memory_limit javascript/mod.rs:229-231 / wasm StoreLimits
+    # wasm/mod.rs:358-371): the batch is evaluated in a forked child under
+    # RLIMIT_AS; a row whose allocations blow the cap raises MemoryError in
+    # the child and becomes an error row — the executor never OOMs
+    memory_limit: Optional[int] = None
     # zero-arg function: Spark pandas UDFs need >=1 column, so the caller
     # passes a dummy column that only provides the batch length
     nullary: bool = False
@@ -161,6 +167,8 @@ def _eval_rows(
     def call_one(args: tuple) -> tuple[Any, Optional[str]]:
         try:
             return fn(*(None if _is_null(a) else a for a in args)), None
+        except MemoryError:  # A21 cap tripped (str(MemoryError()) is empty)
+            return None, "memory limit exceeded"
         except Exception as e:  # row-level isolation, never abort the batch
             return None, fmt(e)
 
@@ -234,10 +242,83 @@ def _eval_rows(
     return values, errors
 
 
+def _vm_bytes() -> int:
+    """Current virtual size of this process (Linux /proc)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[0])
+        import os
+
+        return pages * os.sysconf("SC_PAGE_SIZE")
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 1 << 31  # unknown baseline: leave 2 GiB headroom
+
+
+def _eval_memcapped(
+    spec: _EvalSpec, cols: Sequence[pd.Series], n: int
+) -> tuple[Any, Optional[pd.Series]]:
+    """Run the batch in a forked child under ``RLIMIT_AS = current + cap``.
+
+    Fork (not spawn) so the function and columns transfer by page sharing —
+    no pickling of inputs; only the (values, errors) result crosses the
+    pipe.  Per-row isolation comes from the row loop's existing try/except:
+    a row whose allocations exceed the cap gets MemoryError -> error row.
+    If the child dies outright (C-level abort), every row of the batch
+    becomes an error row — the batch never kills the executor.
+    """
+    import os
+    import pickle
+    import resource
+
+    inner = spec._replace(memory_limit=None)
+    r_fd, w_fd = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child
+        code = 1
+        try:
+            os.close(r_fd)
+            cap = _vm_bytes() + spec.memory_limit
+            # soft = cap, hard = unlimited: the child must be able to lift
+            # its own soft limit again before pickling the (possibly large)
+            # result — an unprivileged process cannot raise a hard limit
+            resource.setrlimit(resource.RLIMIT_AS, (cap, resource.RLIM_INFINITY))
+            values, errors = _eval_clean(inner, cols, n)
+            payload = pickle.dumps(
+                (list(values) if not isinstance(values, list) else values,
+                 None if errors is None else list(errors))
+            )
+            resource.setrlimit(
+                resource.RLIMIT_AS,
+                (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
+            )
+            with os.fdopen(w_fd, "wb") as w:
+                w.write(payload)
+            code = 0
+        except BaseException:  # noqa: BLE001 — child must never re-raise
+            pass
+        finally:
+            os._exit(code)
+    os.close(w_fd)
+    with os.fdopen(r_fd, "rb") as r:
+        data = r.read()
+    _, status = os.waitpid(pid, 0)
+    if data and status == 0:
+        values, errors = pickle.loads(data)
+        return values, (None if errors is None else pd.Series(errors, dtype="object"))
+    if not spec.fallible:
+        raise MemoryError(
+            f"{spec.fn.__name__}: batch exceeded the {spec.memory_limit}-byte "
+            "memory limit"
+        )
+    return [None] * n, pd.Series(["memory limit exceeded"] * n, dtype="object")
+
+
 def _eval_clean(
     spec: _EvalSpec, cols: Sequence[pd.Series], n: int
 ) -> tuple[Any, Optional[pd.Series]]:
     """Evaluate on (possibly pre-masked) columns; return (values, errors)."""
+    if spec.memory_limit is not None:
+        return _eval_memcapped(spec, cols, n)
     if spec.batch:
         if not spec.fallible:
             return spec.fn(*cols), None
@@ -344,6 +425,8 @@ class ScalarFunction:
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT
     io_threads: Optional[int] = None
     timeout: Optional[float] = None
+    #: per-call memory cap in bytes (A21); see _eval_memcapped
+    memory_limit: Optional[int] = None
     # volatile fns (reference macro attr `volatile`, arrow-udf-macros/src/
     # lib.rs:297-330) must not be constant-folded / CSE'd by Catalyst
     volatile: bool = False
@@ -363,6 +446,7 @@ class ScalarFunction:
             skip_null=self.mode is CallMode.RETURN_NULL_ON_NULL_INPUT,
             io_threads=self.io_threads,
             timeout=self.timeout,
+            memory_limit=self.memory_limit,
             nullary=not self.input_fields,
             is_async=is_async,
             error_style=self.error_style,
@@ -458,6 +542,7 @@ def udf(
     mode: CallMode = CallMode.CALLED_ON_NULL_INPUT,
     io_threads: Optional[int] = None,
     timeout: Optional[float] = None,
+    memory_limit: Optional[int] = None,
     volatile: bool = False,
     variadic: bool = False,
     error_style: str = "message",
@@ -517,6 +602,7 @@ def udf(
                 mode=mode,
                 io_threads=io_threads,
                 timeout=timeout,
+                memory_limit=memory_limit,
                 volatile=volatile,
                 error_style=error_style,
             )

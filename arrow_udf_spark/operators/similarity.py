@@ -76,8 +76,19 @@ def brute_force_topk_numpy(
 ) -> DataFrame:
     """Same contract as brute_force_topk; scoring via one matmul per Arrow
     batch, then a global top-k reduce.  The per-partition top-k keeps the
-    shuffle at O(partitions·queries·k) rows."""
-    qrows = queries.select(id_col, vec_col).collect()
+    shuffle at O(partitions·queries·k) rows.
+
+    The QUERY side is collected to the driver (the only ``.collect()`` in
+    an operator path) — enforced small via a hard cap rather than trusting
+    the caller: a fat query set must use :func:`brute_force_topk`
+    (broadcast) or :func:`ivf_topk` instead."""
+    MAX_QUERY_ROWS = 10_000
+    qrows = queries.select(id_col, vec_col).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"brute_force_topk_numpy: query set exceeds {MAX_QUERY_ROWS} rows; "
+            "use brute_force_topk (broadcast) or ivf_topk for large query sides"
+        )
     q_ids = np.array([r[0] for r in qrows])
     qm = np.array([r[1] for r in qrows], dtype="float64")
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

@@ -33,11 +33,54 @@ __all__ = [
     "EXT_JSON",
     "EXT_DECIMAL",
     "EXT_PICKLE",
+    "set_extension_metadata_key",
+    "set_extension_value",
+    "ext_field_metadata",
 ]
 
 EXT_JSON = "arrowudf.json"
 EXT_DECIMAL = "arrowudf.decimal"
 EXT_PICKLE = "arrowudf.pickle"
+
+# ---------------------------------------------------------------------------
+# Configurable extension-type metadata (reference set_arrow_extension_key /
+# set_json_extension_value et al., arrow-udf-runtime/src/python/pyarrow.rs:
+# 120-133, README.md:43-55): hosts that tag ext fields under different
+# Arrow metadata keys or values can re-point ours before serving/claiming
+# schemas.  Used wherever an ExtField crosses an Arrow schema boundary
+# (Flight discovery, IPC sinks).
+# ---------------------------------------------------------------------------
+
+_ext_metadata_key = "ARROW:extension:name"
+_ext_values = {"json": EXT_JSON, "decimal": EXT_DECIMAL, "pickle": EXT_PICKLE}
+
+
+def set_extension_metadata_key(key: str) -> None:
+    """Change the Arrow field-metadata KEY used for extension tags."""
+    global _ext_metadata_key
+    _ext_metadata_key = key
+
+
+def set_extension_value(logical: str, value: str) -> None:
+    """Change the metadata VALUE advertised for a logical ext type
+    (``json`` / ``decimal`` / ``pickle``)."""
+    if logical not in _ext_values:
+        raise KeyError(f"unknown extension type: {logical}")
+    _ext_values[logical] = value
+
+
+def ext_field_metadata(ext: Optional[str]) -> Optional[dict]:
+    """Arrow field metadata for an ExtField tag, under the configured key.
+
+    Accepts either the logical name (``json``) or a full tag value
+    (``arrowudf.json``); returns None for untagged fields.
+    """
+    if ext is None:
+        return None
+    for logical, value in _ext_values.items():
+        if ext in (logical, value):
+            return {_ext_metadata_key: value}
+    return {_ext_metadata_key: ext}
 
 
 @dataclass(frozen=True)

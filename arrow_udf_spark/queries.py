@@ -2197,6 +2197,56 @@ def q_remote_ref_series(spark, sf):
 
 
 @query(
+    "view_roundtrip",
+    """
+    SELECT doc_id, text AS text_rt,
+           CAST(strlen(text) AS INT) AS len,
+           CAST(strlen(text) AS INT) AS blen
+    FROM documents
+    """,
+)
+def q_view_roundtrip(spark, sf):
+    """Utf8View/BinaryView round-trip (reference runtime view converters,
+    arrow-udf-runtime/src/python/pyarrow.rs:188-197; test
+    tests/python.rs:1141): inside mapInArrow each text batch is rebuilt as
+    a string_view / binary_view array, fed through the scalar eval core
+    (length over utf8 bytes, length over binary), and the view text is
+    round-tripped back to utf8 — proving view-backed inputs flow through
+    the framework unchanged.  (pyarrow 16 has no utf8<->view cast kernels,
+    so arrays are constructed as views directly.)"""
+    import pyarrow as pa
+
+    from .operators.scalar import _eval_batch
+
+    len_spec = C.length._spec()
+    lenb_spec = C.length_bin._spec()
+
+    def conv(batches):
+        for b in batches:
+            txt = b.column(1).to_pylist()
+            sv = pa.array(txt, type=pa.string_view())  # Utf8View input
+            bv = pa.array(
+                [None if s is None else s.encode("utf-8") for s in txt],
+                type=pa.binary_view(),
+            )
+            s, bs = sv.to_pandas(), bv.to_pandas()
+            ln = _eval_batch(len_spec, s)
+            bl = _eval_batch(lenb_spec, bs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.Array.from_pandas(s, type=pa.string()),
+                    pa.Array.from_pandas(ln, type=pa.int32()),
+                    pa.Array.from_pandas(bl, type=pa.int32()),
+                ],
+                names=["doc_id", "text_rt", "len", "blen"],
+            )
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return d.mapInArrow(conv, "doc_id long, text_rt string, len int, blen int")
+
+
+@query(
     "resample_ffill",
     """
     WITH obs AS (
@@ -3664,82 +3714,18 @@ def q_error_text_corpus(spark, sf):
 #      streaming, iterative clustering, temporal, sampling, TPC-H breadth);
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
-    # -- round-3: fixed after the events.ts micros regression (must re-prove)
-    "asof_join",
-    "sessionize",
-    "range_join_count",
-    "resample_ffill",
-    "streaming_window_agg",
-    "upsert_latest",
-    # -- round-3: hash-rendering fixes (HUGEINT -> BIGINT casts)
-    "pack_sequences",
-    "pipeline_e2e",
-    # -- round-3 additions, never gated --
-    "error_text_corpus",
-    "streaming_retract_sliding",
-    "temporal_roundtrip",
-    "sum_udaf_two_phase_sql",
-    # -- round-2 additions, never gated --
-    "kmv_distinct",
-    "kmv_udaf",
-    "quantize_int8",
-    # -- re-worked after round-1 verdict --
-    "sum_udaf",
-    "tpch_q1",
-    "rollup_agg",
-    "embedding_near_dup",
-    # -- A8 retract protocol, driver-gated for the first time --
-    "retract_udaf",
-    # -- never driver-gated: unique environments --
-    "remote_series_udtf",
-    "streaming_window_agg",
-    "streaming_dedup_digests",
-    "dup_clusters",
-    "pipeline_e2e",
-    # -- temporal operators --
-    "asof_join",
-    "sessionize",
-    "range_join_count",
-    "resample_ffill",
-    # -- sampling / training-data ops --
-    "hash_sample",
-    "split_assign",
-    "corpus_mixture",
-    "pack_sequences",
-    "negative_pairs",
-    # -- text pipeline ops --
-    "decontaminate",
-    "normalize_text",
-    "source_quota",
-    "wav_roundtrip",
-    "lsh_join_new_vs_ref",
-    "token_count_bpe",
-    "unigram_surprisal",
-    "chunk_documents",
-    "repetition_ratio",
-    "redact_pii",
-    "tfidf_topterms",
-    "vocab_topk",
-    # -- TPC-H breadth --
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    # -- relational carriers --
-    "cube_agg",
-    "grouping_sets",
-    "window_functions",
-    "global_topk",
+    # ------------------------------------------------------------------
+    # Round-4 ordering.  The driver gates the first ~50 entries; priority:
+    #   1. the 24 catalog queries NEVER driver-gated through round 3
+    #      (VERDICT r3 top item — every implemented operator needs a
+    #      driver CORRECTNESS row, local-oracle green is not enough);
+    #   2. round-4 additions (reference-server interop, view arrays);
+    #   3. queries whose implementation changed this round (decimal fast
+    #      path, single-eval fallible apply, spread, unit inference, kmv);
+    #   4. highest-value unique environments for continuous re-proof.
+    # ------------------------------------------------------------------
+    # -- 1. never driver-gated (24) --
     "pivot_agg",
-    "upsert_latest",
     "semi_anti_join",
     "set_ops_full",
     "string_agg_nations",
@@ -3749,7 +3735,6 @@ _GATE_PRIORITY = [
     "expr_breadth",
     "skew_agg",
     "salted_join_agg",
-    # -- scalar/type corpus variants --
     "count_udaf",
     "gcd3_fn",
     "map_fn",
@@ -3764,6 +3749,75 @@ _GATE_PRIORITY = [
     "decimal_native_math",
     "uint64_widening",
     "audio_chunks",
+    # -- 2. round-4 additions --
+    "remote_ref_gcd",
+    "remote_ref_series_udtf",
+    "view_roundtrip",
+    # -- 3. implementation changed this round --
+    "decimal_add_fn",
+    "div_error",
+    "minhash_signature",
+    "simhash",
+    "fingerprint",
+    "series_udtf",
+    "vocab_topk",
+    "kmv_udaf",
+    "asof_join",
+    "sessionize",
+    "range_join_count",
+    "resample_ffill",
+    # -- 4. unique environments, continuous re-proof --
+    "remote_gcd",
+    "remote_series_udtf",
+    "streaming_window_agg",
+    "streaming_retract_sliding",
+    "streaming_dedup_digests",
+    "dup_clusters",
+    "pipeline_e2e",
+    "sum_udaf_two_phase_sql",
+    "wav_roundtrip",
+    "tpch_q5",
+    "tpch_q1",
+    # -- remainder (previously gated green; driver covers as budget allows)
+    "error_text_corpus",
+    "temporal_roundtrip",
+    "kmv_distinct",
+    "quantize_int8",
+    "sum_udaf",
+    "rollup_agg",
+    "embedding_near_dup",
+    "retract_udaf",
+    "hash_sample",
+    "split_assign",
+    "corpus_mixture",
+    "pack_sequences",
+    "negative_pairs",
+    "decontaminate",
+    "normalize_text",
+    "source_quota",
+    "lsh_join_new_vs_ref",
+    "token_count_bpe",
+    "unigram_surprisal",
+    "chunk_documents",
+    "repetition_ratio",
+    "redact_pii",
+    "tfidf_topterms",
+    "upsert_latest",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "cube_agg",
+    "grouping_sets",
+    "window_functions",
+    "global_topk",
 ]
 
 

@@ -55,10 +55,13 @@ __all__ = [
 PROTOCOL_VERSION = b"\x02"
 
 
-def _spark_to_arrow_field(name: str, dtype: T.DataType) -> pa.Field:
+def _spark_to_arrow_field(name: str, dtype: T.DataType, ext: str | None = None) -> pa.Field:
     from pyspark.sql.pandas.types import to_arrow_type
 
-    return pa.field(name, to_arrow_type(dtype))
+    from ..plans.types import ext_field_metadata
+
+    md = ext_field_metadata(ext)
+    return pa.field(name, to_arrow_type(dtype), metadata=md)
 
 
 class UdfFlightServer(flight.FlightServerBase if flight else object):
@@ -93,24 +96,32 @@ class UdfFlightServer(flight.FlightServerBase if flight else object):
         self._tfs[tf.sig.mangled()] = tf
 
     def _schemas(self, fn: ScalarFunction) -> tuple[pa.Schema, pa.Schema]:
+        # ext-typed fields advertise their extension tag as Arrow field
+        # metadata under the configurable key (reference pyarrow.rs:120-133)
         in_fields = [
-            _spark_to_arrow_field(f"arg{i}", f.dtype)
+            _spark_to_arrow_field(f"arg{i}", f.dtype, f.ext)
             for i, f in enumerate(fn.input_fields)
         ]
-        out_fields = [_spark_to_arrow_field(fn.sig.name, fn.result_field.dtype)]
+        out_fields = [
+            _spark_to_arrow_field(
+                fn.sig.name, fn.result_field.dtype, fn.result_field.ext
+            )
+        ]
         if fn.fallible:
             out_fields.append(pa.field("error", pa.string()))
         return pa.schema(in_fields), pa.schema(out_fields)
 
     def _tf_schemas(self, tf: TableFunction) -> tuple[pa.Schema, pa.Schema]:
         in_fields = [
-            _spark_to_arrow_field(f"arg{i}", f.dtype)
+            _spark_to_arrow_field(f"arg{i}", f.dtype, f.ext)
             for i, f in enumerate(tf.input_fields)
         ]
         # reference table-fn output shape: (row: int32, value, [error])
         out_fields = [
             pa.field("row", pa.int32()),
-            _spark_to_arrow_field(tf.sig.name, tf.result_field.dtype),
+            _spark_to_arrow_field(
+                tf.sig.name, tf.result_field.dtype, tf.result_field.ext
+            ),
         ]
         if tf.fallible:
             out_fields.append(pa.field("error", pa.string()))

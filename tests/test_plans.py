@@ -56,14 +56,24 @@ def test_topk_item_table_not_shuffled_before_scoring(spark, sf_dir):
 
 
 def test_scalar_udf_single_python_eval(spark, sf_dir):
-    """A fallible UDF projected as value+error must evaluate ONCE (the
-    struct is shared), not once per extracted field."""
+    """A fallible UDF projected as value+error must evaluate ONCE — one
+    ArrowEvalPython node containing ONE udf instance.  (The two-getField
+    ``value_and_error`` form produces ``ArrowEvalPython [div(..), div(..)]``
+    because the nondeterministic UDF is never CSE'd; ``apply`` stages the
+    struct in its own projection, which CollapseProject refuses to merge.)"""
     from arrow_udf_spark.functions.corpus import div
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    v, e = div.value_and_error(F.col("l_partkey"), F.col("l_suppkey") % 7)
-    plan = _plan(li.select(v, e))
+    out = div.apply(
+        li,
+        cols=[F.col("l_partkey"), F.col("l_suppkey") % 7],
+        passthrough=["l_orderkey"],
+        value_alias="d",
+    )
+    plan = _plan(out)
     assert plan.count("ArrowEvalPython") == 1
+    eval_line = next(l for l in plan.splitlines() if "ArrowEvalPython" in l)
+    assert eval_line.count("div(") == 1, eval_line
 
 
 def test_pipeline_e2e_single_scan(spark, sf_dir):
