@@ -568,6 +568,30 @@ def sleep_fn(seconds: float):
     return seconds
 
 
+@udf(
+    input_types=["bigint"],
+    result_type="bigint",
+    name="sleepy_double",
+    fallible=True,
+    timeout=1.0,
+    io_threads=64,
+)
+def sleepy_double(x: int):
+    """Deterministic timeout probe (A21 timeout half, reference QuickJS
+    interrupt deadline javascript/mod.rs:245-260): rows with x % 5 == 0
+    sleep far past the 1 s per-call deadline and must come back as
+    ``error = "timeout"`` rows; every other row doubles.  io_threads=64
+    keeps the whole batch in ONE watchdog wave so the shared deadline is
+    exactly one timeout."""
+    import time as _time
+
+    if x is None:
+        return None
+    if x % 5 == 0:
+        _time.sleep(5.0)
+    return x * 2
+
+
 def _make_neg_probe():
     # the pinned error text renders the code object's co_qualname (CPython
     # 3.11+), so build a function whose code object is literally named

@@ -2247,6 +2247,28 @@ def q_view_roundtrip(spark, sf):
 
 
 @query(
+    "timeout_error_corpus",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                ELSE n_nationkey * 2 END AS v,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'timeout' END AS error
+    FROM nation
+    """,
+)
+def q_timeout_error(spark, sf):
+    """A21 timeout half under the oracle gate: rows that sleep past the
+    1 s per-call deadline must surface as ``error='timeout'`` rows (value
+    NULL), everything else computes — the watchdog never aborts the batch
+    or the executor (reference javascript/mod.rs:245-260, test
+    javascript.rs:1246)."""
+    n = t(spark, sf, "nation")
+    return C.sleepy_double.apply(
+        n, cols=["n_nationkey"], passthrough=["n_nationkey"], value_alias="v"
+    )
+
+
+@query(
     "resample_ffill",
     """
     WITH obs AS (
@@ -3753,6 +3775,7 @@ _GATE_PRIORITY = [
     "remote_ref_gcd",
     "remote_ref_series_udtf",
     "view_roundtrip",
+    "timeout_error_corpus",
     # -- 3. implementation changed this round --
     "decimal_add_fn",
     "div_error",

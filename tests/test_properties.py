@@ -214,3 +214,49 @@ def test_decimal_add_odd_shapes():
     assert got.tolist()[:3] == ["-1.25", "2.625", "101"]
     assert pd.isna(got.tolist()[3])
     assert got.tolist()[4] == "124.00"
+
+
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**20), max_value=10**20),
+            st.integers(min_value=-(10**20), max_value=10**20),
+        ),
+        min_size=1,
+        max_size=48,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_decimal_add_signed_uniform_scales_match_reference(scale, pairs):
+    """The arrow decimal128 fast path must stay bit-identical to the
+    Decimal loop for signed values at ANY uniform scale (0..6), including
+    magnitudes past int64 (> 10^19)."""
+    from decimal import Decimal, localcontext
+
+    from arrow_udf_spark.functions.corpus import decimal_add
+
+    def render(v: int) -> str:
+        with localcontext() as ctx:
+            ctx.prec = 1000
+            return format(Decimal(v).scaleb(-scale), "f")
+
+    a = pd.Series([render(x) for x, _ in pairs])
+    b = pd.Series([render(y) for _, y in pairs])
+    got = decimal_add._eval(a, b)
+    with localcontext() as ctx:
+        ctx.prec = 1000
+        want = [format(Decimal(x) + Decimal(y), "f") for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+def test_decimal_add_mixed_scale_batch_uses_exact_fallback():
+    """A batch with non-uniform scales must fall back to per-row Decimal
+    semantics (result scale = max of the ROW's operand scales, not the
+    column max)."""
+    from arrow_udf_spark.functions.corpus import decimal_add
+
+    a = pd.Series(["1.5", "1.50"], dtype=object)
+    b = pd.Series(["1.5", "1.50"], dtype=object)
+    got = decimal_add._eval(a, b)
+    assert got.tolist() == ["3.0", "3.00"]
