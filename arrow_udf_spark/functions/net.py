@@ -20,12 +20,53 @@ Only stdlib ``urllib`` is used; no extra dependencies.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 from ..operators.scalar import ScalarFunction, udf
 from ..plans.registry import GLOBAL, Registry
 
-__all__ = ["make_http_get"]
+__all__ = ["make_http_get", "serve_echo_fixture"]
+
+_echo_server = None
+_echo_base: Optional[str] = None
+_echo_lock = threading.Lock()
+
+
+def serve_echo_fixture() -> str:
+    """Start (once) a loopback HTTP fixture: ``/echo/<x>`` answers 200 with
+    body ``payload-<x>``; anything else 404.  Returns the base URL.
+
+    This is the analogue of the reference's axum mock server for its
+    fetch() tests (javascript_fetch.rs:58-533) — deterministic bodies so a
+    DuckDB oracle can state the expected text analytically.  Loopback only;
+    executors in local mode share the host.
+    """
+    global _echo_server, _echo_base
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Echo(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib contract)
+            if self.path.startswith("/echo/"):
+                body = f"payload-{self.path[len('/echo/'):]}".encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # silence per-request stderr lines
+            pass
+
+    with _echo_lock:
+        if _echo_base is None:
+            _echo_server = ThreadingHTTPServer(("127.0.0.1", 0), Echo)
+            threading.Thread(
+                target=_echo_server.serve_forever, daemon=True
+            ).start()
+            _echo_base = f"http://127.0.0.1:{_echo_server.server_address[1]}"
+    return _echo_base
 
 
 def make_http_get(

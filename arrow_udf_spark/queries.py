@@ -2247,6 +2247,38 @@ def q_view_roundtrip(spark, sf):
 
 
 @query(
+    "http_fetch_corpus",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 13 THEN NULL
+                ELSE 'payload-' || n_nationkey END AS body,
+           CASE WHEN n_nationkey = 13 THEN 'HTTP Error 404: Not Found'
+                END AS error
+    FROM nation
+    """,
+)
+def q_http_fetch(spark, sf):
+    """A22 fetch() under the oracle gate: a loopback HTTP fixture serves
+    deterministic bodies; executors GET per row through the fallible
+    ``http_get`` UDF (io_threads concurrency + deadline).  One row hits a
+    404 and must land in the error column, not fail the task (reference
+    javascript_fetch.rs:58-533, error paths :506-533)."""
+    from .functions.net import make_http_get, serve_echo_fixture
+    from .plans.registry import Registry
+
+    base = serve_echo_fixture()
+    fn = make_http_get(name="http_get_q", registry=Registry())
+    n = t(spark, sf, "nation")
+    url = F.when(
+        F.col("n_nationkey") == 13, F.lit(f"{base}/missing/13")
+    ).otherwise(F.concat(F.lit(f"{base}/echo/"), F.col("n_nationkey")))
+    src = n.select("n_nationkey", url.alias("u"))
+    return fn.apply(
+        src, cols=["u"], passthrough=["n_nationkey"], value_alias="body"
+    )
+
+
+@query(
     "timeout_error_corpus",
     """
     SELECT n_nationkey,
@@ -3776,6 +3808,7 @@ _GATE_PRIORITY = [
     "remote_ref_series_udtf",
     "view_roundtrip",
     "timeout_error_corpus",
+    "http_fetch_corpus",
     # -- 3. implementation changed this round --
     "decimal_add_fn",
     "div_error",

@@ -165,3 +165,50 @@ def test_udaf_sql_surface_warns_no_partial_agg(spark):
     msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
     assert any("without partial aggregation" in m for m in msgs), msgs
     assert any("agg(df, by=" in m for m in msgs), msgs
+
+
+def test_udaf_overloads_all_get_two_phase_pair(spark):
+    """EVERY aggregate overload must register its __partial/__merge pair —
+    the second (mangled-name) overload included, not just the bare-named
+    first one (ADVICE r3)."""
+    from arrow_udf_spark.operators.aggregate import udaf
+    from arrow_udf_spark.plans.registry import Registry
+
+    reg = Registry()
+
+    @udaf(input_types=["bigint"], result_type="bigint", name="ovl_sum", registry=reg)
+    class OvlSumInt:
+        def create_state(self):
+            return 0
+
+        def accumulate(self, s, x):
+            return s + (0 if x is None else int(x))
+
+        def merge(self, a, b):
+            return a + b
+
+    @udaf(input_types=["double"], result_type="double", name="ovl_sum", registry=reg)
+    class OvlSumDouble:
+        def create_state(self):
+            return 0.0
+
+        def accumulate(self, s, x):
+            return s + (0.0 if x is None else float(x))
+
+        def merge(self, a, b):
+            return a + b
+
+    registered = set(reg.register_sql(spark))
+    # first overload owns the bare name; the second registers mangled —
+    # and BOTH must expose partial/merge
+    assert {"ovl_sum__partial", "ovl_sum__merge"} <= registered
+    assert {"ovl_sum__double__partial", "ovl_sum__double__merge"} <= registered
+    got = spark.sql(
+        """
+        SELECT ovl_sum__double__merge(p) AS s FROM (
+            SELECT ovl_sum__double__partial(CAST(id AS DOUBLE)) AS p
+            FROM range(10) GROUP BY pmod(id, 3)
+        )
+        """
+    ).collect()
+    assert got[0].s == 45.0
