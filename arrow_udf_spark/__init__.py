@@ -9,7 +9,8 @@ Public API::
 
 from .plans.registry import GLOBAL, Registry, Signature
 from .plans.types import (EXT_DECIMAL, EXT_JSON, EXT_PICKLE, ExtField,
-                          parse_type, struct_type)
+                          parse_type, set_extension_metadata_key,
+                          set_extension_value, struct_type)
 from .operators.scalar import CallMode, ScalarFunction, udf
 from .operators.table import TableFunction, udtf
 from .operators.aggregate import AggregateFunction, udaf
@@ -43,6 +44,8 @@ __all__ = [
     "EXT_JSON",
     "EXT_DECIMAL",
     "EXT_PICKLE",
+    "set_extension_metadata_key",
+    "set_extension_value",
     "ScalarFunction",
     "TableFunction",
     "AggregateFunction",

@@ -30,11 +30,26 @@ ORACLE: dict[str, str] = {}
 
 def _scan_parallelism(path: str) -> int:
     """Partitions a parquet scan of ``path`` will produce (file bytes over
-    ``spark.sql.files.maxPartitionBytes``, the planner's own formula)."""
+    ``spark.sql.files.maxPartitionBytes``, the planner's own formula).
+
+    Directory datasets: sum the first 64 file sizes and treat 64+ files as
+    already-wide — a partitioned 100 TB table must NEVER look small just
+    because ``getsize(dir)`` returns the directory inode size."""
     import os
 
     try:
-        size = os.path.getsize(path)
+        if os.path.isdir(path):
+            sizes = []
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    sizes.append(os.path.getsize(os.path.join(root, f)))
+                    if len(sizes) >= 64:
+                        return 1 << 30  # many files -> scan is already wide
+            size = sum(sizes)
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return 1 << 30  # unknown → assume wide, never force a shuffle
     return max(1, size // (128 << 20))
