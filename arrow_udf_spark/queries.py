@@ -1502,6 +1502,58 @@ def q_grouping_sets(spark, sf):
 
 
 @query(
+    "streaming_enrich_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_streaming_enrich(spark, sf):
+    """Stream-static enrichment join (SURVEY §2.C streaming row): the
+    events stream joins a broadcast static customer dimension per
+    micro-batch — the standard streaming-ETL enrichment shape.  At scale
+    the dim broadcast is paid once per executor per batch and the stream
+    never shuffles for the join; the aggregate is the only stateful op.
+    Result must equal the equivalent batch join+agg (the oracle)."""
+    import tempfile
+    import uuid
+
+    ev = t(spark, sf, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    d = tempfile.mkdtemp(prefix="stream_ej_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    joined = stream.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    sink = f"stream_ej_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"""
+        SELECT segment, n,
+               CAST(CAST(total AS DECIMAL(18,2)) AS STRING) AS total
+        FROM {sink}
+        """
+    )
+
+
+@query(
     "streaming_window_agg",
     """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -3824,6 +3876,7 @@ _GATE_PRIORITY = [
     "view_roundtrip",
     "timeout_error_corpus",
     "http_fetch_corpus",
+    "streaming_enrich_join",
     # -- 3. implementation changed this round --
     "decimal_add_fn",
     "div_error",
