@@ -1,0 +1,36 @@
+"""Guard the driver-gate window: the first 50 catalog entries must cover
+every query that has never received a driver CORRECTNESS row (the driver
+samples ~50 per round in dict order — a rotation mistake would leave an
+operator permanently unverified)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_first_50_covers_all_never_gated_queries():
+    from arrow_udf_spark.queries import ORACLE, QUERIES
+
+    gated: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            recorded = json.load(f)
+        # only rows that actually passed count as verified
+        gated |= {
+            k
+            for k, v in recorded.items()
+            if isinstance(v, dict) and v.get("hash_match") and v.get("rows_match")
+        }
+    names = list(QUERIES)
+    window = set(names[:50])
+    never = [n for n in names if n not in gated]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-driver-gated queries outside the first-50 window: {missing}"
+    )
+    # every catalog entry stays oracle-paired (a rows-only check is weaker)
+    assert set(names) == set(ORACLE)
