@@ -305,12 +305,21 @@ def _eval_memcapped(
     if data and status == 0:
         values, errors = pickle.loads(data)
         return values, (None if errors is None else pd.Series(errors, dtype="object"))
+    # the child died without delivering results.  Signal death (segfault in
+    # a C extension, SIGKILL from the kernel OOM killer) is the reference's
+    # wasm fault-injection scenario (tests/wasm.rs:33-70 segfault/oom
+    # probes): the fork boundary contains it to this batch — the executor
+    # and its Python worker survive.
+    if os.WIFSIGNALED(status):
+        msg = f"worker crashed: signal {os.WTERMSIG(status)}"
+    else:
+        msg = "memory limit exceeded"
     if not spec.fallible:
         raise MemoryError(
-            f"{spec.fn.__name__}: batch exceeded the {spec.memory_limit}-byte "
-            "memory limit"
+            f"{spec.fn.__name__}: {msg} "
+            f"(per-call limit {spec.memory_limit} bytes)"
         )
-    return [None] * n, pd.Series(["memory limit exceeded"] * n, dtype="object")
+    return [None] * n, pd.Series([msg] * n, dtype="object")
 
 
 def _eval_clean(

@@ -100,3 +100,34 @@ def test_capped_bomb_through_spark(spark, sf_dir):
             assert r["error"] == "memory limit exceeded"
             assert r["v"] is None
     assert any(r["error"] == "memory limit exceeded" for r in rows)
+
+
+def test_segfault_in_child_is_contained():
+    """The fork boundary is also a crash sandbox (reference wasm
+    fault-injection probes, tests/wasm.rs:33-70): a C-level segfault in a
+    capped UDF kills only the forked child — the batch comes back as error
+    rows and the worker process survives to run the next batch."""
+    reg = Registry()
+
+    @udf(
+        input_types=["bigint"],
+        result_type="bigint",
+        name="segv_probe",
+        fallible=True,
+        memory_limit=CAP,
+        registry=reg,
+    )
+    def segv_probe(x: int):
+        if x and x > 0:
+            import ctypes
+
+            ctypes.string_at(0)  # NULL deref -> SIGSEGV
+        return 0
+
+    out = segv_probe._eval(pd.Series([1, 2]))
+    assert out["value"].isna().all()
+    assert set(out["error"]) == {"worker crashed: signal 11"}
+    # the parent survived; a clean batch still evaluates
+    ok = segv_probe._eval(pd.Series([0, 0]))
+    assert ok["value"].tolist() == [0, 0]
+    assert ok["error"].isna().all()
