@@ -35,6 +35,40 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Position-wise mean pooling of vectors per group — the chunk→document
+    embedding reduction of a training pipeline (each document's chunk
+    embeddings pooled to one vector).
+
+    Plan: posexplode → two keyed aggregations ((group, pos) then group) —
+    both shuffles are on keys whose cardinality is O(groups · dim), never
+    the raw vectors; the reassembled array is ordered by position via
+    array_sort on (pos, value) structs.  At 100 TB this is the standard
+    explode-reduce shape Catalyst handles with map-side partial avgs.
+    """
+    src = df.select(
+        F.col(group_col).alias("__g"), F.posexplode(vec_col).alias("__p", "__v")
+    )
+    by_pos = src.groupBy("__g", "__p").agg(
+        F.avg(F.col("__v").cast("double")).alias("__m")
+    )
+    return (
+        by_pos.groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                lambda s: s.getField("__m"),
+            ).alias(out_col)
+        )
+        .withColumnRenamed("__g", group_col)
+    )
+
+
 def brute_force_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -3649,6 +3649,40 @@ def q_quantize_int8(spark, sf):
 
 
 @query(
+    "embedding_mean_pool",
+    """
+    WITH ex AS (
+      SELECT vec_id % 50 AS g,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), av AS (
+      SELECT g, pos, AVG(CAST(v AS DOUBLE)) AS m FROM ex GROUP BY g, pos
+    )
+    SELECT g, string_agg(printf('%.6f', m), '|' ORDER BY pos) AS vec
+    FROM av GROUP BY g
+    """,
+)
+def q_embedding_mean_pool(spark, sf):
+    """Chunk→document embedding reduction: position-wise mean pooling of
+    vectors per group (here: 50 synthetic doc groups over the embeddings
+    table).  Explode-reduce with map-side partial averages; shuffled keys
+    are O(groups · dim), never the vectors."""
+    from .operators.similarity import mean_pool
+
+    e = t(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 50).alias("g"), "embedding"
+    )
+    pooled = mean_pool(e, group_col="g", vec_col="embedding", out_col="p")
+    return pooled.select(
+        "g",
+        F.array_join(
+            F.transform(F.col("p"), lambda v: F.format_string("%.6f", v)), "|"
+        ).alias("vec"),
+    )
+
+
+@query(
     "temporal_roundtrip",
     """
     SELECT o_orderkey,
@@ -3877,6 +3911,7 @@ _GATE_PRIORITY = [
     "timeout_error_corpus",
     "http_fetch_corpus",
     "streaming_enrich_join",
+    "embedding_mean_pool",
     # -- 3. implementation changed this round --
     "decimal_add_fn",
     "div_error",
