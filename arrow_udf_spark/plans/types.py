@@ -205,6 +205,14 @@ def parse_type(s: str) -> ExtField:
         inner = parse_type(s[:-2])
         return ExtField(T.ArrayType(inner.dtype), None)
 
+    # largelist<T> / large_list<T> / list<T>: Arrow's size distinction is
+    # internal — all map to Spark ArrayType (reference runtime converters
+    # pyarrow.rs:208-216 treat LargeList as List at the value level)
+    for prefix in ("largelist<", "large_list<", "list<"):
+        if low.startswith(prefix) and low.endswith(">"):
+            inner = parse_type(s[len(prefix) : -1])
+            return ExtField(T.ArrayType(inner.dtype), None)
+
     # struct<name:type,...> or struct<type,...> (anonymous field names f0..)
     if low.startswith("struct<") and low.endswith(">"):
         body = s[len("struct<") : -1]

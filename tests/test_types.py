@@ -110,3 +110,17 @@ def test_udf_returns_class_instance():
     out = kv2._eval(pd.Series(["x=1", "bad"]))
     assert out.loc[0, "key"] == "x" and out.loc[0, "value"] == "1"
     assert pd.isna(out.loc[1, "key"])
+
+
+def test_largelist_spellings_parse_to_array():
+    """Arrow's list/largelist size distinction is internal (reference
+    pyarrow.rs:208-216): every spelling lands on Spark ArrayType."""
+    from pyspark.sql import types as T
+
+    from arrow_udf_spark.plans.types import parse_type
+
+    for spelling in ("int[]", "list<int>", "largelist<int>", "large_list<int>"):
+        assert parse_type(spelling).dtype == T.ArrayType(T.IntegerType())
+    nested = parse_type("largelist<struct<a:int,b:string>>")
+    assert isinstance(nested.dtype, T.ArrayType)
+    assert isinstance(nested.dtype.elementType, T.StructType)
