@@ -134,6 +134,11 @@ _ALIASES = {
     "varbinary": "binary",
     "largeutf8": "largestring",
     "largebinary": "largebinary",
+    # reference server spellings (__init__.py:501-583)
+    "large_string": "largestring",
+    "large_binary": "largebinary",
+    "time without time zone": "time64",
+    "timestamp without time zone": "timestamp",
 }
 
 _SIMPLE: dict[str, ExtField] = {
@@ -229,10 +234,13 @@ def parse_type(s: str) -> ExtField:
         k, v = _split_top(s[len("map<") : -1])
         return ExtField(T.MapType(parse_type(k).dtype, parse_type(v).dtype))
 
-    # decimal(p,s) -> native Spark decimal (bounded); bare decimal -> ext string
+    # decimal(p,s) -> native Spark decimal (bounded); bare decimal -> ext
+    # string.  Single-arg DECIMAL(p) means scale 0 (reference
+    # __init__.py:556-563).
     if low.startswith("decimal(") or low.startswith("numeric("):
         body = s[s.index("(") + 1 : s.rindex(")")]
-        p, sc = (int(x) for x in body.split(","))
+        parts = [int(x) for x in body.split(",")]
+        p, sc = (parts[0], parts[1]) if len(parts) == 2 else (parts[0], 0)
         return ExtField(T.DecimalType(p, sc))
 
     canon = _ALIASES.get(low, low)

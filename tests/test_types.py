@@ -124,3 +124,27 @@ def test_largelist_spellings_parse_to_array():
     nested = parse_type("largelist<struct<a:int,b:string>>")
     assert isinstance(nested.dtype, T.ArrayType)
     assert isinstance(nested.dtype.elementType, T.StructType)
+
+
+def test_reference_server_type_spellings_all_parse():
+    """Every type string the reference Python server accepts
+    (_string_to_data_type, arrow-udf-remote/python/arrow_udf/
+    __init__.py:501-583) must parse here — migration surface parity."""
+    from arrow_udf_spark.plans.types import parse_type
+
+    spellings = [
+        "NULL", "BOOLEAN", "BOOL", "TINYINT", "INT8", "SMALLINT", "INT16",
+        "INT", "INTEGER", "INT32", "BIGINT", "INT64", "UINT8", "UINT16",
+        "UINT32", "UINT64", "FLOAT32", "REAL", "FLOAT64", "DOUBLE PRECISION",
+        "DECIMAL", "NUMERIC", "DECIMAL(12,3)", "DECIMAL(12)", "NUMERIC(9,2)",
+        "DATE32", "DATE", "TIME64", "TIME", "TIME WITHOUT TIME ZONE",
+        "TIMESTAMP", "TIMESTAMP WITHOUT TIME ZONE", "INTERVAL", "STRING",
+        "VARCHAR", "LARGE_STRING", "JSON", "JSONB", "BINARY", "BYTEA",
+        "LARGE_BINARY", "INT[]", "STRUCT<a:INT, b:VARCHAR>",
+    ]
+    for t in spellings:
+        parse_type(t)  # must not raise
+    from pyspark.sql import types as T
+
+    assert parse_type("DECIMAL(12)").dtype == T.DecimalType(12, 0)
+    assert parse_type("TIMESTAMP WITHOUT TIME ZONE").dtype == T.TimestampNTZType()
