@@ -2243,6 +2243,39 @@ def q_remote_ref_gcd(spark, sf):
 
 
 @query(
+    "remote_ref_decimal_add",
+    """
+    SELECT p_partkey,
+           CAST(CAST(printf('%.2f', p_retailprice) AS DECIMAL(38,2))
+                + CAST(printf('%.2f', p_retailprice * 0.1) AS DECIMAL(38,2))
+                AS VARCHAR) AS dsum
+    FROM part
+    """,
+)
+def q_remote_ref_decimal_add(spark, sf):
+    """Extension-type interop with the reference server: decimal strings
+    cross the Flight boundary as the reference's ``arrowudf.decimal``
+    EXTENSION type (client wraps storage arrays to the advertised ext
+    type so the server's row loop receives Decimals, and unwraps the ext
+    result back to utf8 for Spark).  A raw-string send would silently
+    CONCATENATE on the server — this query proves the wrapping."""
+    from .sources.flight import remote_scalar
+    from .sources.ref_interop import serve_reference
+
+    uri = serve_reference()
+    p = t(spark, sf, "part")
+    src = p.select(
+        "p_partkey",
+        F.format_string("%.2f", "p_retailprice").alias("a"),
+        F.format_string("%.2f", F.col("p_retailprice") * 0.1).alias("b"),
+    )
+    out = remote_scalar(
+        src, uri, "decimal_add", cols=["a", "b"], passthrough=["p_partkey"]
+    )
+    return out.select("p_partkey", F.col("decimal_add").alias("dsum"))
+
+
+@query(
     "remote_ref_series_udtf",
     """
     SELECT p_partkey, unnest(range(0, p_size % 6)) AS series
@@ -3907,6 +3940,7 @@ _GATE_PRIORITY = [
     # -- 2. round-4 additions --
     "remote_ref_gcd",
     "remote_ref_series_udtf",
+    "remote_ref_decimal_add",
     "view_roundtrip",
     "timeout_error_corpus",
     "http_fetch_corpus",

@@ -55,6 +55,59 @@ __all__ = [
 PROTOCOL_VERSION = b"\x02"
 
 
+def _storage_type(t: pa.DataType) -> pa.DataType:
+    """Unwrap Arrow extension types to their storage type (the reference's
+    arrowudf.decimal / arrowudf.json are utf8-backed — SURVEY §1.2); Spark
+    has no extension types, so the storage type is what crosses into the
+    DataFrame schema."""
+    return t.storage_type if isinstance(t, pa.ExtensionType) else t
+
+
+def _unwrap_ext(arr: pa.Array) -> pa.Array:
+    """ExtensionArray -> its storage array (no copy)."""
+    return arr.storage if isinstance(arr, pa.ExtensionArray) else arr
+
+
+class _GenericExt(pa.ExtensionType):
+    """Stand-in extension type for wire-wrapping when the peer's extension
+    class is not importable here: IPC only needs the name + storage."""
+
+    def __init__(self, storage: pa.DataType, name: str):
+        super().__init__(storage, name)
+
+    def __arrow_ext_serialize__(self) -> bytes:
+        return b""
+
+    @classmethod
+    def __arrow_ext_deserialize__(cls, storage_type, serialized):  # pragma: no cover
+        return cls(storage_type, "arrowudf.unknown")
+
+
+def _wrap_for_server(arr: pa.Array, field: pa.Field) -> pa.Array:
+    """Wrap a plain storage array as the server's advertised extension type
+    so its row loop receives the logical values (e.g. decimal strings must
+    arrive as arrowudf.decimal, otherwise ``as_py`` hands the UDF raw
+    strings and ``a + b`` silently concatenates).
+
+    Works both when the peer's extension classes are registered in this
+    process (field.type IS the ExtensionType) and when they are not (the
+    schema deserialized as storage + ``ARROW:extension:name`` metadata —
+    a generic shim with the same name goes on the wire)."""
+    if isinstance(arr, pa.ExtensionArray):
+        return arr
+    t = field.type
+    if isinstance(t, pa.ExtensionType):
+        storage = arr.cast(t.storage_type) if arr.type != t.storage_type else arr
+        return pa.ExtensionArray.from_storage(t, storage)
+    md = field.metadata or {}
+    ext_name = md.get(b"ARROW:extension:name")
+    if ext_name:
+        shim = _GenericExt(t, ext_name.decode())
+        storage = arr.cast(t) if arr.type != t else arr
+        return pa.ExtensionArray.from_storage(shim, storage)
+    return arr
+
+
 def _spark_to_arrow_field(name: str, dtype: T.DataType, ext: str | None = None) -> pa.Field:
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -317,11 +370,15 @@ def remote_scalar(
     disco.close()
     if n_args != len(cols):
         raise ValueError(f"{name} takes {n_args} args, got {len(cols)}")
+    in_fields = list(full_schema)[:n_args]
     result_fields = list(full_schema)[n_args:]
 
+    # extension-typed fields (reference arrowudf.decimal / arrowudf.json)
+    # cross into Spark as their storage type (utf8)
     out_fields = [T.StructField(c, df.schema[c].dataType) for c in passthrough]
     out_fields.extend(
-        T.StructField(f.name, from_arrow_type(f.type)) for f in result_fields
+        T.StructField(f.name, from_arrow_type(_storage_type(f.type)))
+        for f in result_fields
     )
     out_schema = T.StructType(out_fields)
     n_pt = len(passthrough)
@@ -330,13 +387,19 @@ def remote_scalar(
         client = FlightUdfClient(uri)
         try:
             for batch in batches:
+                wrapped = [
+                    _wrap_for_server(batch.column(n_pt + i), in_fields[i])
+                    for i in range(len(cols))
+                ]
                 args = pa.RecordBatch.from_arrays(
-                    [batch.column(n_pt + i) for i in range(len(cols))],
-                    names=[f"arg{i}" for i in range(len(cols))],
+                    wrapped, names=[f"arg{i}" for i in range(len(cols))]
                 )
                 result = client.call(name, args)
                 res_cols = [batch.column(i) for i in range(n_pt)]
-                res_cols.extend(result.column(i).combine_chunks() for i in range(result.num_columns))
+                res_cols.extend(
+                    _unwrap_ext(result.column(i).combine_chunks())
+                    for i in range(result.num_columns)
+                )
                 yield pa.RecordBatch.from_arrays(
                     res_cols, names=[f.name for f in out_fields]
                 )
@@ -372,6 +435,7 @@ def remote_table(
     disco.close()
     if n_args != len(cols):
         raise ValueError(f"{name} takes {n_args} args, got {len(cols)}")
+    in_fields = list(full_schema)[:n_args]
     result_fields = list(full_schema)[n_args:]  # row, value, [error]
     value_fields = result_fields[1:]
 
@@ -380,7 +444,8 @@ def remote_table(
     else:
         out_fields = [T.StructField("row", T.IntegerType())]
     out_fields.extend(
-        T.StructField(f.name, from_arrow_type(f.type)) for f in value_fields
+        T.StructField(f.name, from_arrow_type(_storage_type(f.type)))
+        for f in value_fields
     )
     out_schema = T.StructType(out_fields)
     n_pt = len(passthrough)
@@ -389,9 +454,12 @@ def remote_table(
         client = FlightUdfClient(uri)
         try:
             for batch in batches:
+                wrapped = [
+                    _wrap_for_server(batch.column(n_pt + i), in_fields[i])
+                    for i in range(len(cols))
+                ]
                 args = pa.RecordBatch.from_arrays(
-                    [batch.column(n_pt + i) for i in range(len(cols))],
-                    names=[f"arg{i}" for i in range(len(cols))],
+                    wrapped, names=[f"arg{i}" for i in range(len(cols))]
                 )
                 result = client.call_table_function(name, args)
                 row_idx = result.column(0).combine_chunks()
@@ -402,7 +470,7 @@ def remote_table(
                 else:
                     res_cols = [row_idx]
                 res_cols.extend(
-                    result.column(i).combine_chunks()
+                    _unwrap_ext(result.column(i).combine_chunks())
                     for i in range(1, result.num_columns)
                 )
                 yield pa.RecordBatch.from_arrays(

@@ -47,10 +47,19 @@ def main() -> None:
         for i in range(n):
             yield i
 
+    @udf(input_types=["DECIMAL", "DECIMAL"], result_type="DECIMAL")
+    def decimal_add(a, b):
+        # reference example.py:99-101 — exercises the arrowudf.decimal
+        # EXTENSION type on the wire in both directions
+        if a is None or b is None:
+            return None
+        return a + b
+
     server = UdfServer(location=f"127.0.0.1:{port}")
     server.add_function(gcd)
     server.add_function(to_hex)
     server.add_function(series)
+    server.add_function(decimal_add)
     server.serve()
 
 
