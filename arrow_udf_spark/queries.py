@@ -2276,6 +2276,37 @@ def q_remote_ref_decimal_add(spark, sf):
 
 
 @query(
+    "remote_ref_json_access",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 2 = 0 THEN user_id
+                ELSE event_id END AS VARCHAR) AS elem
+    FROM events
+    """,
+)
+def q_remote_ref_json_access(spark, sf):
+    """arrowudf.json extension-type interop (reference json_array_access,
+    example.py:111-115): the client ships JSON text wrapped as the
+    server's advertised ext type, the reference server's JsonScalar
+    parses it to a Python list, indexes it, and returns a JSON ext result
+    our client unwraps back to utf8."""
+    from .sources.flight import remote_scalar
+    from .sources.ref_interop import serve_reference
+
+    uri = serve_reference()
+    ev = t(spark, sf, "events")
+    src = ev.select(
+        "event_id",
+        F.to_json(F.array("user_id", "event_id")).alias("j"),
+        (F.col("event_id") % 2).cast("int").alias("i"),
+    )
+    out = remote_scalar(
+        src, uri, "json_array_access", cols=["j", "i"], passthrough=["event_id"]
+    )
+    return out.select("event_id", F.col("json_array_access").alias("elem"))
+
+
+@query(
     "remote_ref_series_udtf",
     """
     SELECT p_partkey, unnest(range(0, p_size % 6)) AS series
@@ -3941,6 +3972,7 @@ _GATE_PRIORITY = [
     "remote_ref_gcd",
     "remote_ref_series_udtf",
     "remote_ref_decimal_add",
+    "remote_ref_json_access",
     "view_roundtrip",
     "timeout_error_corpus",
     "http_fetch_corpus",

@@ -55,11 +55,19 @@ def main() -> None:
             return None
         return a + b
 
+    @udf(input_types=["JSON", "INT"], result_type="JSON")
+    def json_array_access(v, i):
+        # reference example.py:111-115 — arrowudf.json ext type on the wire
+        if v is None or i is None:
+            return None
+        return v[i]
+
     server = UdfServer(location=f"127.0.0.1:{port}")
     server.add_function(gcd)
     server.add_function(to_hex)
     server.add_function(series)
     server.add_function(decimal_add)
+    server.add_function(json_array_access)
     server.serve()
 
 

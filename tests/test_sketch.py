@@ -121,3 +121,22 @@ def test_quantize_int8_roundtrip(spark, sf_dir):
         for x, q in zip(r["embedding"], r["q8"]):
             assert abs(q * step - x) <= step / 2 + 1e-9, (x, q, s)
         assert 127 in [abs(q) for q in r["q8"]]
+
+
+def test_kmv_batch_refuses_float_coerced_hashes():
+    """Arrow->pandas float64 coercion (int64 column with NULLs) destroys
+    hash bits above 2^53 BEFORE the UDAF sees them — the batch fold must
+    refuse loudly instead of silently skewing the estimate (ADVICE r3)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from arrow_udf_spark.operators.sketch import KmvAgg  # AggregateFunction
+
+    bad = pd.Series([float(2**60 + 1), None])  # already-corrupted batch
+    with _pytest.raises(ValueError, match="float"):
+        KmvAgg.accumulate_batch(KmvAgg.create_state(), bad)
+    # clean int64 batches still fold
+    ok = KmvAgg.accumulate_batch(
+        KmvAgg.create_state(), pd.Series([5, 9], dtype="int64")
+    )
+    assert ok == (5, 9)
