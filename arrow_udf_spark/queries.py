@@ -2307,6 +2307,51 @@ def q_remote_ref_json_access(spark, sf):
 
 
 @query(
+    "remote_ref_tcp_info",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 25, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 27, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 29, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 31, 2)) AS INT) AS src_addr,
+           CAST(('0x' || substr(h, 33, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 35, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 37, 2)) AS INT) || '.' ||
+           CAST(('0x' || substr(h, 39, 2)) AS INT) AS dst_addr,
+           CAST(('0x' || substr(h, 41, 4)) AS INT) AS src_port,
+           CAST(('0x' || substr(h, 45, 4)) AS INT) AS dst_port
+    FROM (SELECT doc_id, md5(text) || md5(reverse(text)) AS h FROM documents)
+    """,
+)
+def q_remote_ref_tcp_info(spark, sf):
+    """STRUCT results across the wire from the reference server (binary ->
+    struct-of-4, reference example.py:47-61): proves nested result types
+    through the reference's do_exchange + our client's schema mapping."""
+    from .sources.flight import remote_scalar
+    from .sources.ref_interop import serve_reference
+
+    uri = serve_reference()
+    d = t(spark, sf, "documents")
+    src = d.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))).alias(
+            "pkt"
+        ),
+    )
+    out = remote_scalar(
+        src, uri, "extract_tcp_info", cols=["pkt"], passthrough=["doc_id"]
+    )
+    info = F.col("extract_tcp_info")
+    return out.select(
+        "doc_id",
+        info.getField("src_addr").alias("src_addr"),
+        info.getField("dst_addr").alias("dst_addr"),
+        info.getField("src_port").alias("src_port"),
+        info.getField("dst_port").alias("dst_port"),
+    )
+
+
+@query(
     "remote_ref_series_udtf",
     """
     SELECT p_partkey, unnest(range(0, p_size % 6)) AS series
@@ -3973,6 +4018,7 @@ _GATE_PRIORITY = [
     "remote_ref_series_udtf",
     "remote_ref_decimal_add",
     "remote_ref_json_access",
+    "remote_ref_tcp_info",
     "view_roundtrip",
     "timeout_error_corpus",
     "http_fetch_corpus",

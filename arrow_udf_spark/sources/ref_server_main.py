@@ -62,12 +62,37 @@ def main() -> None:
             return None
         return v[i]
 
+    @udf(
+        input_types=["BINARY"],
+        result_type=(
+            "STRUCT<src_addr: STRING, dst_addr: STRING, "
+            "src_port: INT32, dst_port: INT32>"
+        ),
+    )
+    def extract_tcp_info(tcp_packet: bytes):
+        # reference example.py:47-61 shape (ports widened to INT32: the
+        # unsigned !HH unpack yields 0..65535, which overflows INT16)
+        import socket
+        import struct as _s
+
+        if tcp_packet is None or len(tcp_packet) < 24:
+            return None
+        src_addr, dst_addr = _s.unpack("!4s4s", tcp_packet[12:20])
+        src_port, dst_port = _s.unpack("!HH", tcp_packet[20:24])
+        return {
+            "src_addr": socket.inet_ntoa(src_addr),
+            "dst_addr": socket.inet_ntoa(dst_addr),
+            "src_port": src_port,
+            "dst_port": dst_port,
+        }
+
     server = UdfServer(location=f"127.0.0.1:{port}")
     server.add_function(gcd)
     server.add_function(to_hex)
     server.add_function(series)
     server.add_function(decimal_add)
     server.add_function(json_array_access)
+    server.add_function(extract_tcp_info)
     server.serve()
 
 
