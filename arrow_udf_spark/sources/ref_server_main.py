@@ -70,20 +70,24 @@ def main() -> None:
         ),
     )
     def extract_tcp_info(tcp_packet: bytes):
-        # reference example.py:47-61 shape (ports widened to INT32: the
-        # unsigned !HH unpack yields 0..65535, which overflows INT16)
-        import socket
-        import struct as _s
-
+        # Same CONTRACT as reference example.py:47-61 (IPv4 header address
+        # pair at bytes 12..20, TCP port pair at 20..24), independently
+        # written: ports widened to INT32 because the unsigned values
+        # (0..65535) overflow the reference's declared INT16.
         if tcp_packet is None or len(tcp_packet) < 24:
             return None
-        src_addr, dst_addr = _s.unpack("!4s4s", tcp_packet[12:20])
-        src_port, dst_port = _s.unpack("!HH", tcp_packet[20:24])
+        addrs = tcp_packet[12:20]
+        dotted = [
+            ".".join(str(b) for b in addrs[off : off + 4]) for off in (0, 4)
+        ]
+        ports = [
+            int.from_bytes(tcp_packet[p : p + 2], "big") for p in (20, 22)
+        ]
         return {
-            "src_addr": socket.inet_ntoa(src_addr),
-            "dst_addr": socket.inet_ntoa(dst_addr),
-            "src_port": src_port,
-            "dst_port": dst_port,
+            "src_addr": dotted[0],
+            "dst_addr": dotted[1],
+            "src_port": ports[0],
+            "dst_port": ports[1],
         }
 
     server = UdfServer(location=f"127.0.0.1:{port}")
