@@ -286,9 +286,14 @@ def _decimal_scales(arr) -> tuple[int, int]:
 
     Decimal addition keeps ``max(scale_a, scale_b)`` digits per ROW, so the
     columnar fast path is exact only when that per-row max is one constant —
-    guaranteed by requiring each column's scale to be uniform."""
+    guaranteed by requiring each column's scale to be uniform.  Exponent
+    notation ('1.5E+1') has no chars-after-dot scale, yet Arrow's decimal
+    parser accepts it — refuse those batches so they take the exact
+    Decimal loop instead of rendering at a bogus scale."""
     import pyarrow.compute as pc
 
+    if pc.any(pc.match_substring(arr, "e", ignore_case=True)).as_py():
+        raise ValueError("exponent notation: scale not derivable from text")
     dot = pc.find_substring(arr, ".")
     has = pc.not_equal(dot, -1)
     after = pc.subtract(pc.subtract(pc.utf8_length(arr), dot), 1)

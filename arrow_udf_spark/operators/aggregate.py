@@ -56,6 +56,47 @@ def _is_null(v) -> bool:
         return False
 
 
+#: Arrow int type id -> pandas masked dtype, for exact null-bearing batches
+def _nullable_int_dtype(t):
+    import pyarrow as pa
+
+    return {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+        pa.uint8(): pd.UInt8Dtype(),
+        pa.uint16(): pd.UInt16Dtype(),
+        pa.uint32(): pd.UInt32Dtype(),
+        pa.uint64(): pd.UInt64Dtype(),
+    }.get(t)
+
+
+def _exact_series(col) -> pd.Series:
+    """Arrow column -> pandas Series without lossy null coercion.
+
+    int64-with-NULLs becomes masked ``Int64`` (all 64 bits intact) rather
+    than float64, whose 53-bit mantissa silently corrupts large values
+    (e.g. KMV hashes) before the aggregate ever sees them (ADVICE r4)."""
+    import pyarrow as pa
+
+    if col.null_count and pa.types.is_integer(col.type):
+        return col.to_pandas(types_mapper=_nullable_int_dtype)
+    return col.to_pandas()
+
+
+def _np_unbox(v):
+    """numpy/pandas scalar group key -> plain python (or None) for pa.array."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if hasattr(v, "item") else v
+
+
 @dataclass
 class AggregateFunction:
     sig: Signature
@@ -211,25 +252,61 @@ class AggregateFunction:
 
         if acc_batch is not None and not ops_col:
 
-            def fold_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def fold_vec(batches):
+                """Arrow-native phase 1 (fed by ``mapInArrow``): int columns
+                with NULLs convert to pandas masked ``Int64`` — exact to all
+                64 bits — instead of mapInPandas' lossy float64 coercion
+                (which silently destroys hash/int bits above 2^53)."""
+                import numpy as np
+                import pyarrow as pa
+
                 states: dict[tuple, Any] = {}
-                for pdf in batches:
-                    pdf = pdf.copy()
-                    pdf.columns = [f"c{i}" for i in range(pdf.shape[1])]
-                    keys = [f"c{i}" for i in range(by_n)]
-                    for key, sub in pdf.groupby(keys, dropna=False, sort=False):
+                out_schema = None
+                for rb in batches:
+                    if out_schema is None:
+                        out_schema = pa.schema(
+                            [
+                                pa.field(f"k{i}", rb.schema.field(i).type)
+                                for i in range(by_n)
+                            ]
+                            + [pa.field("state", pa.binary())]
+                        )
+                    if rb.num_rows == 0:
+                        continue
+                    arg_series = [
+                        _exact_series(rb.column(by_n + i)) for i in range(arg_n)
+                    ]
+                    if by_n:
+                        keys_pdf = pd.DataFrame(
+                            {f"c{i}": rb.column(i).to_pandas() for i in range(by_n)}
+                        )
+                        groups = keys_pdf.groupby(
+                            [f"c{i}" for i in range(by_n)], dropna=False, sort=False
+                        ).indices
+                    else:
+                        groups = {(): np.arange(rb.num_rows)}
+                    for key, idx in groups.items():
                         k = key if isinstance(key, tuple) else (key,)
                         st = states.get(k)
                         if st is None and k not in states:
                             st = create()
                         states[k] = acc_batch(
-                            st, *[sub[f"c{by_n + i}"] for i in range(arg_n)]
+                            st,
+                            *[
+                                s.iloc[idx].reset_index(drop=True)
+                                for s in arg_series
+                            ],
                         )
-                out = [k + (pickle.dumps(s),) for k, s in states.items()]
-                names = [f"k{i}" for i in range(by_n)] + ["state"]
-                yield pd.DataFrame(out, columns=names) if out else pd.DataFrame(
-                    columns=names
-                )
+                if out_schema is None:  # empty partition, schema unknown
+                    return
+                cols = [
+                    pa.array(
+                        [_np_unbox(k[i]) for k in states],
+                        type=out_schema.field(i).type,
+                    )
+                    for i in range(by_n)
+                ] + [pa.array([pickle.dumps(s) for s in states.values()], pa.binary())]
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
             return fold_vec
 
@@ -298,10 +375,13 @@ class AggregateFunction:
             [T.StructField(f"k{i}", df.schema[c].dataType) for i, c in enumerate(by)]
             + [T.StructField("state", T.BinaryType())]
         )
-        partials = proj.mapInPandas(
-            self._fold_partition(len(by), len(args), _ops_col is not None),
-            schema=phase1_schema,
-        )
+        fold = self._fold_partition(len(by), len(args), _ops_col is not None)
+        if self.accumulate_batch is not None and _ops_col is None:
+            # Arrow-native phase 1: exact nullable-int batches (no float64
+            # coercion of NULL-bearing int columns) and one less conversion
+            partials = proj.mapInArrow(fold, schema=phase1_schema)
+        else:
+            partials = proj.mapInPandas(fold, schema=phase1_schema)
 
         out_schema = T.StructType(
             [T.StructField(f"k{i}", df.schema[c].dataType) for i, c in enumerate(by)]

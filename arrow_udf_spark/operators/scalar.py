@@ -278,19 +278,23 @@ def _eval_memcapped(
         try:
             os.close(r_fd)
             cap = _vm_bytes() + spec.memory_limit
-            # soft = cap, hard = unlimited: the child must be able to lift
-            # its own soft limit again before pickling the (possibly large)
-            # result — an unprivileged process cannot raise a hard limit
-            resource.setrlimit(resource.RLIMIT_AS, (cap, resource.RLIM_INFINITY))
+            # soft = cap; keep whatever hard limit the environment already
+            # imposes (a finite container hard limit cannot be raised, and
+            # asking for RLIM_INFINITY there is EPERM — which would turn
+            # every capped batch into error rows).  The child lifts its own
+            # soft limit back before pickling the (possibly large) result.
+            saved_soft, saved_hard = resource.getrlimit(resource.RLIMIT_AS)
+            soft = cap if saved_hard == resource.RLIM_INFINITY else min(cap, saved_hard)
+            resource.setrlimit(resource.RLIMIT_AS, (soft, saved_hard))
             values, errors = _eval_clean(inner, cols, n)
+            # Series/DataFrame pickle natively; list(DataFrame) would yield
+            # its column labels — only listify opaque iterables.
+            if not isinstance(values, (list, pd.Series, pd.DataFrame)):
+                values = list(values)
             payload = pickle.dumps(
-                (list(values) if not isinstance(values, list) else values,
-                 None if errors is None else list(errors))
+                (values, None if errors is None else list(errors))
             )
-            resource.setrlimit(
-                resource.RLIMIT_AS,
-                (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
-            )
+            resource.setrlimit(resource.RLIMIT_AS, (saved_soft, saved_hard))
             with os.fdopen(w_fd, "wb") as w:
                 w.write(payload)
             code = 0
@@ -382,6 +386,12 @@ def _eval_batch(spec: _EvalSpec, *cols: pd.Series) -> pd.Series | pd.DataFrame:
 
     m = len(work_cols[0]) if work_cols else n
     values, errors = _eval_clean(spec, work_cols, m)
+    if isinstance(values, pd.DataFrame):
+        # batch struct contract: the fn returned a DataFrame of field
+        # columns; normalize to a Series of row dicts so null-mask
+        # reinsertion and _coerce treat it row-wise (a bare DataFrame would
+        # be broadcast as a single opaque scalar)
+        values = pd.Series(values.to_dict("records"))
 
     out = _coerce(values, spec.dtype, m)
     if null_mask is not None:

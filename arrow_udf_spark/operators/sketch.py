@@ -114,12 +114,13 @@ class KmvAgg:
         return tuple(sorted(state + (int(h),))[: self.K])
 
     def accumulate_batch(self, state, hs):
-        # Arrow->pandas converts int64-with-nulls to float64 for the WHOLE
-        # batch, and a 53-bit mantissa silently corrupts hashes >= 2^53
-        # before this function ever sees them (astype back to int64 cannot
-        # detect it — the truncation already happened).  A float batch is
-        # therefore unrecoverable: refuse loudly and tell the caller to
-        # pre-filter nulls (kmv_distinct does; the catalog queries do).
+        # The DataFrame agg bridge (mapInArrow phase 1) delivers NULL-bearing
+        # int64 batches as exact masked Int64, so null keys just drop out
+        # below.  A float64 batch can still arrive from bridges we don't
+        # control (Spark's own GROUPED_AGG pandas conversion on the SQL
+        # surface): there the 53-bit mantissa has ALREADY corrupted hashes
+        # >= 2^53 and astype back cannot detect it — refuse loudly and tell
+        # the caller to pre-filter nulls (kmv_distinct does).
         if hs.dtype.kind == "f":
             raise ValueError(
                 "kmv_udaf: hash batch arrived as float64 (input column has "

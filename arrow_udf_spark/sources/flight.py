@@ -91,16 +91,24 @@ def _wrap_for_server(arr: pa.Array, field: pa.Field) -> pa.Array:
 
     Works both when the peer's extension classes are registered in this
     process (field.type IS the ExtensionType) and when they are not (the
-    schema deserialized as storage + ``ARROW:extension:name`` metadata —
-    a generic shim with the same name goes on the wire)."""
+    schema deserialized as storage + extension-name metadata under the
+    *configured* key (``ARROW:extension:name`` unless re-pointed via
+    ``set_extension_metadata_key``) — a generic shim with the same name
+    goes on the wire)."""
     if isinstance(arr, pa.ExtensionArray):
         return arr
     t = field.type
     if isinstance(t, pa.ExtensionType):
         storage = arr.cast(t.storage_type) if arr.type != t.storage_type else arr
         return pa.ExtensionArray.from_storage(t, storage)
+    from ..plans import types as _pt
+
     md = field.metadata or {}
-    ext_name = md.get(b"ARROW:extension:name")
+    ext_name = md.get(_pt._ext_metadata_key.encode())
+    if ext_name is None and _pt._ext_metadata_key != "ARROW:extension:name":
+        # a peer that still tags under the Arrow-standard key interops even
+        # after this side re-points its own advertising key
+        ext_name = md.get(b"ARROW:extension:name")
     if ext_name:
         shim = _GenericExt(t, ext_name.decode())
         storage = arr.cast(t) if arr.type != t else arr
