@@ -134,10 +134,11 @@ class AggregateFunction:
 
         warnings.warn(
             f"aggregate '{self.sig.name}' registered for SQL via GROUPED_AGG: "
-            "Spark evaluates this without partial aggregation (every row of a "
-            "group moves to one worker). For large/skewed keys use the "
-            "distributed two-phase AggregateFunction.agg(df, by=..., args=...) "
-            "path instead.",
+            "a raw spark.sql() call evaluates this without partial "
+            "aggregation (every row of a group moves to one worker). Run SQL "
+            "through Registry.sql(spark, query) — it rewrites bare aggregate "
+            "calls to the salted two-phase __partial/__merge plan — or use "
+            "the DataFrame AggregateFunction.agg(df, by=..., args=...) path.",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -10,11 +10,38 @@ overload with ``spark.udf.register`` under a mangled name
 
 from __future__ import annotations
 
+import re
+import warnings
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any, Optional
 
 if TYPE_CHECKING:
-    from pyspark.sql import SparkSession
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested inside parentheses / quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
 
 
 @dataclass
@@ -52,6 +79,9 @@ class Registry:
     # names this registry has itself SQL-registered (so re-registration in
     # the same session is recognized as ours, not as a builtin collision)
     _sql_names: set[str] = field(default_factory=set)
+    # aggregate name -> sql name its first overload registered under (bare
+    # or mangled); used by the two-phase SQL rewrite in :meth:`sql`
+    _agg_sql_names: dict[str, str] = field(default_factory=dict)
 
     def add(self, fn: Any) -> None:
         self._fns.setdefault(fn.sig.name, []).append(fn)
@@ -117,6 +147,7 @@ class Registry:
                 elif f.sig.kind == "aggregate":
                     # aggregates own their name space: first overload bare
                     sql_name = name if bare_ok else f.sig.mangled()
+                    self._agg_sql_names.setdefault(name, sql_name)
                     spark.udf.register(sql_name, f.as_spark_grouped_agg())
                     # two-phase SQL pair: the salted GROUP BY pattern
                     # (partial -> pickled state, merge -> finish) splits
@@ -137,6 +168,109 @@ class Registry:
                     self._sql_names.add(name)
                 registered.append(sql_name)
         return registered
+
+    # ------------------------------------------------------------------
+    # Scale-safe SQL front door for aggregates
+    # ------------------------------------------------------------------
+    _GROUPBY_SHAPE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<frm>.*?)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"\s+GROUP\s+BY\s+(?P<grp>.*?)"
+        r"(?P<tail>\s+(?:HAVING|ORDER\s+BY|LIMIT)\b.*)?\s*;?\s*$"
+    )
+    _AGG_ITEM = re.compile(
+        r"(?is)^(?:CAST\s*\(\s*)?(?P<fn>[A-Za-z_]\w*)\s*\((?P<args>.*?)\)"
+        r"(?:\s+AS\s+(?P<cast>[\w()<>, ]+?)\s*\))?"
+        r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$"
+    )
+    _PLAIN_COL = re.compile(r"(?i)^[A-Za-z_][\w.]*$")
+
+    def sql(self, spark: "SparkSession", query: str) -> "DataFrame":
+        """Run SQL with bare aggregate names made scale-safe by default.
+
+        Spark plans a GROUPED_AGG pandas UDF without partial aggregation:
+        every row of a group moves to ONE worker — a scale trap on hot keys
+        (the reference's hosts always run partial+final agg,
+        arrow-udf-runtime/src/python/mod.rs:456-656).  This front door
+        rewrites ``agg(args)`` calls over a single-block ``GROUP BY`` into
+        the salted two-phase ``agg__partial`` / ``agg__merge`` composition:
+        each group's rows fold into one pickled state per input partition
+        (``spark_partition_id()`` salt), and only O(groups x partitions)
+        states reach the final merge — the same plan shape as
+        ``AggregateFunction.agg``.
+
+        Queries that don't call a registered aggregate run unchanged.
+        Shapes the rewriter can't prove safe (expression group keys,
+        aggregates nested in arithmetic, sub-selects in the select list)
+        fall back to the single-phase form with the registration warning.
+        """
+        agg_names = {
+            n
+            for n, fns in self._fns.items()
+            if any(f.sig.kind == "aggregate" for f in fns)
+        }
+        used = {
+            n
+            for n in agg_names
+            if re.search(rf"(?i)\b{re.escape(n)}\s*\(", query)
+        }
+        if not used:
+            return spark.sql(query)
+        self.register_sql(spark)
+        rewritten = self._rewrite_two_phase(query, used)
+        if rewritten is None:
+            warnings.warn(
+                "query shape not rewritable to two-phase aggregation; "
+                "running single-phase GROUPED_AGG (every row of a group "
+                "moves to one worker)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return spark.sql(query)
+        return spark.sql(rewritten)
+
+    def _rewrite_two_phase(self, query: str, used: set[str]) -> Optional[str]:
+        m = self._GROUPBY_SHAPE.match(query)
+        if not m:
+            return None
+        grp_items = _split_top_level(m.group("grp"))
+        if not all(self._PLAIN_COL.match(g) for g in grp_items):
+            return None
+        sel_items = _split_top_level(m.group("sel"))
+        inner_aggs: list[str] = []
+        outer_items: list[str] = []
+        grp_set = {g.lower() for g in grp_items}
+        for item in sel_items:
+            if self._PLAIN_COL.match(item) and item.lower() in grp_set:
+                outer_items.append(item)
+                continue
+            am = self._AGG_ITEM.match(item)
+            fn = am.group("fn").lower() if am else None
+            if am is None or fn not in used or fn not in self._agg_sql_names:
+                return None
+            sql_name = self._agg_sql_names[fn]
+            i = len(inner_aggs)
+            inner_aggs.append(f"{sql_name}__partial({am.group('args')}) AS __st{i}")
+            merged = f"{sql_name}__merge(__st{i})"
+            if am.group("cast"):
+                merged = f"CAST({merged} AS {am.group('cast').strip()})"
+            alias = am.group("alias") or fn
+            outer_items.append(f"{merged} AS {alias}")
+        if not inner_aggs:
+            return None
+        where = f" WHERE {m.group('where')}" if m.group("where") else ""
+        tail = m.group("tail") or ""
+        grp = ", ".join(grp_items)
+        inner = (
+            f"SELECT {grp}{', ' if grp else ''}{', '.join(inner_aggs)} "
+            f"FROM (SELECT *, spark_partition_id() AS __aus_salt "
+            f"FROM {m.group('frm')}{where}) __aus_salted "
+            f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
+        )
+        return (
+            f"SELECT {', '.join(outer_items)} FROM ({inner}) __aus_partials "
+            f"GROUP BY {grp}{tail}"
+        )
 
 
 #: the default global registry (analogue of the reference's linkme slice,

@@ -291,6 +291,40 @@ def q_decimal_add(spark, sf):
 
 
 @query(
+    "decimal_wide_add",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey + 1000000 AS VARCHAR)
+               || lpad(CAST(l_partkey AS VARCHAR), 34, '0') AS wide_sum,
+           CAST((l_orderkey + 1000000) * 2 AS VARCHAR) || repeat('0', 34)
+               AS wide_dbl
+    FROM lineitem
+    """,
+)
+def q_decimal_wide_add(spark, sf):
+    """>38-digit decimal arithmetic through the string-backed exact path
+    (reference README.md:71-77 unconstrained numeric; native wide decimals
+    jsarrow.rs:267-278).  Operands are ~40 digits — beyond decimal128 AND
+    beyond Spark's DecimalType(38) — so the Arrow fast path must refuse
+    (cast overflow) and the per-batch Decimal loop carries the math
+    exactly.  The oracle can't do 40-digit arithmetic either (DuckDB
+    HUGEINT is 38 digits), so operands are built carry-free across the
+    10^34 boundary: okey*10^34 + pkey == concat(okey, lpad(pkey, 34)),
+    while wide_dbl = a + a exercises real carries inside the upper limbs.
+    The +1000000 offset pins the prefix to 7 digits (41-digit operands,
+    no leading-zero rendering divergence at okey=0)."""
+    li = t(spark, sf, "lineitem")
+    a = F.concat((F.col("l_orderkey") + 1000000).cast("string"), F.lit("0" * 34))
+    b = F.col("l_partkey").cast("string")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        C.decimal_add(a, b).alias("wide_sum"),
+        C.decimal_add(a, a).alias("wide_dbl"),
+    )
+
+
+@query(
     "to_json_fn",
     """
     SELECT l_orderkey, CAST(to_json(l_orderkey) AS VARCHAR) AS ji,
@@ -495,6 +529,40 @@ def q_sum_udaf_two_phase_sql(spark, sf):
         )
         GROUP BY l_returnflag
         """
+    )
+
+
+@query(
+    "sql_agg_bare_two_phase",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(l_quantity) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_agg_bare_two_phase(spark, sf):
+    """The scale-safe SQL front door (``Registry.sql``): a user writes the
+    BARE aggregate names over a skewed GROUP BY and the registry rewrites
+    the query to the salted two-phase ``__partial``/``__merge`` composition
+    automatically — no single worker ever folds a whole hot group, and only
+    O(groups x partitions) pickled states reach the final merge.  Closes
+    the round-4 'registered GROUPED_AGG warns but does not compose' gap:
+    the bare name IS the two-phase plan now.  Plan shape asserted in
+    tests/test_plans.py (partial+merge present, no bare single-phase
+    aggregate)."""
+    from .plans.registry import GLOBAL
+
+    li = t(spark, sf, "lineitem").withColumn("q", F.col("l_quantity").cast("long"))
+    li.createOrReplaceTempView("li_bare_sql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               CAST(sum_udaf(q) AS BIGINT) AS sum_qty,
+               CAST(count_udaf(q) AS BIGINT) AS cnt
+        FROM li_bare_sql GROUP BY l_returnflag
+        """,
     )
 
 

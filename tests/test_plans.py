@@ -210,3 +210,37 @@ def test_two_phase_sql_agg_salted_plan(spark, sf_dir):
     assert "pmod(hash(l_orderkey" in p
     # exactly two exchanges: (group, salt) then (group)
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_bare_sql_agg_rewritten_two_phase(spark, sf_dir):
+    """Registry.sql: a query calling the BARE aggregate name over GROUP BY
+    must compile to the salted two-phase shape — partial+merge aggregates
+    present, no single-phase bare GROUPED_AGG node anywhere in the plan."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["sql_agg_bare_two_phase"](spark, sf_dir))
+    # the rewrite produced the partial/merge pair (2 aggs x 2 phases);
+    # ArrowAggregatePython nodes appear once per aggregate level
+    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "count_udaf__partial" in p and "count_udaf__merge" in p
+    # the inner grouping is salted by input partition
+    assert "__aus_salt" in p
+    # no single-phase bare aggregate node survived the rewrite: every
+    # occurrence of the bare names is the __partial/__merge composition
+    import re
+
+    bare = [
+        m
+        for m in re.finditer(r"(?:sum|count)_udaf(?!__)", p)
+    ]
+    assert not bare, f"bare single-phase aggregate in plan: {bare[:3]}"
+
+
+def test_registry_sql_passthrough_without_aggs(spark, sf_dir):
+    """Queries with no registered aggregate run unchanged through the
+    scale-safe front door."""
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    spark.range(5).createOrReplaceTempView("rsql_pass")
+    out = GLOBAL.sql(spark, "SELECT id * 2 AS d FROM rsql_pass")
+    assert sorted(r["d"] for r in out.collect()) == [0, 2, 4, 6, 8]

@@ -163,7 +163,8 @@ def test_udaf_sql_surface_warns_no_partial_agg(spark):
         warnings.simplefilter("always")
         C.SumAgg.as_spark_grouped_agg()
     msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
-    assert any("without partial aggregation" in m for m in msgs), msgs
+    assert any("without partial" in m for m in msgs), msgs
+    assert any("Registry.sql" in m for m in msgs), msgs
     assert any("agg(df, by=" in m for m in msgs), msgs
 
 

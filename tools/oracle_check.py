@@ -110,11 +110,13 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    ran = 0
     import time
 
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.perf_counter()
         if name not in oracles:
             try:
@@ -133,7 +135,7 @@ def main() -> int:
         print(f"  {name:28s} {'PASS' if ok else 'FAIL'} {msg} [{dt:.2f}s]")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{ran - len(failed)}/{ran} pass ({len(qs)} in catalog)")
     spark.stop()
     return 1 if failed else 0
 
