@@ -3915,14 +3915,18 @@ def q_temporal_roundtrip(spark, sf):
     """,
 )
 def q_streaming_retract_sliding(spark, sf):
-    """A8 retraction end-to-end on a real stream: ``sliding_window_agg``
-    maintains a per-key sum with accumulate-on-arrival / retract-on-expiry
-    (the reference's accumulate-or-retract bitmap protocol,
-    python/mod.rs:537-582) over a 2-day sliding window.  The final update
-    per key must equal the batch semantics "sum of rows within 2 days of
-    the key's newest event" — computed by the oracle from scratch, while
-    the stream never recomputes a window (state = running sum + live
-    buffer; expired rows leave via ``retract``)."""
+    """A8 retraction end-to-end on a real MULTI-BATCH stream:
+    ``sliding_window_agg`` maintains a per-key sum with
+    accumulate-on-arrival / retract-on-expiry (the reference's
+    accumulate-or-retract bitmap protocol, python/mod.rs:537-582) over a
+    2-day sliding window.  The source is written as three parquet files and
+    read with ``maxFilesPerTrigger=1``, so state (running sum + live
+    buffer) crosses micro-batch boundaries through the state store and
+    expiry retractions fire in later batches than the accumulations they
+    undo.  Each key's FINAL update (selected by the monotone ``__seq``
+    update counter) must equal the batch semantics "sum of rows within
+    2 days of the key's newest event" — computed by the oracle from
+    scratch, while the stream never recomputes a window."""
     import tempfile
     import uuid
 
@@ -3935,14 +3939,19 @@ def q_streaming_retract_sliding(spark, sf):
             F.floor("value").cast("long").alias("v"),
             F.col("ts"),
         )
-        # one file -> one micro-batch -> exactly one (final) update per key
-        # in the memory sink; retraction correctness is what's under test,
-        # not multi-batch replay (test_streaming covers multi-batch)
-        .coalesce(1)
+        # three files -> three micro-batches under maxFilesPerTrigger=1;
+        # repartitionByRange on ts makes the batches time-ordered, the
+        # realistic replay shape (correctness holds under any split: the
+        # cutoff is monotone and late rows retract in their own batch)
+        .repartitionByRange(3, "ts")
     )
     d = tempfile.mkdtemp(prefix="stream_ret_")
     ev.write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(ev.schema).parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
     out = sliding_window_agg(
         stream,
         C.SumAgg,
@@ -3950,6 +3959,7 @@ def q_streaming_retract_sliding(spark, sf):
         args=["v"],
         ts_col="ts",
         window_seconds=2 * 86400,
+        emit_seq=True,
     )
     sink = f"ret_{uuid.uuid4().hex[:8]}"
     q = (
@@ -3960,7 +3970,15 @@ def q_streaming_retract_sliding(spark, sf):
         .start()
     )
     q.awaitTermination(120)
-    return spark.sql(f"SELECT event_type, sum_udaf FROM {sink}")
+    n_batches = len(q.recentProgress)
+    if n_batches < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {n_batches} micro-batch(es)"
+        )
+    return spark.sql(
+        f"SELECT event_type, max_by(sum_udaf, __seq) AS sum_udaf "
+        f"FROM {sink} GROUP BY event_type"
+    )
 
 
 @query(
@@ -4047,16 +4065,108 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-4 ordering.  The driver gates the first ~50 entries; priority:
-    #   1. the 24 catalog queries NEVER driver-gated through round 3
-    #      (VERDICT r3 top item — every implemented operator needs a
-    #      driver CORRECTNESS row, local-oracle green is not enough);
-    #   2. round-4 additions (reference-server interop, view arrays);
-    #   3. queries whose implementation changed this round (decimal fast
-    #      path, single-eval fallible apply, spread, unit inference, kmv);
-    #   4. highest-value unique environments for continuous re-proof.
+    # Round-5 ordering.  The driver gates the first ~50 entries; priority:
+    #   1. new-in-r5 / re-shaped queries (no driver row in this form):
+    #      the scale-safe bare-SQL aggregate, >38-digit decimals, and the
+    #      multi-batch streaming retract;
+    #   2. the STALENESS COHORT (VERDICT r4 top item): the 44 queries
+    #      whose most recent driver row predates the round-4 eval-core
+    #      changes — latest gate r1 first, then r2;
+    #   3. queries whose implementation changed in r5 (mapInArrow
+    #      aggregate bridge with masked-Int64 nulls, decimal scale
+    #      refusal, memcap pickling / struct normalization).
+    # After this round every query's latest driver row is <= 2 rounds old.
     # ------------------------------------------------------------------
-    # -- 1. never driver-gated (24) --
+    # -- 1. new / re-shaped in r5 --
+    "sql_agg_bare_two_phase",
+    "decimal_wide_add",
+    "streaming_retract_sliding",  # multi-batch replay shape is new
+    # -- 2a. staleness cohort: latest driver row r1 (39) --
+    "gcd",
+    "neg",
+    "option_add",
+    "many_args",
+    "fib_fn",
+    "constants_fn",
+    "gcd_async",
+    "identity_roundtrip",
+    "datetime_fn",
+    "length_fn",
+    "substring_fn",
+    "to_string_fn",
+    "split_fn",
+    "array_sum_fn",
+    "array_access_fn",
+    "key_value_fn",
+    "to_json_fn",
+    "jsonb_access_fn",
+    "max2_concat2",
+    "hex_to_dec_fn",
+    "extract_tcp_info_fn",
+    "text_embedding_fn",
+    "key_values_udtf",
+    "json_array_elements_udtf",
+    "weighted_avg_udaf",
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "cosine_topk_numpy",
+    "ivf_topk",
+    "image_meta",
+    "sample_frames",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "join_with_udf",
+    "set_ops",
+    "window_topk_orders",
+    # -- 2b. staleness cohort: latest driver row r2 (5) --
+    "cube_agg",
+    "grouping_sets",
+    "window_functions",
+    "global_topk",
+    "tpch_q19",
+    # -- 3. implementation changed in r5 --
+    "kmv_udaf",
+    "sum_udaf",
+    "decimal_add_fn",
+    # -- remainder (gated r3/r4 green; driver covers as budget allows) --
+    "count_udaf",
+    "sum_udaf_two_phase_sql",
+    "retract_udaf",
+    "timeout_error_corpus",
+    "float_to_decimal_fn",
+    "struct_to_json_fn",
+    "map_fn",
+    "remote_ref_gcd",
+    "remote_ref_series_udtf",
+    "remote_ref_decimal_add",
+    "remote_ref_json_access",
+    "remote_ref_tcp_info",
+    "view_roundtrip",
+    "http_fetch_corpus",
+    "streaming_enrich_join",
+    "embedding_mean_pool",
+    "div_error",
+    "minhash_signature",
+    "simhash",
+    "fingerprint",
+    "series_udtf",
+    "vocab_topk",
+    "asof_join",
+    "sessionize",
+    "range_join_count",
+    "resample_ffill",
+    "remote_gcd",
+    "remote_series_udtf",
+    "streaming_window_agg",
+    "streaming_dedup_digests",
+    "dup_clusters",
+    "pipeline_e2e",
+    "wav_roundtrip",
+    "tpch_q5",
+    "tpch_q1",
     "pivot_agg",
     "semi_anti_join",
     "set_ops_full",
@@ -4067,12 +4177,8 @@ _GATE_PRIORITY = [
     "expr_breadth",
     "skew_agg",
     "salted_join_agg",
-    "count_udaf",
     "gcd3_fn",
-    "map_fn",
-    "struct_to_json_fn",
     "json_concat_fn",
-    "float_to_decimal_fn",
     "binary_fns",
     "array_identity_fn",
     "split_words_udtf",
@@ -4081,51 +4187,12 @@ _GATE_PRIORITY = [
     "decimal_native_math",
     "uint64_widening",
     "audio_chunks",
-    # -- 2. round-4 additions --
-    "remote_ref_gcd",
-    "remote_ref_series_udtf",
-    "remote_ref_decimal_add",
-    "remote_ref_json_access",
-    "remote_ref_tcp_info",
-    "view_roundtrip",
-    "timeout_error_corpus",
-    "http_fetch_corpus",
-    "streaming_enrich_join",
-    "embedding_mean_pool",
-    # -- 3. implementation changed this round --
-    "decimal_add_fn",
-    "div_error",
-    "minhash_signature",
-    "simhash",
-    "fingerprint",
-    "series_udtf",
-    "vocab_topk",
-    "kmv_udaf",
-    "asof_join",
-    "sessionize",
-    "range_join_count",
-    "resample_ffill",
-    # -- 4. unique environments, continuous re-proof --
-    "remote_gcd",
-    "remote_series_udtf",
-    "streaming_window_agg",
-    "streaming_retract_sliding",
-    "streaming_dedup_digests",
-    "dup_clusters",
-    "pipeline_e2e",
-    "sum_udaf_two_phase_sql",
-    "wav_roundtrip",
-    "tpch_q5",
-    "tpch_q1",
-    # -- remainder (previously gated green; driver covers as budget allows)
     "error_text_corpus",
     "temporal_roundtrip",
     "kmv_distinct",
     "quantize_int8",
-    "sum_udaf",
     "rollup_agg",
     "embedding_near_dup",
-    "retract_udaf",
     "hash_sample",
     "split_assign",
     "corpus_mixture",
@@ -4152,11 +4219,6 @@ _GATE_PRIORITY = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q19",
-    "cube_agg",
-    "grouping_sets",
-    "window_functions",
-    "global_topk",
 ]
 
 

@@ -123,13 +123,22 @@ def sliding_window_agg(
     args: Sequence[str],
     ts_col: str,
     window_seconds: float,
+    emit_seq: bool = False,
 ) -> DataFrame:
     """Sliding-window aggregate maintained *incrementally with retract*:
 
-    state = (agg_state, buffer of (ts, args) still inside the window).
-    New rows are accumulated; rows older than ``max_seen_ts - window`` are
-    retracted — the aggregate is never recomputed from scratch.  Requires
-    ``agg.retract``.
+    state = (agg_state, buffer of (ts, args) still inside the window,
+    max ts seen, rows seen).  New rows are accumulated; rows older than
+    ``max_seen_ts - window`` are retracted — the aggregate is never
+    recomputed from scratch.  Requires ``agg.retract``.  Correct under any
+    split of rows into micro-batches: the cutoff only advances (max_ts is
+    monotone), and a row already older than the cutoff on arrival is
+    accumulated and retracted within its own batch.
+
+    ``emit_seq`` adds a ``__seq`` column (total rows accumulated per key —
+    strictly increasing across the key's updates), so a consumer of the
+    update stream can pick each key's FINAL value with ``max_by(x, __seq)``
+    even when micro-batch updates interleave in the sink.
     """
     if agg.retract is None:
         raise ValueError(f"{agg.sig.name} has no retract; sliding window needs it")
@@ -137,6 +146,7 @@ def sliding_window_agg(
     out_schema = T.StructType(
         [df.schema[c] for c in by]
         + [T.StructField(agg.sig.name, agg.result_field.dtype)]
+        + ([T.StructField("__seq", T.LongType())] if emit_seq else [])
     )
     create, acc, ret, finish = (
         agg.create_state,
@@ -149,15 +159,16 @@ def sliding_window_agg(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            st, buf, max_ts = pickle.loads(state.get[0])
+            st, buf, max_ts, seen = pickle.loads(state.get[0])
         else:
-            st, buf, max_ts = create(), [], None
+            st, buf, max_ts, seen = create(), [], None, 0
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 ts = getattr(row, ts_col)
                 vals = [getattr(row, a) for a in args]
                 st = acc(st, *vals)
                 buf.append((ts, vals))
+                seen += 1
                 max_ts = ts if max_ts is None or ts > max_ts else max_ts
         # retract rows that fell out of the window
         if max_ts is not None:
@@ -169,9 +180,12 @@ def sliding_window_agg(
                 else:
                     keep.append((ts, vals))
             buf = keep
-        state.update((pickle.dumps((st, buf, max_ts)),))
+        state.update((pickle.dumps((st, buf, max_ts, seen)),))
         value = finish(st) if finish is not None else st
-        yield pd.DataFrame([dict(zip(by, key)) | {agg.sig.name: value}])
+        out = dict(zip(by, key)) | {agg.sig.name: value}
+        if emit_seq:
+            out["__seq"] = seen
+        yield pd.DataFrame([out])
 
     return (
         df.groupBy(*by)

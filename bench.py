@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "tfidf_topterms",           # UDTF -> join -> window composition
 ]
 
+#: timing repetitions per query (best-of); see loop comment
+REPS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,14 +93,16 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # best of 2: first run pays Python-worker spin-up for this plan
-        # shape, second run measures steady-state throughput.  noop write
-        # forces evaluation of EVERY output column/row (count() would let
+        # best of 3 (r5, was 2): first run pays Python-worker spin-up for
+        # this plan shape, later runs measure steady-state throughput —
+        # sub-second queries were moving ±0.2 s under best-of-2, polluting
+        # the round-over-round regression signal.  noop write forces
+        # evaluation of EVERY output column/row (count() would let
         # Catalyst column-prune the operator under test).
         try:
             best = None
             df = None
-            for _ in range(2):
+            for _ in range(REPS):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -121,6 +126,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
                 "baseline_note": (
                     "BENCH_r01 used count()-materialization, which pruned the "
                     "operator under test for projection-shaped queries; r2+ "

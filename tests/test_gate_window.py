@@ -34,3 +34,33 @@ def test_first_50_covers_all_never_gated_queries():
     )
     # every catalog entry stays oracle-paired (a rows-only check is weaker)
     assert set(names) == set(ORACLE)
+
+
+def test_first_50_covers_stalest_gated_queries():
+    """Staleness invariant (VERDICT r4): a query whose most recent driver
+    row is >= 2 rounds old must sit inside the gate window so its proof
+    refreshes — local-oracle green on a years-old driver row is not
+    continuous verification."""
+    from arrow_udf_spark.queries import QUERIES
+
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            recorded = json.load(f)
+        for k, v in recorded.items():
+            if isinstance(v, dict) and v.get("hash_match") and v.get("rows_match"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    names = list(QUERIES)
+    window = set(names[:50])
+    stale = [
+        n
+        for n in names
+        if n in latest and latest[n] <= max_round - 2 and n not in window
+    ]
+    assert not stale, (
+        f"queries whose latest driver row is >=2 rounds old sit outside "
+        f"the first-50 gate window: {stale}"
+    )
