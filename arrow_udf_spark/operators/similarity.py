@@ -28,7 +28,14 @@ from pyspark.sql import types as T
 
 from .dedup import cosine
 
-__all__ = ["brute_force_topk", "brute_force_topk_numpy", "ivf_topk", "quantize_int8"]
+__all__ = [
+    "brute_force_topk",
+    "brute_force_topk_numpy",
+    "ivf_topk",
+    "lsh_bands",
+    "lsh_topk",
+    "quantize_int8",
+]
 
 
 def _as_double(col):
@@ -189,6 +196,135 @@ def ivf_topk(
     )
     scored = it.join(F.broadcast(q), "cell").select(
         "q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("score_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def _lsh_planes(n_planes: int, dim: int) -> list:
+    """Deterministic random-hyperplane coefficients in [-1000, 1000]:
+    ``c(p, d) = md5int32("p:d") % 2001 - 1000``.  Derived from md5 instead
+    of an RNG so any engine (the DuckDB oracle included) reproduces the
+    planes bit-exactly from the same formula — the repo-wide determinism
+    rule (sampling.py uses the identical md5→int bridge)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH banding: returns
+    ``(id, band, bkey)`` — one row per (vector, band), ready for a
+    bucket equi-join.
+
+    Signature bit ``p`` is the sign of the projection onto plane ``p``;
+    ``band_bits`` consecutive bits pack into one integer band key.  Two
+    vectors share a band key with probability ``(1 - θ/π)^band_bits``
+    (θ = their angle), so banding trades recall for bucket selectivity
+    exactly like minhash LSH does for Jaccard.
+
+    Exactness across engines: the embedding is quantized to integers
+    (``floor(x·1000)`` — float→double widening and floor are both exact)
+    and the plane coefficients are integers, so every projection is exact
+    int64 arithmetic — the sign can never flip on float rounding between
+    this plan and an oracle recomputing it.
+
+    Scale: one projection pass per vector (the quantized array is
+    materialized in its own projection so Catalyst's CollapseProject does
+    not re-inline the transform into all ``n_planes`` aggregates — same
+    trick as ``with_simhash``), then a ``n_planes/band_bits``-way explode
+    of (band, int) pairs.  Output is O(N·bands) rows of 16 bytes; the
+    vectors themselves never travel with the band rows.
+    """
+    planes = _lsh_planes(n_planes, dim)
+    qi = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    out = df.select(F.col(id_col).alias("id"), qi.alias("__qi"))
+
+    def proj(plane):
+        arr = F.array(*[F.lit(c).cast("long") for c in plane])
+        return F.aggregate(
+            F.zip_with(F.col("__qi"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [(proj(pl) >= 0).cast("int") for pl in planes]
+    n_bands = n_planes // band_bits
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(band_bits):
+            key = key + bits[b * band_bits + i] * F.lit(1 << i)
+        keys.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return out.select(
+        "id", F.explode(F.array(*keys)).alias("__bk")
+    ).select("id", F.col("__bk.band").alias("band"), F.col("__bk.bkey").alias("bkey"))
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours: exact cosine top-k
+    *within the union of the query's LSH buckets* — (q_id, n_id, score).
+
+    The 100 TB shape: items are banded once (O(N·bands) short rows), the
+    query bands are broadcast, and the candidate set comes from a bucket
+    equi-join — per-query work is O(N / 2^band_bits · bands) instead of
+    brute force's O(N), and nothing ever materializes the all-pairs space.
+    Candidates then join back to the item table on id (shuffled hash join
+    on a key column, AQE-handled) for the exact re-rank.
+
+    Same output contract as :func:`brute_force_topk` (ties on n_id,
+    score rounded to 6 dp); recall < 1 by construction — vectors whose
+    every band differs from the query's are never scored.
+    """
+    ib = lsh_bands(items, id_col, vec_col, dim, n_planes, band_bits)
+    qb = lsh_bands(queries, id_col, vec_col, dim, n_planes, band_bits)
+    cand = (
+        ib.join(
+            F.broadcast(qb.withColumnRenamed("id", "q_id")), ["band", "bkey"]
+        )
+        .select("q_id", F.col("id").alias("n_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    it = items.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = (
+        cand.join(it, "n_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("score_raw"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("score_raw").desc(), F.col("n_id").asc()

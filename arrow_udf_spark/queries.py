@@ -992,6 +992,64 @@ def q_ivf_topk(spark, sf):
     return ivf_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+@query(
+    "lsh_topk",
+    # Random-hyperplane LSH ANN, recomputed exactly: plane coefficients are
+    # md5-derived ints, embeddings quantize to floor(x*1000) ints, so every
+    # projection sign is exact integer arithmetic on both engines.  16
+    # planes / 4 bands of 4 bits; candidates = bucket-join hits; exact
+    # cosine re-rank over candidates only.
+    """
+    WITH planes AS (
+      SELECT p, list(c ORDER BY d) AS pl
+      FROM (
+        SELECT pp.p AS p, dd.d AS d,
+               (CAST(('0x' || substr(md5(pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+                % 2001 - 1000) AS c
+        FROM (SELECT unnest(range(0, 16)) AS p) pp
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd
+      ) GROUP BY p
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS qi
+      FROM embeddings
+    ),
+    bits AS (
+      SELECT v.vec_id, pl.p,
+             CASE WHEN list_inner_product(v.qi, CAST(pl.pl AS DOUBLE[])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM vecs v CROSS JOIN planes pl
+    ),
+    bands AS (
+      SELECT vec_id, p // 4 AS band,
+             CAST(sum(bit * (1 << (p % 4))) AS INT) AS bkey
+      FROM bits GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, i.vec_id AS n_id
+      FROM (SELECT * FROM bands WHERE vec_id < 5) q
+      JOIN bands i ON q.band = i.band AND q.bkey = i.bkey
+    ),
+    scored AS (
+      SELECT c.q_id, c.n_id, list_cosine_similarity(vn.ev, vq.ev) AS s
+      FROM cand c
+      JOIN vecs vq ON vq.vec_id = c.q_id
+      JOIN vecs vn ON vn.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_lsh_topk(spark, sf):
+    from .operators.similarity import lsh_topk
+
+    e = t(spark, sf, "embeddings")
+    return lsh_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
 def _lang_oracle() -> str:
     from .operators.text import STOPWORDS
 
@@ -4081,6 +4139,7 @@ _GATE_PRIORITY = [
     "sql_agg_bare_two_phase",
     "decimal_wide_add",
     "streaming_retract_sliding",  # multi-batch replay shape is new
+    "lsh_topk",  # new r5: random-hyperplane LSH ANN
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

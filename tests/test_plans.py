@@ -244,3 +244,14 @@ def test_registry_sql_passthrough_without_aggs(spark, sf_dir):
     spark.range(5).createOrReplaceTempView("rsql_pass")
     out = GLOBAL.sql(spark, "SELECT id * 2 AS d FROM rsql_pass")
     assert sorted(r["d"] for r in out.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_lsh_topk_no_cartesian(spark, sf_dir):
+    """lsh_topk's candidate generation must be a bucket equi-join with the
+    (small) query bands broadcast — never a cartesian/all-pairs plan."""
+    from arrow_udf_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(lsh_topk(e, e.where(F.col("vec_id") < 3), k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -118,3 +118,42 @@ def test_async_generator_udtf(spark):
     out = aseries.apply(df, cols=["n"], passthrough=["tag"])
     got = sorted((r.tag, r.aseries) for r in out.collect())
     assert got == [("x", 0), ("x", 1), ("x", 2), ("z", 0), ("z", 1)]
+
+
+def test_lsh_topk_self_hit_and_subset_of_bruteforce(spark, sf_dir):
+    """LSH ANN invariants: (1) every query's top hit is itself at score
+    1.0 (identical vectors share every band); (2) each result row's score
+    also appears in the exact brute-force scoring for that query (LSH can
+    drop candidates, never invent them); (3) per-query result count <= k."""
+    from arrow_udf_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3)
+    got = lsh_topk(e, q, k=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for qid, rows in per_q.items():
+        assert len(rows) <= 4
+        best = max(rows, key=lambda r: (r.score, -r.n_id))
+        assert best.n_id == qid and best.score == 1.0
+    exact = {
+        (r.q_id, r.n_id): r.score
+        for r in brute_force_topk(e, q, k=10**6).collect()
+    }
+    for r in got:
+        assert exact[(r.q_id, r.n_id)] == r.score
+
+
+def test_lsh_bands_deterministic_and_short(spark, sf_dir):
+    """Band rows are (id, band, bkey) with bands*|vecs| rows, stable
+    across runs (md5-derived planes, no RNG)."""
+    from arrow_udf_spark.operators.similarity import lsh_bands
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    a = sorted(map(tuple, lsh_bands(e).collect()))
+    b = sorted(map(tuple, lsh_bands(e).collect()))
+    assert a == b
+    assert len(a) == 50 * 4
+    assert all(0 <= r[2] < 16 for r in a)
