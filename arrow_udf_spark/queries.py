@@ -1770,6 +1770,144 @@ def q_streaming_dedup(spark, sf):
     return spark.sql(f"SELECT h FROM {sink}")
 
 
+@query(
+    "streaming_interval_join",
+    """
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def q_streaming_interval_join(spark, sf):
+    """Stream-stream inner join with an event-time range (Structured
+    Streaming's flagship stateful join): clicks and purchases replay as
+    TWO separate file streams (two files each, ``maxFilesPerTrigger=1``,
+    so matches must cross micro-batch boundaries through buffered state),
+    joined on user within a 6-hour window.  The watermark + time bound cap
+    both sides' state at O(interval + delay) — at 100 TB/day this is the
+    only join shape whose state does not grow with the stream.  Result
+    must equal the equivalent batch interval join (the oracle)."""
+    import tempfile
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import stream_interval_join
+
+    ev = t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    d1 = tempfile.mkdtemp(prefix="stream_ij_l_")
+    d2 = tempfile.mkdtemp(prefix="stream_ij_r_")
+    # time-ranged 2-file split per side: each trigger ingests one file, so
+    # early left rows must wait in state for right rows of a later batch
+    clicks.repartitionByRange(2, "ts").write.mode("overwrite").parquet(d1)
+    purch.repartitionByRange(2, "p_ts").write.mode("overwrite").parquet(d2)
+    s1 = spark.readStream.schema(clicks.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d1)
+    s2 = spark.readStream.schema(purch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d2)
+    joined = stream_interval_join(
+        s1,
+        s2,
+        "ts",
+        "p_ts",
+        "user_id = p_user AND p_ts >= ts AND p_ts <= ts + INTERVAL 6 HOURS",
+        delay="1 hour",
+    )
+    sink = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.lastProgress and q.lastProgress["batchId"] < 1:
+        raise RuntimeError("interval join replay ran a single micro-batch")
+    return spark.sql(
+        f"SELECT event_id AS a_id, p_id AS b_id, user_id FROM {sink}"
+    )
+
+
+@query(
+    "streaming_session_window",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(value) AS DECIMAL(18,2)) AS VARCHAR) AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_window(spark, sf):
+    """Event-time session windows on a stream (``F.session_window``):
+    per-user sessions merge while consecutive events are < 30 minutes
+    apart.  The batch oracle is the classic gap-sessionize (lag + running
+    break-sum) with the same strictly-less-than-gap merge rule — the two
+    formulations must produce identical session boundaries and aggregates.
+    Complete mode: the events replay is finite and keyed state is
+    per-session, so no watermark is needed for the gate."""
+    import tempfile
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import session_agg
+
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    d = tempfile.mkdtemp(prefix="stream_sw_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    out = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        {"n": "count(1)", "total": "sum(value)"},
+        by=["user_id"],
+    )
+    sink = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
+               n,
+               CAST(CAST(total AS DECIMAL(18,2)) AS STRING) AS total
+        FROM {sink}
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline: deterministic sampling, vocabulary, sequence packing
 # ---------------------------------------------------------------------------
@@ -4140,6 +4278,8 @@ _GATE_PRIORITY = [
     "decimal_wide_add",
     "streaming_retract_sliding",  # multi-batch replay shape is new
     "lsh_topk",  # new r5: random-hyperplane LSH ANN
+    "streaming_interval_join",  # new r5: stream-stream time-range join
+    "streaming_session_window",  # new r5: event-time session windows
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

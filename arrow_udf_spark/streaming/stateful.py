@@ -36,7 +36,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.aggregate import AggregateFunction
 
-__all__ = ["windowed_agg", "streaming_running_agg", "sliding_window_agg", "streaming_dedup"]
+__all__ = [
+    "windowed_agg",
+    "session_agg",
+    "stream_interval_join",
+    "streaming_running_agg",
+    "sliding_window_agg",
+    "streaming_dedup",
+]
 
 
 def windowed_agg(
@@ -62,6 +69,61 @@ def windowed_agg(
         df.withWatermark(ts_col, watermark)
         .groupBy(w.alias("window"), *by)
         .agg(*[F.expr(e).alias(name) for name, e in aggs.items()])
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, str],
+    by: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Event-time session windows (gap-merged) with built-in aggregates —
+    the streaming analogue of :func:`..operators.temporal.sessionize`.
+
+    Spark merges events whose ``[ts, ts+gap)`` windows overlap, so two
+    consecutive events share a session iff their gap is strictly less than
+    ``gap`` (an exact-``gap`` spacing starts a new session).  State is one
+    open session per key in the state store; with a watermark, closed
+    sessions age out (append mode); without one, run complete mode — the
+    per-batch merge cost is the same.
+
+    ``aggs`` maps output name -> SQL aggregate expression.  The output
+    keeps the ``session_window`` struct (start/end) as ``window``.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("window"), *by)
+        .agg(*[F.expr(e).alias(name) for name, e in aggs.items()])
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range predicate.
+
+    ``on`` is the full join condition (equi-keys AND a time bound on both
+    sides, e.g. ``"user_id = p_user AND p_ts >= ts AND p_ts <= ts +
+    INTERVAL 6 HOURS"``).  Both sides are watermarked by ``delay``; the
+    time bound lets Spark compute, per side, how long a row can still
+    find a match — buffered state is dropped the moment the other side's
+    watermark passes that bound, so state size is O(rows within the
+    interval + delay), never the whole stream.
+
+    Inner-join rows emit as soon as both sides arrive (append mode); the
+    result over a finite replay equals the equivalent batch join.
+    """
+    return left.withWatermark(left_ts, delay).join(
+        right.withWatermark(right_ts, delay), F.expr(on)
     )
 
 

@@ -192,3 +192,51 @@ def test_streaming_session_window(spark, stream_dir):
         batch.select("user_id", "session_id").distinct().count()
     )
     assert stream_sessions == batch_sessions
+
+
+def test_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """stream_interval_join: a left row whose only match arrives in a LATER
+    micro-batch must still pair (buffered join state), and the final pair
+    set equals the batch interval join."""
+    import uuid
+
+    from arrow_udf_spark.streaming.stateful import stream_interval_join
+
+    # timeline (minutes): left at 0, 100; right at 5, 103, 200
+    # bound: right in [left, left+10min] -> pairs (0,5) and (100,103)
+    def ts(m):
+        return f"2024-01-01 00:00:00" if m == 0 else f"2024-01-01 {m//60:02d}:{m%60:02d}:00"
+
+    left = spark.createDataFrame(
+        [(1, 7, ts(0)), (2, 7, ts(100))], "l_id long, k long, lt string"
+    ).withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, 7, ts(5)), (11, 7, ts(103)), (12, 7, ts(200))],
+        "r_id long, rk long, rt string",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    # one file per time half on each side -> 2+ micro-batches at 1 file/trigger
+    left.repartitionByRange(2, "lt").write.parquet(ld)
+    right.repartitionByRange(2, "rt").write.parquet(rd)
+    sl = spark.readStream.schema(left.schema).option("maxFilesPerTrigger", "1").parquet(ld)
+    sr = spark.readStream.schema(right.schema).option("maxFilesPerTrigger", "1").parquet(rd)
+    cond = "k = rk AND rt >= lt AND rt <= lt + INTERVAL 10 MINUTES"
+    out = stream_interval_join(sl, sr, "lt", "rt", cond, delay="5 minutes")
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1, "expected multiple micro-batches"
+    got = sorted(
+        (r.l_id, r.r_id) for r in spark.sql(f"SELECT l_id, r_id FROM {name}").collect()
+    )
+    batch = sorted(
+        (r.l_id, r.r_id) for r in left.join(right, F.expr(cond)).collect()
+    )
+    assert got == batch == [(1, 10), (2, 11)]
