@@ -45,6 +45,11 @@ __all__ = [
     "encode_ppm",
     "parse_image_header",
     "wav_meta",
+    "synth_ppm",
+    "resize_ppm",
+    "downsample_ppm_2x",
+    "ppm_pixel_sum",
+    "resize_pipeline",
 ]
 
 #: metadata struct produced by decode
@@ -237,6 +242,133 @@ def decode_image_meta(
             yield out
 
     return df.select(*passthrough, payload_col).mapInPandas(decode, out_schema)
+
+
+def synth_ppm(text: str) -> bytes:
+    """Deterministic synthetic PPM: dims and pixels derive from md5(text)
+    in closed form, so a SQL oracle can predict any pixel without decoding:
+
+    - ``s = md5[0]``, ``w = md5[1] % 16 + 8``, ``h = md5[2] % 16 + 8``
+    - ``pixel(x, y, c) = (7·x + 13·y + 31·c + s) mod 256``
+
+    (distinct x/y multipliers so an axis transposition changes the bytes).
+    """
+    import hashlib
+
+    import numpy as np
+
+    dig = hashlib.md5(text.encode()).digest()
+    s, w, h = dig[0], dig[1] % 16 + 8, dig[2] % 16 + 8
+    arr = (
+        7 * np.arange(w, dtype=np.int64)[None, :, None]
+        + 13 * np.arange(h, dtype=np.int64)[:, None, None]
+        + 31 * np.arange(3, dtype=np.int64)[None, None, :]
+        + s
+    ) % 256
+    return encode_ppm(w, h, arr.astype(np.uint8).tobytes())
+
+
+def _ppm_pixels(payload: bytes):
+    """Parse a P6 payload into an (h, w, 3) uint8 array (header via the
+    independent :func:`parse_image_header`); raises ``NotImplementedError``
+    for non-PPM/BMP payloads — no codec library ships here."""
+    import numpy as np
+
+    meta = parse_image_header(payload)
+    if meta is None or payload[:2] != b"P6":
+        raise NotImplementedError(
+            "resize supports PPM payloads only; compressed codecs "
+            "(JPEG/PNG/...) require an image library not present here"
+        )
+    w, h = meta["width"], meta["height"]
+    # pixel data starts after the third header whitespace token (maxval)
+    pos, seen = 2, 0
+    while seen < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        seen += 1
+    pos += 1  # single whitespace after maxval
+    return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(h, w, 3)
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbour resize of a P6 payload to (out_w, out_h): source
+    index ``floor(i · in/out)`` per axis — the standard NN convention."""
+    import numpy as np
+
+    arr = _ppm_pixels(payload)
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return encode_ppm(out_w, out_h, arr[yi][:, xi].tobytes())
+
+
+def downsample_ppm_2x(payload: bytes) -> bytes:
+    """Stride-2 downsample (keep even rows/cols): output dims are
+    ``ceil(in/2)`` and output pixel (x, y) is input pixel (2x, 2y) — the
+    exactly-SQL-predictable resize used by the oracle gate."""
+    arr = _ppm_pixels(payload)
+    sub = arr[::2, ::2]
+    return encode_ppm(sub.shape[1], sub.shape[0], sub.tobytes())
+
+
+def ppm_pixel_sum(payload: bytes) -> int:
+    """Sum of all pixel bytes (independent decode; closes the
+    encode→resize→re-encode loop for verification)."""
+    import numpy as np
+
+    return int(_ppm_pixels(payload).astype(np.int64).sum())
+
+
+def resize_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full image plumbing over ``mapInPandas``: synthesize a real PPM per
+    row, stride-2 downsample it, then decode the RESULT independently and
+    emit dims + pixel checksum.  Per-row binary work in one map stage —
+    no shuffle, no driver involvement; at 100 TB this is an embarrassing
+    parallel scan shape.
+
+    Encoder, resizer, and verifier share only the PPM spec: the checksum
+    is computed by re-parsing the resized bytes, so a bug anywhere in the
+    chain breaks the (analytic) oracle.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("ow", T.IntegerType()),
+            T.StructField("oh", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                src = synth_ppm(r[text_col])
+                m0 = parse_image_header(src)
+                small = downsample_ppm_2x(src)
+                m1 = parse_image_header(small)
+                rows.append(
+                    (
+                        r[id_col],
+                        m0["width"],
+                        m0["height"],
+                        m1["width"],
+                        m1["height"],
+                        ppm_pixel_sum(small),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "w", "h", "ow", "oh", "checksum"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)
 
 
 @udtf(

@@ -1161,6 +1161,47 @@ def q_image_meta(spark, sf):
 
 
 @query(
+    "image_resize",
+    # Oracle derives every pixel of the synthetic PPM in closed form:
+    # pixel(x,y,c) = (7x + 13y + 31c + s) % 256 with s/w/h from md5(text)
+    # bytes 0/1/2.  Stride-2 downsample keeps even rows/cols, so the
+    # resized checksum is the sum over (2x, 2y, c) — computed here by
+    # unnesting the index ranges, no image code involved.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, s, w, h,
+             (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+             unnest(range(0, (w + 1) // 2)) AS x
+      FROM base
+    ),
+    pxy AS (SELECT *, unnest(range(0, oh)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, 3)) AS c FROM pxy)
+    SELECT doc_id, MIN(w) AS w, MIN(h) AS h, MIN(ow) AS ow, MIN(oh) AS oh,
+           CAST(SUM((7 * 2 * x + 13 * 2 * y + 31 * c + s) % 256) AS BIGINT)
+               AS checksum
+    FROM pxyc GROUP BY doc_id
+    """,
+)
+def q_image_resize(spark, sf):
+    """Real image resize plumbing (multimodal §: decode/resize): per doc,
+    synthesize a genuine P6 PPM whose pixels are a closed-form function of
+    md5(text), stride-2 downsample it with numpy, re-encode, then decode
+    the result independently and checksum its pixels.  The oracle predicts
+    dims and checksum analytically — any bug in encoder, header parser,
+    resizer, or re-encoder breaks the match."""
+    from .operators.multimodal import resize_pipeline
+
+    return resize_pipeline(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
@@ -4280,6 +4321,7 @@ _GATE_PRIORITY = [
     "lsh_topk",  # new r5: random-hyperplane LSH ANN
     "streaming_interval_join",  # new r5: stream-stream time-range join
     "streaming_session_window",  # new r5: event-time session windows
+    "image_resize",  # new r5: real PPM nearest-neighbour resize
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

@@ -260,3 +260,54 @@ def test_decimal_add_mixed_scale_batch_uses_exact_fallback():
     b = pd.Series(["1.5", "1.50"], dtype=object)
     got = decimal_add._eval(a, b)
     assert got.tolist() == ["3.0", "3.00"]
+
+
+@given(
+    st.integers(min_value=1, max_value=31),
+    st.integers(min_value=1, max_value=31),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_ppm_nearest_neighbour_property(w, h, ow, oh):
+    """resize_ppm must place input pixel (floor(x·w/ow), floor(y·h/oh)) at
+    output (x, y) for every output coordinate — checked against a direct
+    per-pixel recomputation on random dims."""
+    import numpy as np
+
+    from arrow_udf_spark.operators.multimodal import (
+        _ppm_pixels,
+        encode_ppm,
+        resize_ppm,
+    )
+
+    rng = np.random.RandomState(w * 1000 + h * 37 + ow * 7 + oh)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = _ppm_pixels(resize_ppm(encode_ppm(w, h, arr.tobytes()), ow, oh))
+    assert out.shape == (oh, ow, 3)
+    for y in range(oh):
+        for x in range(ow):
+            assert (out[y, x] == arr[(y * h) // oh, (x * w) // ow]).all()
+
+
+def test_downsample_2x_and_pixel_sum():
+    """Stride-2 keeps even rows/cols (ceil dims); pixel sum re-parses the
+    encoded result; non-PPM payloads refuse with NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from arrow_udf_spark.operators.multimodal import (
+        _ppm_pixels,
+        downsample_ppm_2x,
+        encode_ppm,
+        ppm_pixel_sum,
+    )
+
+    arr = np.arange(9 * 7 * 3, dtype=np.int64).reshape(9, 7, 3) % 256
+    small = downsample_ppm_2x(encode_ppm(7, 9, arr.astype(np.uint8).tobytes()))
+    got = _ppm_pixels(small)
+    assert got.shape == (5, 4, 3)
+    assert (got == arr[::2, ::2]).all()
+    assert ppm_pixel_sum(small) == int(arr[::2, ::2].sum())
+    with _pytest.raises(NotImplementedError):
+        downsample_ppm_2x(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
