@@ -216,6 +216,39 @@ def ngram_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shared_shingle_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: flag documents containing any word
+    ``n``-gram that also appears verbatim in another document, with the
+    count of such shared shingles — the fixed-length-shingle variant of
+    exact-substring training-data dedup (near-dups share *spans* long
+    before whole documents match).
+
+    Plan: distinct shingles per doc → md5 digest (the shuffle carries
+    (doc_id, 32-B hash), never text) → per-digest distinct-doc count (two
+    phase, map-side partial) → the >1 digest set joins back (small by
+    construction — only genuinely shared spans — so AQE broadcasts it)
+    → per-doc distinct shared-span count.  At 100 TB both aggregations
+    key on the digest/doc-id; no step materializes cross-doc pairs.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_shingles(F.col(text_col), n))).alias("__g"),
+    ).select(id_col, F.md5("__g").alias("__h"))
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__h")
+    )
+    return (
+        sh.join(dup, "__h")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__h").alias("n_dup_spans"))
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two arrays (distinct-element semantics)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

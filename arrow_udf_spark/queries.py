@@ -912,6 +912,31 @@ def q_ngram_jaccard(spark, sf):
 
 
 @query(
+    "dup_span_flags",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(
+                 range(1, greatest(len(toks) - 4, 0) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS h
+      FROM (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT doc_id, CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_dup_spans
+    FROM sh s JOIN dup USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span_flags(spark, sf):
+    """Exact shared-span detection: documents containing any word 5-gram
+    that appears verbatim in another document, with the distinct shared-
+    span count — the fixed-shingle variant of exact-substring dedup."""
+    from .operators.dedup import shared_shingle_flags
+
+    return shared_shingle_flags(t(spark, sf, "documents", spread=True), n=5)
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT l.vec_id AS a, r.vec_id AS b,
@@ -4322,6 +4347,7 @@ _GATE_PRIORITY = [
     "streaming_interval_join",  # new r5: stream-stream time-range join
     "streaming_session_window",  # new r5: event-time session windows
     "image_resize",  # new r5: real PPM nearest-neighbour resize
+    "dup_span_flags",  # new r5: exact shared-shingle span dedup
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",
