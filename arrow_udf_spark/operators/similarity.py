@@ -18,7 +18,7 @@ Two execution strategies with identical semantics:
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -291,6 +291,7 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 16,
     band_bits: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours: exact cosine top-k
     *within the union of the query's LSH buckets* — (q_id, n_id, score).
@@ -305,8 +306,24 @@ def lsh_topk(
     Same output contract as :func:`brute_force_topk` (ties on n_id,
     score rounded to 6 dp); recall < 1 by construction — vectors whose
     every band differs from the query's are never scored.
+
+    ``max_bucket`` is the skew guard (same contract as
+    ``lsh_candidate_pairs``): a degenerate bucket — e.g. near-zero vectors
+    all hashing to one key — is deterministically truncated to its first
+    ``max_bucket`` members by (md5(id), id) order before the candidate
+    join, trading a little recall inside hot buckets for a hard bound on
+    per-bucket join fan-out.
     """
     ib = lsh_bands(items, id_col, vec_col, dim, n_planes, band_bits)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bkey").orderBy(
+            F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+        )
+        ib = (
+            ib.withColumn("__bn", F.row_number().over(wb))
+            .where(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     qb = lsh_bands(queries, id_col, vec_col, dim, n_planes, band_bits)
     cand = (
         ib.join(

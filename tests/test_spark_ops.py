@@ -157,3 +157,23 @@ def test_lsh_bands_deterministic_and_short(spark, sf_dir):
     assert a == b
     assert len(a) == 50 * 4
     assert all(0 <= r[2] < 16 for r in a)
+
+
+def test_lsh_topk_max_bucket_caps_candidates(spark, sf_dir):
+    """max_bucket truncates hot buckets deterministically: results stay a
+    subset of the uncapped run's candidate space, per-query counts can
+    only shrink, and two capped runs agree exactly."""
+    from arrow_udf_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3)
+    full = {(r.q_id, r.n_id) for r in lsh_topk(e, q, k=10**6).collect()}
+    capped1 = sorted(map(tuple, lsh_topk(e, q, k=50, max_bucket=3).collect()))
+    capped2 = sorted(map(tuple, lsh_topk(e, q, k=50, max_bucket=3).collect()))
+    assert capped1 == capped2
+    assert {(r[0], r[1]) for r in capped1} <= full
+    per_q = {}
+    for r in capped1:
+        per_q[r[0]] = per_q.get(r[0], 0) + 1
+    # 4 bands x <=3 items/bucket -> at most 12 candidates per query
+    assert all(n <= 12 for n in per_q.values())
