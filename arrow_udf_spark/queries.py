@@ -4244,6 +4244,65 @@ def q_streaming_retract_sliding(spark, sf):
 
 
 @query(
+    "streaming_running_udaf",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_udaf
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_running_udaf(spark, sf):
+    """A6/A7/A9/A10 on a real MULTI-BATCH stream: the pickled-state UDAF
+    protocol under ``applyInPandasWithState`` — state crosses micro-batch
+    boundaries through the state store (three time-split files at one per
+    trigger), every batch re-emits the key's running ``finish(state)``,
+    and the FINAL update per key (monotone ``__seq``) must equal the batch
+    aggregate computed from scratch by the oracle."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import streaming_running_agg
+
+    ev = (
+        t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.floor("value").cast("long").alias("v"),
+            F.col("ts"),
+        )
+        .repartitionByRange(3, "ts")
+        .drop("ts")
+    )
+    d = tempfile.mkdtemp(prefix="stream_run_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_running_agg(
+        stream, C.SumAgg, by=["event_type"], args=["v"], emit_seq=True
+    )
+    sink = f"run_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {len(q.recentProgress)}"
+        )
+    return spark.sql(
+        f"SELECT event_type, max_by(sum_udaf, __seq) AS sum_udaf "
+        f"FROM {sink} GROUP BY event_type"
+    )
+
+
+@query(
     "error_text_corpus",
     """
     SELECT 'agg_state_mismatch' AS kind,
@@ -4348,6 +4407,7 @@ _GATE_PRIORITY = [
     "streaming_session_window",  # new r5: event-time session windows
     "image_resize",  # new r5: real PPM nearest-neighbour resize
     "dup_span_flags",  # new r5: exact shared-shingle span dedup
+    "streaming_running_udaf",  # new r5: multi-batch running UDAF gate
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

@@ -137,13 +137,21 @@ def streaming_running_agg(
     agg: AggregateFunction,
     by: Sequence[str],
     args: Sequence[str],
+    emit_seq: bool = False,
 ) -> DataFrame:
     """Running per-key aggregate over a stream: emits (keys..., value) with
-    the post-batch value of ``finish(state)`` each time a key sees data."""
+    the post-batch value of ``finish(state)`` each time a key sees data.
+
+    ``emit_seq`` adds a ``__seq`` column (rows accumulated per key so far,
+    strictly increasing across a key's updates) so an update-mode sink can
+    select each key's FINAL value with ``max_by(value, __seq)`` even when
+    micro-batch updates interleave (same contract as
+    :func:`sliding_window_agg`)."""
     by, args = list(by), list(args)
     out_schema = T.StructType(
         [df.schema[c] for c in by]
         + [T.StructField(agg.sig.name, agg.result_field.dtype)]
+        + ([T.StructField("__seq", T.LongType())] if emit_seq else [])
     )
     create, acc, acc_b, merge, finish = (
         agg.create_state,
@@ -156,16 +164,23 @@ def streaming_running_agg(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        st = pickle.loads(state.get[0]) if state.exists else create()
+        if state.exists:
+            st, seen = pickle.loads(state.get[0])
+        else:
+            st, seen = create(), 0
         for pdf in pdfs:
+            seen += len(pdf)
             if acc_b is not None:
                 st = acc_b(st, *[pdf[a] for a in args])
             else:
                 for row in pdf.itertuples(index=False):
                     st = acc(st, *[getattr(row, a) for a in args])
-        state.update((pickle.dumps(st),))
+        state.update((pickle.dumps((st, seen)),))
         value = finish(st) if finish is not None else st
-        yield pd.DataFrame([dict(zip(by, key)) | {agg.sig.name: value}])
+        out = dict(zip(by, key)) | {agg.sig.name: value}
+        if emit_seq:
+            out["__seq"] = seen
+        yield pd.DataFrame([out])
 
     return (
         df.groupBy(*by)
