@@ -1,0 +1,104 @@
+"""Iterative k-means (Lloyd) training over an embedding column.
+
+This is the training half of the IVF similarity-search path
+(``operators/similarity.py::ivf_topk`` consumes a cell assignment; this
+module *learns* the cells).  The reference engine has no clustering
+operator — this is part of the training-data-pipeline surface the repo
+adds on top of the reference's corpus (SURVEY.md §2 "beyond the
+reference").
+
+Scale design (the same shape Spark MLlib's KMeans uses):
+
+- centroids live on the DRIVER as a ``k × dim`` double list — O(k·dim),
+  independent of data size, broadcast into the assignment expression as
+  array literals.  At 100 TB the per-iteration driver traffic is still
+  just ``k·dim`` aggregated means (k=256, dim=1024 → 2 MB);
+- each iteration is ONE map-side-combinable aggregation: assignment is a
+  pure Catalyst expression (``zip_with`` + ``aggregate`` over the
+  broadcast centroid literals — whole-stage-codegen, no Python), and the
+  per-dimension mean shuffles only ``k·dim`` partial (sum, count) pairs
+  after map-side combine;
+- determinism: initial centroids are the ``k`` vectors with the smallest
+  ids (no RNG — the repo-wide rule), distance ties break on the lower
+  centroid id, so any engine reproduces the same trajectory bit-for-bit
+  up to float-sum associativity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sq_dist(vec_col, centroid: list):
+    """Squared L2 distance between an array<double> column and a centroid
+    literal — sequential left-fold, matching DuckDB's ``list_distance``
+    ordering (sqrt is monotonic: omitted, argmin unchanged)."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(v: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cid): nearest centroid per vector, ties to the lower cid.
+
+    ``array_min`` over (distance, cid) structs compares lexicographically —
+    one codegen'd expression per row, no join, no shuffle."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("e"), c).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return v.select("vec_id", "e", F.array_min(pairs)["cid"].alias("cid"))
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train ``k`` centroids for ``iters`` Lloyd rounds; return the final
+    (vec_id, cluster) assignment.
+
+    Per round: assign (codegen expression, zero shuffle) → per-dimension
+    mean (posexplode + groupBy(cid, pos) — ONE shuffle of k·dim partial
+    aggregates after map-side combine) → collect the k·dim means to the
+    driver and rebuild the centroid literals.  An emptied cluster simply
+    drops out of the next round (same as the SQL oracle's GROUP BY)."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    seed = v.orderBy("vec_id").limit(k).collect()  # k rows — O(k·dim)
+    cents = [(i, list(r["e"])) for i, r in enumerate(seed)]
+    for _ in range(iters):
+        assigned = _assign(v, cents)
+        rows = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # k·dim rows — O(k·dim), data-size independent
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return _assign(v, cents).select(
+        "vec_id", F.col("cid").cast("int").alias("cluster")
+    )
+
+
+def kmeans_centroid_stats(assigned: DataFrame) -> DataFrame:
+    """(cluster, n_members) summary over a kmeans_assign result — the
+    sanity view an IVF builder checks for empty/skewed cells."""
+    return assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )

@@ -4121,6 +4121,54 @@ def q_embedding_mean_pool(spark, sf):
     )
 
 
+_KMEANS_ASSIGN_CTE = """
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_distance(v.e, c.c) ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {cents} AS c) WHERE rn = 1
+"""
+
+_KMEANS_MEANS_CTE = """
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT a.cid, g.i AS i, avg(v.e[g.i]) AS m
+        FROM {assign} AS a JOIN v USING (vec_id)
+             CROSS JOIN unnest(generate_series(1, len(v.e))) AS g(i)
+        GROUP BY a.cid, g.i) GROUP BY cid
+"""
+
+
+@query(
+    "kmeans_train_assign",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                      AS cid, e AS c
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    a0 AS ({_KMEANS_ASSIGN_CTE.format(cents="c0")}),
+    c1 AS ({_KMEANS_MEANS_CTE.format(assign="a0")}),
+    a1 AS ({_KMEANS_ASSIGN_CTE.format(cents="c1")}),
+    c2 AS ({_KMEANS_MEANS_CTE.format(assign="a1")}),
+    a2 AS ({_KMEANS_ASSIGN_CTE.format(cents="c2")})
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2
+    """,
+)
+def q_kmeans_train_assign(spark, sf):
+    """k-means Lloyd training (k=8, 2 rounds) + final cell assignment —
+    the training half of the IVF search path.  Assignment is a pure
+    codegen expression over broadcast centroid literals (zero shuffle);
+    each recompute shuffles only k*dim map-side-combined partial means;
+    driver state is O(k*dim), data-size independent (the Spark MLlib
+    KMeans shape).  Oracle: the same trajectory unrolled as CTEs —
+    deterministic min-id seeds and lower-cid tie-breaks make the integer
+    cluster output float-robust."""
+    from .operators.clustering import kmeans_assign
+
+    return kmeans_assign(t(spark, sf, "embeddings"), k=8, iters=2)
+
+
 @query(
     "temporal_roundtrip",
     """
@@ -4408,6 +4456,7 @@ _GATE_PRIORITY = [
     "image_resize",  # new r5: real PPM nearest-neighbour resize
     "dup_span_flags",  # new r5: exact shared-shingle span dedup
     "streaming_running_udaf",  # new r5: multi-batch running UDAF gate
+    "kmeans_train_assign",  # new r5: iterative Lloyd IVF-cell training
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",
