@@ -209,3 +209,45 @@ def resample_ffill(
         filled.where(F.col("__is_tick") == 1)
         .select(key, ts, F.col("__f").alias(value))
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "us",
+) -> DataFrame:
+    """Ordered-funnel analysis: how far through ``stages`` each user got,
+    requiring each stage to occur STRICTLY AFTER the user's earliest
+    completion of the previous stage.
+
+    One shuffle total: every stage is a windowed conditional-min over the
+    same ``user_col`` hash partitioning, so stages 2..n reuse stage 1's
+    exchange (Spark only re-sorts, never re-partitions), and the final
+    per-user reduction is already co-partitioned.  State per user is a
+    fixed n_stages timestamp tuple — no event-list materialization, so a
+    power user with millions of events costs the same as anyone else.
+
+    Returns (user_col, stage) where stage = number of stages completed
+    in order (0..len(stages)).
+    """
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, type_col, ts_col)
+    prev: Optional[str] = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col(ts_col) > F.col(prev))
+        col = f"__t{i}"
+        out = out.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = col
+    stage = F.lit(0)
+    for i in range(len(stages)):
+        stage = F.when(F.col(f"__t{i}").isNotNull(), i + 1).otherwise(stage)
+    # per-user reduction: the window columns are constant per user
+    return (
+        out.groupBy(user_col)
+        .agg(*[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(stages))])
+        .select(user_col, stage.cast("int").alias("stage"))
+    )

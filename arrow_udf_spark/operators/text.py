@@ -243,3 +243,53 @@ def source_quota(
         .where(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def inverted_index(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stop_df: int = 50,
+):
+    """Build an inverted index: token -> (document frequency, posting list).
+
+    The core retrieval/decontamination structure a training-data pipeline
+    materializes over a corpus.  Scale shape:
+
+    - (token, doc_id) pairs are deduplicated then counted with map-side
+      combine — document frequency is one bounded-state aggregation;
+    - posting lists are only materialized for TAIL tokens (df <= stop_df).
+      Head tokens ("the", "and") keep df but a NULL posting list — at
+      100 TB a stop-token's postings are billions of ids in ONE aggregation
+      buffer, the classic inverted-index skew trap; real IR systems
+      threshold or tier them the same way;
+    - the tail filter is a co-partitioned join on the token key (both
+      sides descend from the same groupBy(token) shuffle), never a
+      broadcast of the vocabulary.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfc = pairs.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    tail_postings = (
+        pairs.join(dfc.where(F.col("df") <= stop_df), "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                "|",
+            ).alias("postings")
+        )
+    )
+    head = dfc.where(F.col("df") > stop_df).select(
+        "token", "df", F.lit(None).cast("string").alias("postings")
+    )
+    return tail_postings.unionByName(head)

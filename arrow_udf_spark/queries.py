@@ -2021,6 +2021,71 @@ def q_vocab_topk(spark, sf):
 
 
 @query(
+    "inverted_index",
+    r"""
+    WITH pairs AS (
+        SELECT DISTINCT d.doc_id, t.tok AS token
+        FROM documents d,
+             unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(tok)
+        WHERE t.tok <> ''),
+    dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM pairs GROUP BY token)
+    SELECT dfc.token, dfc.df,
+           CASE WHEN dfc.df <= 50 THEN pl.postings END AS postings
+    FROM dfc LEFT JOIN (
+        SELECT token,
+               string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+                   AS postings
+        FROM pairs GROUP BY token) pl USING (token)
+    """,
+)
+def q_inverted_index(spark, sf):
+    """Inverted index over the corpus: token -> (document frequency,
+    posting list), with the stop-token guard that keeps a 100 TB build
+    bounded — head tokens (df > 50) carry df but NULL postings, so no
+    aggregation buffer ever holds a stop-word's full id list."""
+    from .operators.text import inverted_index
+
+    return inverted_index(t(spark, sf, "documents"), stop_df=50)
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s0 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+           FROM e GROUP BY user_id),
+    s1 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'view' AND e.us > s0.t0
+                           THEN e.us END) AS t1
+           FROM e JOIN s0 USING (user_id) GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.us > s1.t1
+                           THEN e.us END) AS t2
+           FROM e JOIN s1 USING (user_id) GROUP BY e.user_id)
+    SELECT s0.user_id,
+           CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                     WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+    """,
+)
+def q_funnel_conversion(spark, sf):
+    """Ordered funnel signup -> view -> purchase: stages completed per
+    user, each stage strictly after the user's earliest completion of the
+    previous one.  All stages are conditional-mins over ONE user_id hash
+    partitioning (one exchange, windows re-sort only), fixed
+    O(n_stages) state per user."""
+    from .operators.temporal import funnel_stages
+
+    return funnel_stages(
+        t(spark, sf, "events"), stages=["signup", "view", "purchase"]
+    )
+
+
+@query(
     "pack_sequences",
     """
     SELECT doc_id, source, seq_id FROM (
@@ -4457,6 +4522,8 @@ _GATE_PRIORITY = [
     "dup_span_flags",  # new r5: exact shared-shingle span dedup
     "streaming_running_udaf",  # new r5: multi-batch running UDAF gate
     "kmeans_train_assign",  # new r5: iterative Lloyd IVF-cell training
+    "inverted_index",  # new r5: posting lists with stop-token guard
+    "funnel_conversion",  # new r5: ordered event funnel
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",
