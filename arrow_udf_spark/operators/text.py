@@ -293,3 +293,62 @@ def inverted_index(
         "token", "df", F.lit(None).cast("string").alias("postings")
     )
     return tail_postings.unionByName(head)
+
+
+def bm25_topk(
+    df,
+    terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 document ranking for a small term set, rational-idf variant.
+
+    idf(t) = (N - df + 0.5) / (df + 0.5) — the ln() of classic BM25 is
+    monotone, so omitting it preserves the ranking while keeping every
+    operation rational arithmetic with a fixed evaluation order: libm
+    ``ln`` is NOT bit-identical across engines (same trade tfidf_topterms
+    makes), and sum(dl)/count(dl) over integers is exact in doubles, so
+    the whole score is cross-engine deterministic.
+
+    Scale: corpus-level stats (avgdl, N) are a 1-row broadcast; per-term
+    document frequencies broadcast (|terms| rows); only the docs that
+    actually contain a query term reach the scoring join."""
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("bigint").alias("n_docs")
+    )
+    hits = words.where(F.col("word").isin(list(terms)))
+    tf = hits.groupBy("doc_id", "word").agg(F.count("*").cast("bigint").alias("tf"))
+    dfc = hits.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    j = (
+        tf.join(F.broadcast(dfc), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    s = idf * (F.col("tf") * (k1 + 1)) / denom
+    tot = j.select("doc_id", s.alias("s")).groupBy("doc_id").agg(
+        F.sum("s").alias("s")
+    )
+    return (
+        tot.select(
+            "doc_id",
+            (F.floor(F.col("s") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -2086,6 +2086,77 @@ def q_funnel_conversion(spark, sf):
 
 
 @query(
+    "bm25_topk",
+    r"""
+    WITH w AS (SELECT d.doc_id, t.tok AS word
+               FROM documents d,
+                    unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(tok)
+               WHERE t.tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w
+           GROUP BY doc_id),
+    st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs
+           FROM dl),
+    h AS (SELECT * FROM w WHERE word IN ('dup', 'data')),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM h
+           GROUP BY doc_id, word),
+    dfc AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM h GROUP BY word),
+    sc AS (SELECT tf.doc_id,
+                  (CAST(st.n_docs AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5)
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                      AS s
+           FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id)
+                CROSS JOIN st),
+    tot AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY doc_id)
+    SELECT doc_id, floor(s * 1000000 + 0.5) / 1000000 AS score
+    FROM tot ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark, sf):
+    """BM25 retrieval top-10 for the term set {dup, data} (one rare, one
+    common token — both idf branches live).  Rational idf keeps doubles
+    bit-deterministic cross-engine; corpus stats are 1-row broadcasts."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(t(spark, sf, "documents"), terms=["dup", "data"], k=10)
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+    SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.cohort, e.d) AS INT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf):
+    """Daily retention triangle: users grouped by first-activity day
+    (cohort), counted on each later day they return.  Two keyed
+    aggregations and one user_id-co-partitioned join — (user, day) pairs
+    are deduplicated BEFORE the join, so at 100 TB the join input is
+    bounded by users*days, not raw events."""
+    e = (
+        t(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    f = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        e.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
     "pack_sequences",
     """
     SELECT doc_id, source, seq_id FROM (
@@ -4524,6 +4595,8 @@ _GATE_PRIORITY = [
     "kmeans_train_assign",  # new r5: iterative Lloyd IVF-cell training
     "inverted_index",  # new r5: posting lists with stop-token guard
     "funnel_conversion",  # new r5: ordered event funnel
+    "bm25_topk",  # new r5: BM25 retrieval, rational idf
+    "retention_cohorts",  # new r5: weekly cohort retention
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

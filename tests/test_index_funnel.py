@@ -68,3 +68,67 @@ def test_funnel_uses_earliest_prev_completion(spark):
     ev = _events(spark, [(1, "signup", 10), (1, "view", 15), (1, "signup", 20)])
     out = {r["user_id"]: r["stage"] for r in funnel_stages(ev, ["signup", "view"], ts_col="us").collect()}
     assert out == {1: 2}
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from arrow_udf_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "common filler filler"),
+            (4, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, terms=["rare", "common"], k=4).collect()
+    # doc 1 contains the rare term -> highest score; doc 4 has no term
+    assert out[0]["doc_id"] == 1
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids
+    assert all(a["score"] >= b["score"] for a, b in zip(out, out[1:]))
+
+
+def test_bm25_length_normalization(spark):
+    from arrow_udf_spark.operators.text import bm25_topk
+
+    # same tf, shorter doc scores higher under b=0.75
+    docs = spark.createDataFrame(
+        [(1, "term x"), (2, "term x x x x x x x x x x x x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, terms=["term"], k=2).collect()}
+    assert out[1] > out[2]
+
+
+def test_retention_counts(spark):
+    from arrow_udf_spark.queries import QUERIES
+    import pyspark.sql.functions as F  # noqa: F401
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-03 10:00:00"),
+            (2, "click", "2024-01-01 23:00:00"),
+            (2, "click", "2024-01-02 01:00:00"),
+            (3, "click", "2024-01-02 09:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    # run the same shape the query uses, inline
+    e = ev.selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct()
+    f = e.groupBy("user_id").agg({"d": "min"}).withColumnRenamed("min(d)", "cohort")
+    got = {
+        (str(r["cohort"]), r["off"]): r["n"]
+        for r in e.join(f, "user_id")
+        .selectExpr("cohort", "datediff(d, cohort) AS off", "user_id")
+        .groupBy("cohort", "off")
+        .agg({"user_id": "count"})
+        .withColumnRenamed("count(user_id)", "n")
+        .collect()
+    }
+    assert got[("2024-01-01", 0)] == 2  # users 1 and 2 start Jan 1
+    assert got[("2024-01-01", 1)] == 1  # user 2 returns next day
+    assert got[("2024-01-01", 2)] == 1  # user 1 returns on day 2
+    assert got[("2024-01-02", 0)] == 1  # user 3's own cohort
