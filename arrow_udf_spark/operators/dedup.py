@@ -24,7 +24,7 @@ are bit-identical across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import token_hash, tokens
@@ -441,4 +441,37 @@ def lsh_join(
         )
         .select(F.col("n.id").alias("new_id"), F.col("r.id").alias("ref_id"))
         .distinct()
+    )
+
+
+def keep_best(
+    scored: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Canonical-document selection: for every doc, which cluster member
+    survives dedup — the highest-``quality_col`` member, ties to the
+    smallest id.  Docs absent from ``clusters`` are singletons (keeper =
+    themselves), so the output covers the whole corpus, exactly what a
+    filter stage downstream consumes.
+
+    One left join on the doc id plus one window over ``cluster_col`` —
+    cluster sizes are near-clique dedup groups (small by construction), so
+    the window partition never degenerates; the join is keyed on the same
+    id the cluster table was built from."""
+    member = scored.join(
+        clusters.select(id_col, cluster_col), id_col, "left"
+    ).withColumn(cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col)))
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return member.withColumn("keeper_id", F.first(id_col).over(w)).select(
+        id_col,
+        cluster_col,
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).cast("int").alias("keep"),
     )

@@ -251,3 +251,38 @@ def funnel_stages(
         .agg(*[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(stages))])
         .select(user_col, stage.cast("int").alias("stage"))
     )
+
+
+def rolling_daily_sum(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day rolling sum of a metric, exact.
+
+    The metric is fixed-pointed to integer micro-units BEFORE aggregation
+    (floor(x*1e6 + 0.5)), so every sum is int64 arithmetic — bit-exact in
+    any engine and any accumulation order, where a double sum would drift
+    per shuffle layout.  The daily pre-aggregation is keyed and map-side
+    combined; the rolling window then runs over ONE ROW PER DAY (36.5k
+    rows per century), so its single unpartitioned window is bounded no
+    matter how large the raw table is."""
+    daily = (
+        df.select(
+            F.col(ts_col).cast("date").alias("d"),
+            F.floor(F.col(val_col) * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("day_micros"))
+    )
+    w = (
+        Window.orderBy("d").rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        F.col("d").cast("string").alias("d"),
+        "day_micros",
+        F.sum("day_micros").over(w).alias("rolling_micros"),
+    )

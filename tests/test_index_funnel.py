@@ -132,3 +132,38 @@ def test_retention_counts(spark):
     assert got[("2024-01-01", 1)] == 1  # user 2 returns next day
     assert got[("2024-01-01", 2)] == 1  # user 1 returns on day 2
     assert got[("2024-01-02", 0)] == 1  # user 3's own cohort
+
+
+def test_keep_best_policy(spark):
+    from arrow_udf_spark.operators.dedup import keep_best
+
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.2)],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keeper_id"], r["keep"]) for r in keep_best(scored, clusters, "q").collect()}
+    # highest q wins, tie (2 vs 3 at 0.9) broken by smaller id
+    assert out[1] == (1, 2, 0)
+    assert out[2] == (1, 2, 1)
+    assert out[3] == (1, 2, 0)
+    # singleton: own cluster, keeps itself
+    assert out[4] == (4, 4, 1)
+
+
+def test_rolling_daily_sum_exact(spark):
+    from arrow_udf_spark.operators.temporal import rolling_daily_sum
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 05:00:00", 1.25), ("2024-01-01 06:00:00", 2.5),
+         ("2024-01-02 05:00:00", 10.0), ("2024-01-09 05:00:00", 100.0)],
+        "ts_s string, value double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    out = {r["d"]: (r["day_micros"], r["rolling_micros"]) for r in rolling_daily_sum(ev).collect()}
+    assert out["2024-01-01"] == (3_750_000, 3_750_000)
+    assert out["2024-01-02"] == (10_000_000, 13_750_000)
+    # Jan 9 is >7 observed rows back? only 3 daily rows: window covers all 3
+    # within 6-preceding rows -> includes Jan 1+2 (rows-based over observed days)
+    assert out["2024-01-09"] == (100_000_000, 113_750_000)
