@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "audio_chunks",             # multimodal chunking fan-out
     "resample_ffill",           # time-series gap fill (grid + window)
     "tfidf_topterms",           # UDTF -> join -> window composition
+    # new in r5 (adds ~2 s of NEW coverage to the total vs BENCH_r04 —
+    # compare per-query, the shared-cohort total, not the raw total):
+    "kmeans_train_assign",      # iterative Lloyd: codegen assign + k*dim agg
+    "funnel_conversion",        # stacked conditional-min windows, 1 exchange
 ]
 
 #: timing repetitions per query (best-of); see loop comment
@@ -131,7 +135,9 @@ def main() -> None:
                     "BENCH_r01 used count()-materialization, which pruned the "
                     "operator under test for projection-shaped queries; r2+ "
                     "use noop writes (full evaluation). Compare vs r3=18.0s, "
-                    "not r1. See bench.py docstring."
+                    "not r1. r5 adds kmeans_train_assign + funnel_conversion "
+                    "to the bench set: compare the shared-query cohort, not "
+                    "the raw total. See bench.py docstring."
                 ),
             }
         )

@@ -255,3 +255,69 @@ def test_lsh_topk_no_cartesian(spark, sf_dir):
     plan = _plan(lsh_topk(e, e.where(F.col("vec_id") < 3), k=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """All funnel stages must share ONE user_id exchange — stacked windows
+    re-sort but never re-partition, and the final reduction is
+    co-partitioned (no second hash exchange)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["funnel_conversion"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:500]
+    assert "EvalPython" not in plan
+
+
+def test_kmeans_assignment_stays_jvm_side(spark, sf_dir):
+    """The k-means assignment expression (broadcast centroid literals) is
+    pure Catalyst — no Python eval, no join, no shuffle."""
+    from arrow_udf_spark.operators.clustering import _assign
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    plan = _plan(_assign(v, cents))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_inverted_index_no_vocabulary_broadcast(spark, sf_dir):
+    """The tail-token filter must be a shuffled/sort-merge join on the
+    token key, NOT a broadcast of the vocabulary (unbounded at scale).
+    AQE may still broadcast at this toy SF — disable it for the check."""
+    from arrow_udf_spark.operators.text import inverted_index
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = _plan(inverted_index(d))
+        assert "BroadcastHashJoin" not in plan, plan[:800]
+    finally:
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
+    """Corpus-level stats (avgdl, N) and the per-term df table are tiny —
+    they must broadcast; the doc-length join keys on doc_id."""
+    from arrow_udf_spark.operators.text import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_topk(d, terms=["dup", "data"], k=10))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_window_input_is_daily_aggregate(spark, sf_dir):
+    """The unpartitioned window must sit ABOVE the daily groupBy (bounded
+    rows), never over the raw event table."""
+    from arrow_udf_spark.operators.temporal import rolling_daily_sum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(rolling_daily_sum(ev))
+    w = plan.index("Window")
+    agg = plan.index("HashAggregate")
+    assert w < agg, "window must consume the aggregate, not raw events"
