@@ -149,3 +149,68 @@ class KmvAgg:
 
         # same IEEE-double expression as the Catalyst/oracle formulation
         return int(math.floor((self.K - 1.0) * float(KMV_SPACE) / float(state[-1])))
+
+
+def kmv_source_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """Pairwise token-set similarity between groups, estimated from KMV
+    sketches — corpus-composition analysis ("how much does src A overlap
+    src B?") without ever joining the corpora.
+
+    Per group only the k smallest distinct token hashes survive (windowed
+    top-k: the shuffle carries distinct (group, hash) pairs, the state per
+    group is bounded at k).  The pairwise stage then works on n_groups
+    k-length arrays — broadcastable at any corpus size, since sketches,
+    not documents, are compared.  Estimator: with M(S) the k smallest of
+    S, J ≈ |M(A∪B) ∩ A ∩ B| / |M(A∪B)| (the standard KMV Jaccard
+    estimator; exact whenever the true union is smaller than k).
+
+    Hashing is the repo's md5 bridge (text.py::token_hash), so a SQL
+    engine reproduces every sketch bit-for-bit."""
+    from pyspark.sql import Window
+
+    from .text import token_hash, tokens
+
+    pairs = (
+        df.select(
+            F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select("g", token_hash(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("g").alias("src_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("g").alias("src_b"), F.col("sk").alias("skb"))
+    j = a.crossJoin(F.broadcast(b)).where(F.col("src_a") < F.col("src_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ska"), F.col("skb")))), 1, k
+    )
+    inter = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("ska"), x)
+            & F.array_contains(F.col("skb"), x),
+        )
+    )
+    denom = F.size(merged)
+    est = F.floor(
+        inter.cast("double") / denom.cast("double") * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    return j.select(
+        "src_a",
+        "src_b",
+        inter.cast("bigint").alias("n_shared"),
+        denom.cast("bigint").alias("n_union_k"),
+        est.alias("jaccard_est"),
+    )

@@ -2463,6 +2463,51 @@ def q_dup_clusters(spark, sf):
 
 
 @query(
+    "kmv_source_similarity",
+    r"""
+    WITH ph AS (
+      SELECT DISTINCT d.source AS g,
+             CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS h
+      FROM documents d,
+           unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(tok)
+      WHERE t.tok <> ''),
+    sk AS (
+      SELECT g, list(h ORDER BY h) AS sk FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM ph)
+      WHERE rn <= 16 GROUP BY g),
+    j AS (
+      SELECT a.g AS src_a, b.g AS src_b, a.sk AS ska, b.sk AS skb
+      FROM sk a JOIN sk b ON a.g < b.g),
+    m AS (
+      SELECT src_a, src_b, ska, skb,
+             list_sort(list_distinct(list_concat(ska, skb)))[1:16] AS merged
+      FROM j),
+    c AS (
+      SELECT src_a, src_b,
+             len(list_filter(merged,
+                 x -> list_contains(ska, x) AND list_contains(skb, x)))
+                 AS shared,
+             len(merged) AS uk
+      FROM m)
+    SELECT src_a, src_b,
+           CAST(shared AS BIGINT) AS n_shared,
+           CAST(uk AS BIGINT) AS n_union_k,
+           floor(CAST(shared AS DOUBLE) / CAST(uk AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS jaccard_est
+    FROM c
+    """,
+)
+def q_kmv_source_similarity(spark, sf):
+    """Pairwise corpus-overlap matrix from bounded KMV sketches: per-source
+    state is capped at k=16 hashes, the pairwise stage compares k-length
+    arrays (broadcast), and no document ever meets another document."""
+    from .operators.sketch import kmv_source_similarity
+
+    return kmv_source_similarity(t(spark, sf, "documents"), k=16)
+
+
+@query(
     "dedup_keep_best",
     f"""
     WITH RECURSIVE sig AS (
@@ -4695,6 +4740,7 @@ _GATE_PRIORITY = [
     "retention_cohorts",  # new r5: daily cohort retention
     "dedup_keep_best",  # new r5: canonical-doc dedup policy
     "rolling_7d_sum",  # new r5: exact fixed-point rolling window
+    "kmv_source_similarity",  # new r5: sketch-based corpus overlap
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

@@ -140,3 +140,39 @@ def test_kmv_batch_refuses_float_coerced_hashes():
         KmvAgg.create_state(), pd.Series([5, 9], dtype="int64")
     )
     assert ok == (5, 9)
+
+
+def test_kmv_source_similarity_exact_when_union_small(spark):
+    from arrow_udf_spark.operators.sketch import kmv_source_similarity
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y z"),
+            ("b", "x y w"),
+            ("c", "p q"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["n_union_k"], r["jaccard_est"])
+        for r in kmv_source_similarity(docs, k=16).collect()
+    }
+    # unions smaller than k -> estimator is EXACT Jaccard
+    assert out[("a", "b")] == (2, 4, 0.5)       # {x,y} / {x,y,z,w}
+    assert out[("a", "c")][0] == 0 and out[("a", "c")][2] == 0.0
+    assert out[("b", "c")][0] == 0
+
+
+def test_kmv_source_similarity_state_bounded(spark):
+    from arrow_udf_spark.operators.sketch import kmv_source_similarity
+
+    # 100 distinct tokens per source, k=8: sketch arrays must cap at 8
+    rows = [("a", " ".join(f"tok{i}" for i in range(100))),
+            ("b", " ".join(f"tok{i}" for i in range(50, 150)))]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    out = kmv_source_similarity(docs, k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_union_k"] == 8  # merged sketch capped at k
+    assert 0 <= r["n_shared"] <= 8
+    assert 0.0 <= r["jaccard_est"] <= 1.0
