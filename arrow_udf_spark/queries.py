@@ -2508,6 +2508,46 @@ def q_kmv_source_similarity(spark, sf):
 
 
 @query(
+    "anomaly_zscore",
+    """
+    WITH base AS (SELECT event_id, event_type,
+                         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                  FROM events),
+    mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+                       AS ss
+            FROM base GROUP BY event_type),
+    sc AS (SELECT b.event_id, b.event_type, b.v, m.n, m.ss,
+                  CAST(m.s AS DOUBLE) / m.n AS mean
+           FROM base b JOIN mom m USING (event_type)),
+    zs AS (SELECT event_id, event_type,
+                  (v - mean) / sqrt(CAST(ss AS DOUBLE) / n - mean * mean)
+                      AS z
+           FROM sc),
+    r AS (SELECT event_id, event_type, z,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(z) DESC, event_id ASC)
+                     AS rn
+          FROM zs)
+    SELECT event_id, event_type,
+           floor(z * 1000000 + 0.5) / 1000000 AS z
+    FROM r WHERE rn <= 20
+    """,
+)
+def q_anomaly_zscore(spark, sf):
+    """Per-type anomaly top-20 by |z-score|.  Moments accumulate in exact
+    fixed-point (milli-units; sum-of-squares as DECIMAL(38,0)) so they are
+    shuffle-layout- and engine-independent; the float math runs once per
+    group on those exact inputs with pinned op order, making even the
+    z-scores hash-identical to the oracle.  Moments broadcast back, the
+    standardization pass is map-only, top-k is a window group limit."""
+    from .operators.stats import zscore_outliers
+
+    return zscore_outliers(t(spark, sf, "events"), top_k=20)
+
+
+@query(
     "dedup_keep_best",
     f"""
     WITH RECURSIVE sig AS (
@@ -4741,6 +4781,7 @@ _GATE_PRIORITY = [
     "dedup_keep_best",  # new r5: canonical-doc dedup policy
     "rolling_7d_sum",  # new r5: exact fixed-point rolling window
     "kmv_source_similarity",  # new r5: sketch-based corpus overlap
+    "anomaly_zscore",  # new r5: exact-moment anomaly scoring
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

@@ -167,3 +167,23 @@ def test_rolling_daily_sum_exact(spark):
     # Jan 9 is >7 observed rows back? only 3 daily rows: window covers all 3
     # within 6-preceding rows -> includes Jan 1+2 (rows-based over observed days)
     assert out["2024-01-09"] == (100_000_000, 113_750_000)
+
+
+def test_zscore_outliers_picks_extremes(spark):
+    from arrow_udf_spark.operators.stats import zscore_outliers
+
+    rows = [(i, "a", 10.0) for i in range(20)] + [(100, "a", 1000.0), (101, "a", -500.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(ev, top_k=2).collect()
+    got = {r["event_id"]: r["z"] for r in out}
+    assert set(got) == {100, 101}
+    assert got[100] > 0 and got[101] < 0
+
+
+def test_zscore_ties_break_by_id(spark):
+    from arrow_udf_spark.operators.stats import zscore_outliers
+
+    rows = [(1, "a", 0.0), (2, "a", 10.0), (3, "a", 0.0), (4, "a", 10.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = [r["event_id"] for r in zscore_outliers(ev, top_k=2).collect()]
+    assert out == [1, 2]  # |z| all equal -> two smallest ids win
