@@ -44,7 +44,11 @@ def zscore_outliers(
     j = base.join(F.broadcast(mom), "event_type")
     mean = F.col("s").cast("double") / F.col("n")
     var = F.col("ss").cast("double") / F.col("n") - mean * mean
-    z = (F.col("v") - mean) / F.sqrt(var)
+    # constant group -> var == 0 -> z pinned to 0 (0/0 would be NaN,
+    # which engines render differently); exact inputs make the == safe
+    z = F.when(var > 0, (F.col("v") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.abs(z).desc(), F.col("event_id").asc()
     )

@@ -2522,8 +2522,10 @@ def q_kmv_source_similarity(spark, sf):
                   CAST(m.s AS DOUBLE) / m.n AS mean
            FROM base b JOIN mom m USING (event_type)),
     zs AS (SELECT event_id, event_type,
-                  (v - mean) / sqrt(CAST(ss AS DOUBLE) / n - mean * mean)
-                      AS z
+                  CASE WHEN CAST(ss AS DOUBLE) / n - mean * mean > 0
+                       THEN (v - mean)
+                            / sqrt(CAST(ss AS DOUBLE) / n - mean * mean)
+                       ELSE 0.0 END AS z
            FROM sc),
     r AS (SELECT event_id, event_type, z,
                  row_number() OVER (PARTITION BY event_type

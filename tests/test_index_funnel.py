@@ -187,3 +187,14 @@ def test_zscore_ties_break_by_id(spark):
     ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     out = [r["event_id"] for r in zscore_outliers(ev, top_k=2).collect()]
     assert out == [1, 2]  # |z| all equal -> two smallest ids win
+
+
+def test_zscore_constant_group_is_zero_not_nan(spark):
+    from arrow_udf_spark.operators.stats import zscore_outliers
+
+    ev = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r["event_id"]: r["z"] for r in zscore_outliers(ev, top_k=3).collect()}
+    assert out == {1: 0.0, 2: 0.0, 3: 0.0}
