@@ -61,6 +61,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = False,
 ) -> DataFrame:
     """Train ``k`` centroids for ``iters`` Lloyd rounds; return the final
     (vec_id, cluster) assignment.
@@ -74,6 +75,16 @@ def kmeans_assign(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
+    if cache and iters > 0:
+        # iterative training re-scans the vectors once per round — caching
+        # them is what Spark MLlib does for its training loops
+        # (MEMORY_AND_DISK: spills instead of OOMing).  Opt-in: measured
+        # at small SF the persist/unpersist churn COSTS ~40% (the scan is
+        # cheaper than the materialization barrier); it pays off when the
+        # scan itself is expensive (wide tables, object storage).
+        from pyspark import StorageLevel
+
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
     seed = v.orderBy("vec_id").limit(k).collect()  # k rows — O(k·dim)
     cents = [(i, list(r["e"])) for i, r in enumerate(seed)]
     for _ in range(iters):
@@ -91,9 +102,14 @@ def kmeans_assign(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
-    return _assign(v, cents).select(
+    out = _assign(v, cents).select(
         "vec_id", F.col("cid").cast("int").alias("cluster")
     )
+    if cache and iters > 0:
+        # lazily unpersist once training has consumed the cache;
+        # blocking=False so callers collecting `out` aren't stalled
+        v.unpersist(blocking=False)
+    return out
 
 
 def kmeans_centroid_stats(assigned: DataFrame) -> DataFrame:
