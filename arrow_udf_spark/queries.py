@@ -2624,13 +2624,15 @@ def q_dedup_keep_best(spark, sf):
     """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d,
-               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS day_micros
+               CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS day_micros
         FROM events GROUP BY 1
     )
     SELECT CAST(d AS VARCHAR) AS d, day_micros,
-           SUM(day_micros) OVER (ORDER BY d
-                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-               AS rolling_micros
+           CAST(SUM(day_micros) OVER (ORDER BY d
+                                      ROWS BETWEEN 6 PRECEDING
+                                      AND CURRENT ROW)
+                AS BIGINT) AS rolling_micros
     FROM daily
     """,
 )
