@@ -278,8 +278,12 @@ class AggregateFunction:
                         _exact_series(rb.column(by_n + i)) for i in range(arg_n)
                     ]
                     if by_n:
+                        # _exact_series for KEYS too: int64 keys in a
+                        # NULL-bearing batch must not round-trip through
+                        # float64 (2^53+1 and 2^53 would merge into one
+                        # group under a silently-corrupted key)
                         keys_pdf = pd.DataFrame(
-                            {f"c{i}": rb.column(i).to_pandas() for i in range(by_n)}
+                            {f"c{i}": _exact_series(rb.column(i)) for i in range(by_n)}
                         )
                         groups = keys_pdf.groupby(
                             [f"c{i}" for i in range(by_n)], dropna=False, sort=False

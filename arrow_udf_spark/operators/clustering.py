@@ -106,8 +106,11 @@ def kmeans_assign(
         "vec_id", F.col("cid").cast("int").alias("cluster")
     )
     if cache and iters > 0:
-        # lazily unpersist once training has consumed the cache;
-        # blocking=False so callers collecting `out` aren't stalled
+        # materialize the (narrow) final assignment WHILE the vector
+        # cache is hot, then release it — unpersisting first would make
+        # the most expensive remaining pass rescan the raw source, the
+        # exact cost the opt-in cache exists to avoid
+        out = out.localCheckpoint(eager=True)
         v.unpersist(blocking=False)
     return out
 

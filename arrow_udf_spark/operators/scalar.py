@@ -288,13 +288,18 @@ def _eval_memcapped(
             resource.setrlimit(resource.RLIMIT_AS, (soft, saved_hard))
             values, errors = _eval_clean(inner, cols, n)
             # Series/DataFrame pickle natively; list(DataFrame) would yield
-            # its column labels — only listify opaque iterables.
+            # its column labels — only listify opaque iterables.  The
+            # listify still runs UNDER the cap (it may drive a user
+            # generator); serialization of the already-materialized result
+            # runs after the soft limit is restored, so a legitimately
+            # large result doesn't MemoryError inside pickling and get
+            # misreported as over-limit.
             if not isinstance(values, (list, pd.Series, pd.DataFrame)):
                 values = list(values)
-            payload = pickle.dumps(
-                (values, None if errors is None else list(errors))
-            )
+            if errors is not None:
+                errors = list(errors)
             resource.setrlimit(resource.RLIMIT_AS, (saved_soft, saved_hard))
+            payload = pickle.dumps((values, errors))
             with os.fdopen(w_fd, "wb") as w:
                 w.write(payload)
             code = 0

@@ -259,6 +259,20 @@ def lsh_bands(
     qi = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
+    # loud dim guard: zip_with pads a length mismatch with nulls, which
+    # would silently null every band key (the vector just vanishes from
+    # the bucket join).  raise_error makes the wrong-dim call fail the
+    # job instead; the when() keeps the guard inside the used projection
+    # so Catalyst cannot prune it.
+    qi = F.when(F.size(F.col(vec_col)) == dim, qi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bands: vector length != dim={dim} (got "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     out = df.select(F.col(id_col).alias("id"), qi.alias("__qi"))
 
     def proj(plane):

@@ -267,7 +267,12 @@ def rolling_daily_sum(
     per shuffle layout.  The daily pre-aggregation is keyed and map-side
     combined; the rolling window then runs over ONE ROW PER DAY (36.5k
     rows per century), so its single unpartitioned window is bounded no
-    matter how large the raw table is."""
+    matter how large the raw table is.
+
+    The frame is RANGE-based over the epoch-day number, not ROWS-based:
+    with calendar gaps (a day with zero events) a ROWS frame would reach
+    back 7 OBSERVED days — potentially months — instead of 7 calendar
+    days."""
     daily = (
         df.select(
             F.col(ts_col).cast("date").alias("d"),
@@ -277,9 +282,10 @@ def rolling_daily_sum(
         )
         .groupBy("d")
         .agg(F.sum("v").alias("day_micros"))
+        .withColumn("dn", F.datediff(F.col("d"), F.lit("1970-01-01")))
     )
     w = (
-        Window.orderBy("d").rowsBetween(-(window_days - 1), Window.currentRow)
+        Window.orderBy("dn").rangeBetween(-(window_days - 1), Window.currentRow)
     )
     return daily.select(
         F.col("d").cast("string").alias("d"),

@@ -184,6 +184,13 @@ class Registry:
         r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$"
     )
     _PLAIN_COL = re.compile(r"(?i)^[A-Za-z_][\w.]*$")
+    #: tail clauses that survive the two-phase rewrite: plain ORDER BY
+    #: column/alias lists (ASC/DESC/NULLS FIRST|LAST are \w words) and
+    #: LIMIT — no parentheses means no aggregate calls; HAVING never
+    #: matches and falls back to single-phase
+    _SAFE_TAIL = re.compile(
+        r"(?i)^\s*(ORDER\s+BY\s+[\w\s,.]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$"
+    )
 
     def sql(self, spark: "SparkSession", query: str) -> "DataFrame":
         """Run SQL with bare aggregate names made scale-safe by default.
@@ -260,6 +267,13 @@ class Registry:
             return None
         where = f" WHERE {m.group('where')}" if m.group("where") else ""
         tail = m.group("tail") or ""
+        # The tail is appended to the OUTER merge query: any aggregate in
+        # it (HAVING COUNT(*) > 5, ORDER BY SUM(x)) would evaluate over
+        # partial states — groups × partitions — not input rows.  Only a
+        # plain ORDER BY on column names / aliases and LIMIT are
+        # semantics-preserving; anything else falls back to single-phase.
+        if tail and not self._SAFE_TAIL.match(tail):
+            return None
         grp = ", ".join(grp_items)
         inner = (
             f"SELECT {grp}{', ' if grp else ''}{', '.join(inner_aggs)} "

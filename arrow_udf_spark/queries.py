@@ -2629,8 +2629,8 @@ def q_dedup_keep_best(spark, sf):
         FROM events GROUP BY 1
     )
     SELECT CAST(d AS VARCHAR) AS d, day_micros,
-           CAST(SUM(day_micros) OVER (ORDER BY d
-                                      ROWS BETWEEN 6 PRECEDING
+           CAST(SUM(day_micros) OVER (ORDER BY datediff('day', DATE '1970-01-01', d)
+                                      RANGE BETWEEN 6 PRECEDING
                                       AND CURRENT ROW)
                 AS BIGINT) AS rolling_micros
     FROM daily

@@ -209,3 +209,18 @@ def test_sum_udaf_nullable_batch_through_spark(spark):
     df = spark.createDataFrame(rows, "g int, x bigint")
     out = {r["g"]: r["sum_udaf"] for r in SumAgg.agg(df, by=["g"], args=["x"]).collect()}
     assert out == {1: 2 * big + 1, 2: 5}
+
+
+def test_udaf_group_keys_exact_with_nulls_above_2_53(spark):
+    """Group-KEY columns must take the masked-Int64 path too: a 63-bit key
+    in a NULL-bearing batch must not round-trip through float64 (2^53 and
+    2^53+1 would merge into one corrupted group)."""
+    from arrow_udf_spark.functions.corpus import SumAgg
+
+    k0, k1 = 2**53, 2**53 + 1
+    df = spark.createDataFrame(
+        [(k0, 1), (k1, 10), (None, 100), (k0, 2), (k1, 20), (None, 200)],
+        "h long, x long",
+    ).repartition(2)
+    out = {r["h"]: r["sum_udaf"] for r in SumAgg.agg(df, by=["h"], args=["x"]).collect()}
+    assert out == {k0: 3, k1: 30, None: 300}

@@ -86,3 +86,12 @@ def test_assignment_is_nearest_centroid(spark, sf_dir):
         own = d2(r["e"], seeds[r["cluster"]])
         best = min(d2(r["e"], s) for s in seeds)
         assert own <= best + 1e-9
+
+
+def test_kmeans_cache_flag_same_result(spark):
+    from arrow_udf_spark.operators.clustering import kmeans_assign
+
+    df = _toy(spark)
+    a = sorted(kmeans_assign(df, k=2, iters=2).collect())
+    b = sorted(kmeans_assign(df, k=2, iters=2, cache=True).collect())
+    assert a == b

@@ -164,9 +164,9 @@ def test_rolling_daily_sum_exact(spark):
     out = {r["d"]: (r["day_micros"], r["rolling_micros"]) for r in rolling_daily_sum(ev).collect()}
     assert out["2024-01-01"] == (3_750_000, 3_750_000)
     assert out["2024-01-02"] == (10_000_000, 13_750_000)
-    # Jan 9 is >7 observed rows back? only 3 daily rows: window covers all 3
-    # within 6-preceding rows -> includes Jan 1+2 (rows-based over observed days)
-    assert out["2024-01-09"] == (100_000_000, 113_750_000)
+    # RANGE frame over calendar days: Jan 9's trailing 7 days are
+    # Jan 3..9 -> Jan 1-2 are OUT even though they are the previous rows
+    assert out["2024-01-09"] == (100_000_000, 100_000_000)
 
 
 def test_zscore_outliers_picks_extremes(spark):
@@ -198,3 +198,16 @@ def test_zscore_constant_group_is_zero_not_nan(spark):
     )
     out = {r["event_id"]: r["z"] for r in zscore_outliers(ev, top_k=3).collect()}
     assert out == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_lsh_bands_raises_on_dim_mismatch(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+    from py4j.protocol import Py4JJavaError
+    from arrow_udf_spark.operators.similarity import lsh_bands
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="lsh_bands: vector length"):
+        lsh_bands(df, dim=64).collect()

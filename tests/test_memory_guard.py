@@ -131,3 +131,26 @@ def test_segfault_in_child_is_contained():
     ok = segv_probe._eval(pd.Series([0, 0]))
     assert ok["value"].tolist() == [0, 0]
     assert ok["error"].isna().all()
+
+
+def test_large_result_pickles_after_cap_restore():
+    """A result that FITS under the cap must not be misreported as
+    over-limit just because pickling it needs a second copy: the child
+    restores the soft limit before serialization (computation and any
+    user-generator consumption still run capped)."""
+    reg = Registry()
+    big = 100 * 1024 * 1024  # ~100 MB payload under a 150 MB cap
+
+    @udf(
+        input_types=["bigint"],
+        result_type="binary",
+        name="capped_big_result",
+        memory_limit=150 * 1024 * 1024,
+        batch=True,
+        registry=reg,
+    )
+    def capped_big_result(xs: pd.Series):
+        return pd.Series([b"x" * big] * len(xs))
+
+    out = capped_big_result._eval(pd.Series([1]))
+    assert isinstance(out.iloc[0], bytes) and len(out.iloc[0]) == big

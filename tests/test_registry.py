@@ -213,3 +213,26 @@ def test_udaf_overloads_all_get_two_phase_pair(spark):
         """
     ).collect()
     assert got[0].s == 45.0
+
+
+def test_two_phase_rewrite_rejects_aggregate_tail(spark):
+    """HAVING / aggregate ORDER BY must NOT ride the two-phase rewrite —
+    on the outer merge query COUNT(*) would count partial states, not
+    rows.  Such queries fall back to single-phase (with the warning)."""
+    import warnings
+
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    r = GLOBAL
+    used = {"sum_udaf"}
+    ok = r._rewrite_two_phase(
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY s DESC LIMIT 5",
+        used,
+    )
+    assert ok is not None and "HAVING" not in ok
+    for q in [
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING COUNT(*) > 5",
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING g > 5",
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY SUM(x)",
+    ]:
+        assert r._rewrite_two_phase(q, used) is None, q
