@@ -2550,6 +2550,56 @@ def q_anomaly_zscore(spark, sf):
 
 
 @query(
+    "quality_percentile",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+           floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                 + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / greatest(strlen(text), 1))
+                 + 0.3 * least((CAST(len(list_filter({_DD_TOKS},
+                       t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
+                       / greatest(len({_DD_TOKS}), 1)) * 5, 1.0)) * 1000000 + 0.5)
+           / 1000000 AS q
+      FROM documents
+    )
+    SELECT doc_id, source, q,
+           floor(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY q ASC, doc_id ASC)
+                 * 1000000 + 0.5) / 1000000 AS pct
+    FROM scored
+    """,
+)
+def q_quality_percentile(spark, sf):
+    """Cross-source quality calibration: raw quality scores are not
+    comparable between sources (different length/style priors), so
+    curriculum and mixture sampling use each doc's PERCENTILE within its
+    own source.  percent_rank is pure integer rank arithmetic —
+    (rank-1)/(n-1) — so it is exactly reproducible in any engine; one
+    window per source partition, heavy sources self-limit because the
+    rank pass is O(rows log rows) within the partition only."""
+    from pyspark.sql import Window
+
+    from .operators.text import quality_score
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source",
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "q",
+        (F.floor(F.percent_rank().over(w) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "pct"
+        ),
+    )
+
+
+@query(
     "dedup_keep_best",
     f"""
     WITH RECURSIVE sig AS (
@@ -4786,6 +4836,7 @@ _GATE_PRIORITY = [
     "rolling_7d_sum",  # new r5: exact fixed-point rolling window
     "kmv_source_similarity",  # new r5: sketch-based corpus overlap
     "anomaly_zscore",  # new r5: exact-moment anomaly scoring
+    "quality_percentile",  # new r5: per-source quality calibration
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",
