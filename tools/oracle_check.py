@@ -98,7 +98,16 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from arrow_udf_spark import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]")
+    import os
+
+    # partition-variation knobs: results must be identical under ANY
+    # core/shuffle-partition count (e.g. SPARK_GRAFT_ORACLE_MASTER=local[5]
+    # SPARK_GRAFT_SHUFFLE=5 replays the round-4 independence matrix)
+    master = os.environ.get("SPARK_GRAFT_ORACLE_MASTER", "local[8]")
+    spark = get_spark("oracle-check", master=master)
+    shuf = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if shuf:
+        spark.conf.set("spark.sql.shuffle.partitions", shuf)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
