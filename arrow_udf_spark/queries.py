@@ -4541,6 +4541,48 @@ def q_kmeans_train_assign(spark, sf):
 
 
 @query(
+    "ivf_trained_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                      AS cid, e AS c
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    a0 AS ({_KMEANS_ASSIGN_CTE.format(cents="c0")}),
+    c1 AS ({_KMEANS_MEANS_CTE.format(assign="a0")}),
+    a1 AS ({_KMEANS_ASSIGN_CTE.format(cents="c1")}),
+    c2 AS ({_KMEANS_MEANS_CTE.format(assign="a1")}),
+    a2 AS ({_KMEANS_ASSIGN_CTE.format(cents="c2")}),
+    q AS (SELECT a2.vec_id AS q_id, a2.cid AS cell, v.e AS qv
+          FROM a2 JOIN v USING (vec_id) WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, a2.vec_id AS n_id,
+             list_cosine_similarity(v.e, q.qv) AS s
+      FROM a2 JOIN v USING (vec_id) JOIN q ON a2.cid = q.cell)
+    SELECT q_id, n_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY s DESC, n_id) rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_ivf_trained_topk(spark, sf):
+    """End-to-end ANN: k-means trains the coarse cells (no label column
+    needed), items index into their learned cell, search scores only the
+    query's cell — the full IVF build+query path in one plan.  Train cost
+    amortizes across every query; the search join is the same broadcast/
+    shuffled cell equi-join as ivf_topk."""
+    from .operators.clustering import kmeans_assign
+    from .operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    assigned = kmeans_assign(e, k=8, iters=2)
+    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    queries = items.where(F.col("vec_id") < 5)
+    return ivf_topk(items, queries, k=5, cell_col="cluster")
+
+
+@query(
     "temporal_roundtrip",
     """
     SELECT o_orderkey,
@@ -4837,6 +4879,7 @@ _GATE_PRIORITY = [
     "kmv_source_similarity",  # new r5: sketch-based corpus overlap
     "anomaly_zscore",  # new r5: exact-moment anomaly scoring
     "quality_percentile",  # new r5: per-source quality calibration
+    "ivf_trained_topk",  # new r5: kmeans-trained IVF build+search
     # -- 2a. staleness cohort: latest driver row r1 (39) --
     "gcd",
     "neg",

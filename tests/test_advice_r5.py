@@ -224,3 +224,21 @@ def test_udaf_group_keys_exact_with_nulls_above_2_53(spark):
     ).repartition(2)
     out = {r["h"]: r["sum_udaf"] for r in SumAgg.agg(df, by=["h"], args=["x"]).collect()}
     assert out == {k0: 3, k1: 30, None: 300}
+
+
+def test_udaf_multi_key_groups_with_nulls(spark):
+    """Two grouping keys, one of them NULL-bearing int64 above 2^53 —
+    the masked-key path must keep composite groups distinct too."""
+    from arrow_udf_spark.functions.corpus import SumAgg
+
+    k = 2**53
+    df = spark.createDataFrame(
+        [("a", k, 1), ("a", k + 1, 10), ("a", None, 100),
+         ("b", k, 1000), ("a", k, 2)],
+        "g string, h long, x long",
+    ).repartition(2)
+    out = {
+        (r["g"], r["h"]): r["sum_udaf"]
+        for r in SumAgg.agg(df, by=["g", "h"], args=["x"]).collect()
+    }
+    assert out == {("a", k): 3, ("a", k + 1): 10, ("a", None): 100, ("b", k): 1000}

