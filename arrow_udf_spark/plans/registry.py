@@ -172,10 +172,13 @@ class Registry:
     # ------------------------------------------------------------------
     # Scale-safe SQL front door for aggregates
     # ------------------------------------------------------------------
+    #: GROUP BY is optional: a GLOBAL aggregate (SELECT agg(x) FROM t) is
+    #: the worst single-phase case — EVERY row moves to one worker — so it
+    #: needs the salted two-phase rewrite most of all
     _GROUPBY_SHAPE = re.compile(
         r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<frm>.*?)"
         r"(?:\s+WHERE\s+(?P<where>.*?))?"
-        r"\s+GROUP\s+BY\s+(?P<grp>.*?)"
+        r"(?:\s+GROUP\s+BY\s+(?P<grp>.*?))?"
         r"(?P<tail>\s+(?:HAVING|ORDER\s+BY|LIMIT)\b.*)?\s*;?\s*$"
     )
     _AGG_ITEM = re.compile(
@@ -240,7 +243,7 @@ class Registry:
         m = self._GROUPBY_SHAPE.match(query)
         if not m:
             return None
-        grp_items = _split_top_level(m.group("grp"))
+        grp_items = _split_top_level(m.group("grp")) if m.group("grp") else []
         if not all(self._PLAIN_COL.match(g) for g in grp_items):
             return None
         sel_items = _split_top_level(m.group("sel"))
@@ -281,9 +284,10 @@ class Registry:
             f"FROM {m.group('frm')}{where}) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )
+        outer_grp = f"GROUP BY {grp}" if grp else ""
         return (
             f"SELECT {', '.join(outer_items)} FROM ({inner}) __aus_partials "
-            f"GROUP BY {grp}{tail}"
+            f"{outer_grp}{tail}"
         )
 
 

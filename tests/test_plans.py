@@ -321,3 +321,33 @@ def test_rolling_window_input_is_daily_aggregate(spark, sf_dir):
     w = plan.index("Window")
     agg = plan.index("HashAggregate")
     assert w < agg, "window must consume the aggregate, not raw events"
+
+
+def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
+    """A GLOBAL aggregate (no GROUP BY) is the single worst single-phase
+    case — every row of the table on one worker — so Registry.sql must
+    rewrite it to the salted partial/merge pair too."""
+    import re
+
+    from arrow_udf_spark.plans.registry import GLOBAL
+    import arrow_udf_spark.functions.corpus  # noqa: F401 (registers fns)
+
+    GLOBAL.register_sql(spark)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "li_glob"
+    )
+    df = GLOBAL.sql(
+        spark,
+        "SELECT CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s "
+        "FROM li_glob",
+    )
+    p = _plan(df)
+    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "__aus_salt" in p
+    assert not re.findall(r"sum_udaf(?!__)", p)
+    expected = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s")
+        .first()["s"]
+    )
+    assert df.first()["s"] == expected
