@@ -259,6 +259,10 @@ class Registry:
             if am is None or fn not in used or fn not in self._agg_sql_names:
                 return None
             sql_name = self._agg_sql_names[fn]
+            # DISTINCT inside the call cannot be split: per-partition
+            # DISTINCT before the merge would miss cross-partition dupes
+            if re.match(r"(?is)^\s*DISTINCT\b", am.group("args") or ""):
+                return None
             i = len(inner_aggs)
             inner_aggs.append(f"{sql_name}__partial({am.group('args')}) AS __st{i}")
             merged = f"{sql_name}__merge(__st{i})"

@@ -236,3 +236,18 @@ def test_two_phase_rewrite_rejects_aggregate_tail(spark):
         "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY SUM(x)",
     ]:
         assert r._rewrite_two_phase(q, used) is None, q
+
+
+def test_two_phase_rewrite_rejects_distinct_args(spark):
+    """agg(DISTINCT x) cannot be split into partials (per-partition
+    DISTINCT misses cross-partition dupes) — must fall back."""
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
+    assert (
+        GLOBAL._rewrite_two_phase(
+            "SELECT g, sum_udaf(DISTINCT x) AS s FROM t GROUP BY g",
+            {"sum_udaf"},
+        )
+        is None
+    )
