@@ -37,6 +37,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "ngram_shingles",
+    "shingles_of",
+    "with_shingles",
     "jaccard",
     "near_dup_pairs_jaccard",
     "embedding_near_dup",
@@ -200,8 +202,21 @@ def with_simhash(
 
 
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (space-joined)."""
+    """Word n-gram shingles as array<string> (space-joined).
+
+    NOTE: this single expression references the tokenization ~n+2 times
+    (size guard, sequence bound, one ``element_at`` per gram position) and
+    Catalyst does no common-subexpression elimination inside a projection —
+    so the document is tokenized ~n+2 times per row.  Hot paths should use
+    :func:`with_shingles`, which stages the token array in its own
+    projection first so tokenization runs exactly once per document."""
     toks = tokens(text)
+    return shingles_of(toks, n)
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an (ideally already-materialized) token
+    array column."""
     # guard: Spark's sequence(1, 0) ramps DOWN ([1, 0]); short docs must
     # yield an empty shingle list instead
     return F.when(
@@ -213,6 +228,21 @@ def ngram_shingles(text: Column | str, n: int = 3) -> Column:
                 " ", *[F.element_at(toks, i + j) for j in range(n)]
             ),
         )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out: str = "shingles", n: int = 3
+) -> DataFrame:
+    """Two-stage distinct-shingle projection (the :func:`with_simhash`
+    pattern): materialize the token array in its own Project, then build
+    the gram array from the column reference.  CollapseProject refuses to
+    duplicate the non-cheap token expression referenced n+2 times, so each
+    document is tokenized once instead of n+2 times."""
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn(out, F.array_distinct(shingles_of(F.col("__toks"), n)))
+        .drop("__toks")
     )
 
 
@@ -232,10 +262,15 @@ def shared_shingle_flags(
     → per-doc distinct shared-span count.  At 100 TB both aggregations
     key on the digest/doc-id; no step materializes cross-doc pairs.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngram_shingles(F.col(text_col), n))).alias("__g"),
-    ).select(id_col, F.md5("__g").alias("__h"))
+    # staged tokens→shingles projection + explode_outer: see decontaminate
+    # for why (CSE-free inlining + InferFiltersFromGenerate pushdown would
+    # otherwise tokenize each doc ~n+4 times).  The null gram an empty doc
+    # emits becomes a null __h, which never equi-matches in the dup join.
+    sh = (
+        with_shingles(df, text_col, out="__grams", n=n)
+        .select(F.col(id_col), F.explode_outer("__grams").alias("__g"))
+        .select(id_col, F.md5("__g").alias("__h"))
+    )
     dup = (
         sh.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -387,14 +422,33 @@ def decontaminate(
     overlap count over *hits*, which are rare).  The corpus is never
     shuffled whole and the pair space is never materialized.
     """
-    grams = F.array_distinct(ngram_shingles(F.col(text_col), n))
+    # STAGE tokens then shingles in their own projections (the
+    # :func:`with_simhash` trick, via :func:`with_shingles`): putting
+    # ``size(grams)`` and ``explode(grams)`` in ONE select inlines the full
+    # tokenize+shingle expression at each site, and ExtractGenerator then
+    # hoists the ``size`` projection ABOVE the Generate — re-shingling the
+    # whole document once per exploded gram row, O(doc_len x shingles) per
+    # doc (measured 71 s vs ~1.5 s at 500 docs).  With the array
+    # materialized first, CollapseProject refuses to duplicate the
+    # non-cheap producer referenced twice, so each doc is shingled once.
+    # explode_outer, not explode: InferFiltersFromGenerate would otherwise
+    # add ``size(grams) > 0 AND isnotnull(grams)`` and push it below the
+    # staging Project by alias substitution — re-inlining the shingle
+    # expression two more times per doc.  Outer explode skips the
+    # inference; the null gram an empty doc produces is dropped by the
+    # inner join on gram (null never equi-matches).
     eval_grams = (
-        eval_docs.select(F.explode(grams).alias("gram")).distinct()
+        with_shingles(eval_docs, text_col, out="__grams", n=n)
+        .select(F.explode("__grams").alias("gram"))
+        .distinct()
     )
-    exploded = docs.select(
+    staged = with_shingles(docs, text_col, out="__grams", n=n).select(
+        F.col(id_col), "__grams"
+    )
+    exploded = staged.select(
         F.col(id_col),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.explode(grams).alias("gram"),
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.explode_outer("__grams").alias("gram"),
     )
     return (
         exploded.join(F.broadcast(eval_grams), "gram")

@@ -894,17 +894,15 @@ def q_simhash(spark, sf):
     """,
 )
 def q_ngram_jaccard(spark, sf):
-    from .operators.dedup import jaccard, ngram_shingles
+    # with_shingles stages tokens → distinct shingles in separate
+    # projections so each doc is tokenized once, not once per element_at
+    # site (the decontaminate lesson, VERDICT r5)
+    from .operators.dedup import jaccard, with_shingles
 
     d = t(spark, sf, "documents")
-    a = d.select(
-        F.col("doc_id").alias("a"),
-        F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("ga"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("b"),
-        F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("gb"),
-    )
+    g = with_shingles(d, "text", out="g", n=3)
+    a = g.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"))
     return (
         a.join(b, F.col("b") == F.col("a") + 1)
         .select("a", "b", F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jac"))

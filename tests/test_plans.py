@@ -189,6 +189,40 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_decontaminate_shingles_once_per_doc(spark, sf_dir):
+    """VERDICT r5 scale-killer regression gate: the tokenize+shingle
+    expression must appear exactly ONCE on the training side — staged in
+    its own projection BELOW the Generate.  The broken shape inlined it in
+    the Project above the Generate (recomputed once per exploded gram row,
+    71 s vs ~1 s at 500 docs) and in InferFiltersFromGenerate's pushed
+    size()/isnotnull() filters (3x per doc)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    train = p.split("BroadcastExchange")[0]
+    assert train.count("split(trim") == 1, train[:2000]
+    gen = train.index("Generate")
+    above = train[:gen]
+    assert "split(trim" not in above and "transform(" not in above, above
+
+
+def test_shared_span_and_jaccard_shingle_once(spark, sf_dir):
+    """Same staging invariant for the other shingle consumers: one
+    tokenization per document side, never per exploded row / per
+    element_at site."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["dup_span_flags"](spark, sf_dir))
+    # one scan side feeds both the digest agg and the dup join; each
+    # appearance of the staged projection tokenizes once
+    for segment in p.split("FileScan")[:-1]:
+        assert segment.count("split(trim") <= 1, segment[:2000]
+
+    p = _plan(QUERIES["ngram_jaccard_pairs"](spark, sf_dir))
+    for segment in p.split("FileScan")[:-1]:
+        assert segment.count("split(trim") <= 1, segment[:2000]
+
+
 def test_lsh_join_is_band_bucketed_equi_join(spark, sf_dir):
     """Cross-corpus LSH must join on (band, bval) equality — never a
     cartesian/nested-loop pair blow-up."""
