@@ -263,13 +263,23 @@ def lsh_bands(
     # would silently null every band key (the vector just vanishes from
     # the bucket join).  raise_error makes the wrong-dim call fail the
     # job instead; the when() keeps the guard inside the used projection
-    # so Catalyst cannot prune it.
-    qi = F.when(F.size(F.col(vec_col)) == dim, qi).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"lsh_bands: vector length != dim={dim} (got "),
-                F.size(F.col(vec_col)).cast("string"),
-                F.lit(")"),
+    # so Catalyst cannot prune it.  A NULL vector must stay a silent
+    # drop-out, not an error: size(NULL) is NULL so the ==dim branch is
+    # not-true and the naive guard would raise (with a NULL message, since
+    # concat with the NULL size is NULL) — gate on isNull first and
+    # coalesce the size rendering so the message always survives.
+    qi = (
+        F.when(F.col(vec_col).isNull(), F.lit(None))
+        .when(F.size(F.col(vec_col)) == dim, qi)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bands: vector length != dim={dim} (got "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("?")
+                    ),
+                    F.lit(")"),
+                )
             )
         )
     )

@@ -306,12 +306,17 @@ def bm25_topk(
 ):
     """BM25 document ranking for a small term set, rational-idf variant.
 
-    idf(t) = (N - df + 0.5) / (df + 0.5) — the ln() of classic BM25 is
-    monotone, so omitting it preserves the ranking while keeping every
-    operation rational arithmetic with a fixed evaluation order: libm
-    ``ln`` is NOT bit-identical across engines (same trade tfidf_topterms
-    makes), and sum(dl)/count(dl) over integers is exact in doubles, so
-    the whole score is cross-engine deterministic.
+    idf(t) = (N - df + 0.5) / (df + 0.5) — classic BM25 takes ln() of
+    this.  ln is monotone, so omitting it is rank-equivalent PER TERM;
+    for a multi-term summed score the weighting between terms differs
+    from textbook BM25 and rankings CAN deviate (a rare term counts
+    relatively more here, since x grows faster than ln x).  The trade is
+    deliberate: libm ``ln`` is NOT bit-identical across engines (same
+    trade tfidf_topterms makes), every operation stays rational
+    arithmetic with a fixed evaluation order, and sum(dl)/count(dl) over
+    integers is exact in doubles — so the score is cross-engine
+    deterministic and oracle-consistent, at the cost of being a
+    documented BM25 *variant* rather than the textbook formula.
 
     Scale: corpus-level stats (avgdl, N) are a 1-row broadcast; per-term
     document frequencies broadcast (|terms| rows); only the docs that

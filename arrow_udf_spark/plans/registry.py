@@ -187,13 +187,26 @@ class Registry:
         r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$"
     )
     _PLAIN_COL = re.compile(r"(?i)^[A-Za-z_][\w.]*$")
-    #: tail clauses that survive the two-phase rewrite: plain ORDER BY
-    #: column/alias lists (ASC/DESC/NULLS FIRST|LAST are \w words) and
-    #: LIMIT — no parentheses means no aggregate calls; HAVING never
-    #: matches and falls back to single-phase
-    _SAFE_TAIL = re.compile(
-        r"(?i)^\s*(ORDER\s+BY\s+[\w\s,.]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$"
-    )
+    #: built-in aggregates the tail rewriter can split two-phase itself:
+    #: partial per (group, salt), then re-aggregate the partials — SUM of
+    #: partial COUNTs/SUMs, MIN of MINs, MAX of MAXes.  AVG has no
+    #: single-fn merge (needs sum+count) and falls back.
+    #: built-in aggregates routed to the natively-aggregated B subquery —
+    #: Spark plans these partial+final itself, so they are scale-safe
+    #: without any salting
+    _BUILTIN_AGGS = {
+        "count", "sum", "min", "max", "avg", "mean", "stddev",
+        "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+        "first", "last", "any_value", "approx_count_distinct",
+    }
+    #: scalar functions the call rewriter may pass through and recurse
+    #: into.  A whitelist, not a blacklist: an unlisted call could be an
+    #: aggregate we don't recognize, which must fall back to single-phase
+    #: rather than silently evaluate over partial states.
+    _SCALAR_PASSTHROUGH = {
+        "cast", "coalesce", "abs", "round", "floor", "ceil", "ceiling",
+        "nullif", "greatest", "least", "if", "ifnull", "nvl", "sign",
+    }
 
     def sql(self, spark: "SparkSession", query: str) -> "DataFrame":
         """Run SQL with bare aggregate names made scale-safe by default.
@@ -240,6 +253,26 @@ class Registry:
         return spark.sql(rewritten)
 
     def _rewrite_two_phase(self, query: str, used: set[str]) -> Optional[str]:
+        """Rewrite to the scale-safe composed form.
+
+        Every aggregate CALL in the select list and the HAVING / ORDER BY
+        tail becomes a column of one of two grouped subqueries:
+
+        - **U**: registered UDAFs as the salted ``__partial``/``__merge``
+          two-phase pair (one ``__u{i}`` column per distinct call);
+        - **B**: built-in aggregates (COUNT/SUM/MIN/MAX/AVG/...) as a
+          plain native aggregation — Spark already plans those
+          partial+final, so B is scale-safe by construction.  B exists
+          because Spark refuses to mix GROUPED_AGG pandas UDFs with
+          native aggregate functions in one Aggregate
+          (INVALID_PANDAS_UDF_PLACEMENT) — they cannot share a subquery.
+
+        The final SELECT joins U and B on the (null-safe ``<=>``) group
+        keys; HAVING becomes a plain WHERE over the joined columns and
+        ORDER BY references them directly, so no analyzer magic is needed
+        to resolve aggregates above the merge.  B's group keys are
+        renamed ``__bg{i}`` so every original name stays unambiguous.
+        """
         m = self._GROUPBY_SHAPE.match(query)
         if not m:
             return None
@@ -247,52 +280,229 @@ class Registry:
         if not all(self._PLAIN_COL.match(g) for g in grp_items):
             return None
         sel_items = _split_top_level(m.group("sel"))
-        inner_aggs: list[str] = []
+        inner_aggs: list[str] = []  # partial exprs inside U's salted agg
+        u_cols: list[str] = []  # merge exprs projected by U as __u{i}
+        b_cols: list[str] = []  # native agg exprs projected by B as __b{i}
+        memo: dict = {}  # lowercased call -> replacement token
         outer_items: list[str] = []
         grp_set = {g.lower() for g in grp_items}
         for item in sel_items:
             if self._PLAIN_COL.match(item) and item.lower() in grp_set:
                 outer_items.append(item)
                 continue
-            am = self._AGG_ITEM.match(item)
-            fn = am.group("fn").lower() if am else None
-            if am is None or fn not in used or fn not in self._agg_sql_names:
-                return None
-            sql_name = self._agg_sql_names[fn]
-            # DISTINCT inside the call cannot be split: per-partition
-            # DISTINCT before the merge would miss cross-partition dupes
-            if re.match(r"(?is)^\s*DISTINCT\b", am.group("args") or ""):
-                return None
-            i = len(inner_aggs)
-            inner_aggs.append(f"{sql_name}__partial({am.group('args')}) AS __st{i}")
-            merged = f"{sql_name}__merge(__st{i})"
-            if am.group("cast"):
-                merged = f"CAST({merged} AS {am.group('cast').strip()})"
-            alias = am.group("alias") or fn
-            outer_items.append(f"{merged} AS {alias}")
-        if not inner_aggs:
-            return None
-        where = f" WHERE {m.group('where')}" if m.group("where") else ""
+            # split a trailing top-level "AS alias" off the expression;
+            # aliasless single calls (incl. the CAST(agg(x) AS T) shape)
+            # default to the function name, matching Registry's old
+            # behavior; any other aliasless expression is unprovable
+            gm = re.match(
+                r"(?is)^(?P<e>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$", item
+            )
+            expr_src = gm.group("e") if gm else item
+            alias = gm.group("alias") if gm else None
+            if alias is None:
+                am = self._AGG_ITEM.match(item)
+                if am is None:
+                    return None
+                alias = am.group("fn").lower()
+            rewritten = self._rewrite_agg_calls(
+                expr_src, used, inner_aggs, u_cols, b_cols, memo
+            )
+            if rewritten is None or rewritten == expr_src:
+                return None  # no aggregate found / unprovable shape
+            outer_items.append(f"{rewritten} AS {alias}")
+        having_sql = order_sql = limit_sql = ""
         tail = m.group("tail") or ""
-        # The tail is appended to the OUTER merge query: any aggregate in
-        # it (HAVING COUNT(*) > 5, ORDER BY SUM(x)) would evaluate over
-        # partial states — groups × partitions — not input rows.  Only a
-        # plain ORDER BY on column names / aliases and LIMIT are
-        # semantics-preserving; anything else falls back to single-phase.
-        if tail and not self._SAFE_TAIL.match(tail):
-            return None
+        if tail:
+            parts = self._split_tail(tail)
+            if parts is None:
+                return None
+            hav, order, limit = parts
+            if hav is not None:
+                if not grp_items:
+                    return None  # HAVING without GROUP BY — let Spark error
+                hav_rw = self._rewrite_agg_calls(
+                    hav, used, inner_aggs, u_cols, b_cols, memo
+                )
+                if hav_rw is None:
+                    return None
+                having_sql = f" WHERE {hav_rw}"
+            if order is not None:
+                items = []
+                for it in _split_top_level(order):
+                    sm = re.match(
+                        r"(?is)^(?P<e>.*?)(?P<suffix>\s+(?:ASC|DESC)"
+                        r"(?:\s+NULLS\s+(?:FIRST|LAST))?|"
+                        r"\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+                        it,
+                    )
+                    expr, suffix = sm.group("e"), sm.group("suffix") or ""
+                    if not self._PLAIN_COL.match(expr):
+                        expr = self._rewrite_agg_calls(
+                            expr, used, inner_aggs, u_cols, b_cols, memo
+                        )
+                        if expr is None:
+                            return None
+                    items.append(expr + suffix)
+                order_sql = f" ORDER BY {', '.join(items)}"
+            if limit is not None:
+                limit_sql = f" LIMIT {limit}"
+        if not u_cols:
+            return None  # no registered-UDAF call — nothing to protect
         grp = ", ".join(grp_items)
+        where = f" WHERE {m.group('where')}" if m.group("where") else ""
+        src = f"(SELECT * FROM {m.group('frm')}{where})"
         inner = (
             f"SELECT {grp}{', ' if grp else ''}{', '.join(inner_aggs)} "
             f"FROM (SELECT *, spark_partition_id() AS __aus_salt "
-            f"FROM {m.group('frm')}{where}) __aus_salted "
+            f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )
-        outer_grp = f"GROUP BY {grp}" if grp else ""
-        return (
-            f"SELECT {', '.join(outer_items)} FROM ({inner}) __aus_partials "
-            f"{outer_grp}{tail}"
+        u = (
+            f"SELECT {grp}{', ' if grp else ''}{', '.join(u_cols)} "
+            f"FROM ({inner}) __aus_partials"
+            + (f" GROUP BY {grp}" if grp else "")
         )
+        from_sql = f"({u}) __aus_u"
+        if b_cols:
+            bg = [f"{g} AS __bg{i}" for i, g in enumerate(grp_items)]
+            b = (
+                f"SELECT {', '.join(bg + b_cols) if bg else ', '.join(b_cols)} "
+                f"FROM {src} __aus_bsrc"
+                + (f" GROUP BY {grp}" if grp else "")
+            )
+            if grp_items:
+                conds = " AND ".join(
+                    f"__aus_u.{g} <=> __aus_b.__bg{i}"
+                    for i, g in enumerate(grp_items)
+                )
+                from_sql += f" JOIN ({b}) __aus_b ON {conds}"
+            else:
+                from_sql += f" CROSS JOIN ({b}) __aus_b"  # both single-row
+        return (
+            f"SELECT {', '.join(outer_items)} FROM {from_sql}"
+            f"{having_sql}{order_sql}{limit_sql}"
+        )
+
+    @staticmethod
+    def _split_tail(tail: str) -> Optional[tuple]:
+        """Split ``HAVING ... ORDER BY ... LIMIT n`` into its clauses at
+        paren depth 0.  Returns (having, order_by, limit) — each None when
+        absent — or None when the tail has another shape."""
+        marks = []  # (pos, kind, match_end)
+        depth = 0
+        for i, ch in enumerate(tail):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(
+                    r"(?i)\b(HAVING|ORDER\s+BY|LIMIT)\b", tail[i:]
+                )
+                if m and (i == 0 or not tail[i - 1].isalnum()):
+                    kind = re.sub(r"\s+", " ", m.group(1).upper())
+                    marks.append((i, kind, i + m.end()))
+        if not marks or tail[: marks[0][0]].strip():
+            return None
+        seen_order = [k for _, k, _ in marks]
+        if seen_order != sorted(
+            seen_order, key=["HAVING", "ORDER BY", "LIMIT"].index
+        ) or len(set(seen_order)) != len(seen_order):
+            return None
+        out = {"HAVING": None, "ORDER BY": None, "LIMIT": None}
+        for j, (pos, kind, body_start) in enumerate(marks):
+            end = marks[j + 1][0] if j + 1 < len(marks) else len(tail)
+            out[kind] = tail[body_start:end].strip().rstrip(";").strip()
+        if out["LIMIT"] is not None and not re.match(r"^\d+$", out["LIMIT"]):
+            return None
+        return out["HAVING"], out["ORDER BY"], out["LIMIT"]
+
+    def _rewrite_agg_calls(
+        self,
+        expr: str,
+        used: set,
+        inner_aggs: list,
+        u_cols: list,
+        b_cols: list,
+        memo: dict,
+    ) -> Optional[str]:
+        """Replace every aggregate CALL in ``expr`` with a column token:
+        registered UDAFs become ``__u{i}`` (their __partial goes to
+        ``inner_aggs``, the __merge projection to ``u_cols``), built-in
+        aggregates become ``__b{i}`` (the raw call goes to ``b_cols`` for
+        the natively-aggregated B subquery).  ``memo`` dedupes identical
+        calls onto one column (SELECT sum_udaf(q) ... HAVING sum_udaf(q)
+        > 5 folds the partial once, not twice).  Whitelisted scalar
+        functions are recursed into; anything unprovable returns None
+        (→ single-phase fallback)."""
+        if "'" in expr or '"' in expr:
+            return None  # string literals could hide unbalanced parens
+        out = []
+        i = 0
+        n = len(expr)
+        while i < n:
+            m = re.match(r"[A-Za-z_]\w*", expr[i:])
+            if not m:
+                out.append(expr[i])
+                i += 1
+                continue
+            name = m.group(0)
+            j = i + len(name)
+            k = j
+            while k < n and expr[k].isspace():
+                k += 1
+            if k >= n or expr[k] != "(":
+                out.append(expr[i:j])
+                i = j
+                continue
+            depth = 0
+            e = k
+            while e < n:
+                if expr[e] == "(":
+                    depth += 1
+                elif expr[e] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                e += 1
+            if e >= n:
+                return None
+            args = expr[k + 1 : e]
+            ln = name.lower()
+            key = (ln, re.sub(r"\s+", " ", args.strip().lower()))
+            if ln in used and ln in self._agg_sql_names:
+                # DISTINCT inside a UDAF call cannot be split: per-
+                # partition DISTINCT before the merge misses cross-
+                # partition dupes.  (B-side built-ins run unsplit, so
+                # COUNT(DISTINCT x) there is fine.)
+                if re.match(r"(?is)^\s*DISTINCT\b", args):
+                    return None
+                if key not in memo:
+                    sql_name = self._agg_sql_names[ln]
+                    idx = len(u_cols)
+                    inner_aggs.append(
+                        f"{sql_name}__partial({args}) AS __st{idx}"
+                    )
+                    u_cols.append(f"{sql_name}__merge(__st{idx}) AS __u{idx}")
+                    memo[key] = f"__u{idx}"
+                out.append(memo[key])
+            elif ln in self._BUILTIN_AGGS:
+                if key not in memo:
+                    idx = len(b_cols)
+                    b_cols.append(f"{name}({args}) AS __b{idx}")
+                    memo[key] = f"__b{idx}"
+                out.append(memo[key])
+            elif ln in self._SCALAR_PASSTHROUGH:
+                sub = self._rewrite_agg_calls(
+                    args, used, inner_aggs, u_cols, b_cols, memo
+                )
+                if sub is None:
+                    return None
+                out.append(f"{name}({sub})")
+            else:
+                return None  # unknown call — could be an aggregate
+            i = e + 1
+        return "".join(out)
 
 
 #: the default global registry (analogue of the reference's linkme slice,

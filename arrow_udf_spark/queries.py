@@ -567,6 +567,46 @@ def q_sql_agg_bare_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_having_two_phase",
+    """
+    SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT l_orderkey % 16 AS g, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem)
+    GROUP BY g
+    HAVING SUM(q) * 2 > 51 * COUNT(*)
+    ORDER BY sum_qty DESC, g LIMIT 10
+    """,
+)
+def q_sql_agg_having_two_phase(spark, sf):
+    """HAVING + aggregate-ORDER-BY through the scale-safe SQL front door
+    (closes the r5 'silent single-phase fallback for tails' gap): the
+    registry rewrites the UDAF calls in the tail to __partial/__merge
+    columns of the salted U subquery, routes COUNT(*) to a natively
+    two-phase B subquery (Spark refuses pandas + native aggregates in one
+    Aggregate), joins them null-safely on the group key, and turns HAVING
+    into a plain WHERE over the join.  The integer-only HAVING predicate
+    (avg quantity > 25.5 spelled as sum*2 > 51*count) is exact in both
+    engines at any SF.  Plan shape asserted in tests/test_plans.py."""
+    from .plans.registry import GLOBAL
+
+    li = t(spark, sf, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(16)).cast("long").alias("g"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    li.createOrReplaceTempView("li_having_sql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT g, CAST(sum_udaf(q) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_having_sql GROUP BY g
+        HAVING sum_udaf(q) * 2 > 51 * COUNT(*)
+        ORDER BY sum_udaf(q) DESC, g LIMIT 10
+        """,
+    )
+
+
+@query(
     "retract_udaf",
     """
     SELECT l_returnflag,
@@ -1015,14 +1055,12 @@ def q_ivf_topk(spark, sf):
     return ivf_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
-@query(
-    "lsh_topk",
-    # Random-hyperplane LSH ANN, recomputed exactly: plane coefficients are
-    # md5-derived ints, embeddings quantize to floor(x*1000) ints, so every
-    # projection sign is exact integer arithmetic on both engines.  16
-    # planes / 4 bands of 4 bits; candidates = bucket-join hits; exact
-    # cosine re-rank over candidates only.
-    """
+# Random-hyperplane LSH ANN, recomputed exactly: plane coefficients are
+# md5-derived ints, embeddings quantize to floor(x*1000) ints, so every
+# projection sign is exact integer arithmetic on both engines.  16
+# planes / 4 bands of 4 bits; candidates = bucket-join hits; exact
+# cosine re-rank over candidates only.
+_LSH_TOPK_ORACLE = """
     WITH planes AS (
       SELECT p, list(c ORDER BY d) AS pl
       FROM (
@@ -1064,13 +1102,56 @@ def q_ivf_topk(spark, sf):
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) rn
           FROM scored)
     WHERE rn <= 5
-    """,
-)
+    """
+
+
+@query("lsh_topk", _LSH_TOPK_ORACLE)
 def q_lsh_topk(spark, sf):
     from .operators.similarity import lsh_topk
 
     e = t(spark, sf, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "lsh_recall_at_k",
+    f"""
+    SELECT e.q_id,
+           CAST(count(a.n_id) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS k
+    FROM ({_TOPK_ORACLE}) e
+    LEFT JOIN ({_LSH_TOPK_ORACLE}) a
+      ON a.q_id = e.q_id AND a.n_id = e.n_id
+    GROUP BY e.q_id
+    """,
+)
+def q_lsh_recall_at_k(spark, sf):
+    """The number an ANN user actually tunes band_bits against: per-query
+    recall@5 of the LSH path vs the exact brute-force answer.  Both sides
+    are deterministic (md5-derived planes, exact integer projections), so
+    the recall itself is engine-exact — the oracle recomputes both rankings
+    and must land on identical (hits, k) rows.  A floor (recall ≥ 0.5 at
+    the test scales) is asserted in tests/test_similarity_recall.py."""
+    from .operators.similarity import brute_force_topk, lsh_topk
+
+    e = t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=5).select("q_id", "n_id")
+    approx = lsh_topk(e, q, k=5).select(
+        F.col("q_id").alias("aq"), F.col("n_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("aq")) & (F.col("n_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("an").cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
 
 
 def _lang_oracle() -> str:
@@ -4490,12 +4571,19 @@ def q_embedding_mean_pool(spark, sf):
     )
 
 
+# order by the SQUARED distance (sequential sum of exact IEEE squares),
+# the same quantity Spark's argmin fold compares: ordering by
+# list_distance (its sqrt) can round two distinct squared distances to
+# equal doubles and then tie-break on cid where Spark picks the strictly
+# smaller square — a latent cross-engine divergence (ADVICE r5)
 _KMEANS_ASSIGN_CTE = """
     SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
                row_number() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY list_distance(v.e, c.c) ASC, c.cid ASC) AS rn
+                   ORDER BY list_sum(list_transform(range(1, len(v.e) + 1),
+                                i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))
+                            ASC, c.cid ASC) AS rn
         FROM v CROSS JOIN {cents} AS c) WHERE rn = 1
 """
 

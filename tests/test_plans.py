@@ -357,6 +357,25 @@ def test_rolling_window_input_is_daily_aggregate(spark, sf_dir):
     assert w < agg, "window must consume the aggregate, not raw events"
 
 
+def test_having_sql_agg_rewritten_two_phase(spark, sf_dir):
+    """HAVING / aggregate-ORDER-BY tails must go through the same salted
+    two-phase rewrite (r5 gap: they silently fell back to single-phase
+    GROUPED_AGG).  The UDAF calls in the tail resolve to merge columns of
+    the U subquery; COUNT(*) runs natively in B; no bare single-phase
+    aggregate appears anywhere in the plan."""
+    import re
+
+    from arrow_udf_spark.queries import QUERIES
+
+    df = QUERIES["sql_agg_having_two_phase"](spark, sf_dir)
+    p = _plan(df)
+    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "__aus_salt" in p
+    assert not re.findall(r"sum_udaf(?!__)", p)
+    # COUNT(*) must be Spark-native partial+final, never a pandas agg
+    assert "partial_count" in p
+
+
 def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
     """A GLOBAL aggregate (no GROUP BY) is the single worst single-phase
     case — every row of the table on one worker — so Registry.sql must
