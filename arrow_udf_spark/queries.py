@@ -4933,40 +4933,109 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-5 ordering.  The driver gates the first ~50 entries; priority:
-    #   1. new-in-r5 / re-shaped queries (no driver row in this form):
-    #      the scale-safe bare-SQL aggregate, >38-digit decimals, and the
-    #      multi-batch streaming retract;
-    #   2. the STALENESS COHORT (VERDICT r4 top item): the 44 queries
-    #      whose most recent driver row predates the round-4 eval-core
-    #      changes — latest gate r1 first, then r2;
-    #   3. queries whose implementation changed in r5 (mapInArrow
-    #      aggregate bridge with masked-Int64 nulls, decimal scale
-    #      refusal, memcap pickling / struct normalization).
-    # After this round every query's latest driver row is <= 2 rounds old.
+    # Round-6 ordering.  The driver gates the first ~50 entries; priority
+    # (VERDICT r5 ask #1 — rotate the window onto the stale cohort):
+    #   1. new-in-r6 / re-shaped queries (no driver row in this form):
+    #      the HAVING/ORDER-BY two-phase SQL rewrite, the ANN recall
+    #      gate, and the re-staged shingle queries (decontaminate /
+    #      ngram_jaccard_pairs / dup_span_flags plan rebuilt) plus the
+    #      queries whose oracle or guard changed (kmeans squared-distance
+    #      oracle, lsh dim guard);
+    #   2. the 19 r3-stale queries with NO fresh proof of any kind;
+    #   3. the 14 r3-stale queries whose only exemption was the r4-judge
+    #      /proxy allowlist (aging out);
+    #   4. remaining slots: the 22 r3-stale queries the r5 judge
+    #      re-verified, stalest-value first.
+    # Queries the 50-slot window cannot fit get fresh evidence from the
+    # LOCAL_VERIFY_r{N}.json replica artifact (tools/oracle_check.py
+    # --record), which the staleness test accepts in place of a driver
+    # row — the window rotates, the replica covers the rest.
     # ------------------------------------------------------------------
-    # -- 1. new / re-shaped in r5 --
+    # -- 1. new / re-shaped in r6 (8) --
+    "sql_agg_having_two_phase",  # new r6: HAVING + agg ORDER BY two-phase
+    "lsh_recall_at_k",  # new r6: ANN recall vs exact top-k
+    "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
+    "ngram_jaccard_pairs",  # re-staged shingle projection
+    "dup_span_flags",  # re-staged + explode_outer
+    "kmeans_train_assign",  # oracle now orders by squared distance
+    "ivf_trained_topk",  # consumes the re-oracled kmeans trajectory
+    "lsh_topk",  # NULL-tolerant dim guard
+    # -- 2. r3-stale, no fresh proof (19) --
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "embedding_near_dup",
+    "hash_sample",
+    "split_assign",
+    "corpus_mixture",
+    "pack_sequences",
+    "negative_pairs",
+    "normalize_text",
+    "source_quota",
+    "token_count_bpe",
+    "chunk_documents",
+    "repetition_ratio",
+    "vocab_topk",
+    # -- 3. r3-stale, exemption aging out (14) --
+    "lang_id",
+    "sample_frames",
+    "identity_roundtrip",
+    "jsonb_access_fn",
+    "quality_score",
+    "token_count",
+    "cube_agg",
+    "grouping_sets",
+    "window_functions",
+    "global_topk",
+    "tpch_q19",
+    "window_topk_orders",
+    "join_with_udf",
+    "set_ops",
+    # -- 4. r3-stale, judge-r5-reverified — fill to ~50 (9 of 21) --
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "sum_udaf",
+    "retract_udaf",
+    "streaming_dedup_digests",
+    "pipeline_e2e",
+    "wav_roundtrip",
+    "error_text_corpus",
+    # -- remainder: r3-stale judge-reverified overflow first (replica
+    #    artifact covers them), then the r4/r5-fresh catalog --
+    "sum_udaf_two_phase_sql",
+    "dup_clusters",
+    "temporal_roundtrip",
+    "kmv_distinct",
+    "quantize_int8",
+    "rollup_agg",
+    "lsh_join_new_vs_ref",
+    "unigram_surprisal",
+    "redact_pii",
+    "upsert_latest",
+    "tpch_q17",
+    "tpch_q18",
+    "tfidf_topterms",
     "sql_agg_bare_two_phase",
     "decimal_wide_add",
-    "streaming_retract_sliding",  # multi-batch replay shape is new
-    "lsh_topk",  # new r5: random-hyperplane LSH ANN
-    "streaming_interval_join",  # new r5: stream-stream time-range join
-    "streaming_session_window",  # new r5: event-time session windows
-    "image_resize",  # new r5: real PPM nearest-neighbour resize
-    "dup_span_flags",  # new r5: exact shared-shingle span dedup
-    "streaming_running_udaf",  # new r5: multi-batch running UDAF gate
-    "kmeans_train_assign",  # new r5: iterative Lloyd IVF-cell training
-    "inverted_index",  # new r5: posting lists with stop-token guard
-    "funnel_conversion",  # new r5: ordered event funnel
-    "bm25_topk",  # new r5: BM25 retrieval, rational idf
-    "retention_cohorts",  # new r5: daily cohort retention
-    "dedup_keep_best",  # new r5: canonical-doc dedup policy
-    "rolling_7d_sum",  # new r5: exact fixed-point rolling window
-    "kmv_source_similarity",  # new r5: sketch-based corpus overlap
-    "anomaly_zscore",  # new r5: exact-moment anomaly scoring
-    "quality_percentile",  # new r5: per-source quality calibration
-    "ivf_trained_topk",  # new r5: kmeans-trained IVF build+search
-    # -- 2a. staleness cohort: latest driver row r1 (39) --
+    "streaming_retract_sliding",
+    "streaming_interval_join",
+    "streaming_session_window",
+    "image_resize",
+    "streaming_running_udaf",
+    "inverted_index",
+    "funnel_conversion",
+    "bm25_topk",
+    "retention_cohorts",
+    "dedup_keep_best",
+    "rolling_7d_sum",
+    "kmv_source_similarity",
+    "anomaly_zscore",
+    "quality_percentile",
     "gcd",
     "neg",
     "option_add",
@@ -4992,39 +5061,13 @@ _GATE_PRIORITY = [
     "weighted_avg_udaf",
     "dedup_exact",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "cosine_topk_numpy",
     "ivf_topk",
     "image_meta",
-    "sample_frames",
-    "lang_id",
-    "join_with_udf",
-    "set_ops",
-    "window_topk_orders",
-    # -- 2b. staleness cohort: latest driver row r2 (5) --
-    "cube_agg",
-    "grouping_sets",
-    "window_functions",
-    "global_topk",
-    "tpch_q19",
-    # -- 2c. stale but independently re-proven, overflowed by the 17 new
-    #       r5 queries (judge local replica r4: identity_roundtrip,
-    #       jsonb_access_fn; r5 in-window proxies: quality_score's full
-    #       expression is a sub-plan of dedup_keep_best, token_count's
-    #       tokenize+count of bm25_topk's dl) --
-    "identity_roundtrip",
-    "jsonb_access_fn",
-    "quality_score",
-    "token_count",
-    # -- 3. implementation changed in r5 --
     "kmv_udaf",
-    "sum_udaf",
     "decimal_add_fn",
-    # -- remainder (gated r3/r4 green; driver covers as budget allows) --
     "count_udaf",
-    "sum_udaf_two_phase_sql",
-    "retract_udaf",
     "timeout_error_corpus",
     "float_to_decimal_fn",
     "struct_to_json_fn",
@@ -5043,7 +5086,6 @@ _GATE_PRIORITY = [
     "simhash",
     "fingerprint",
     "series_udtf",
-    "vocab_topk",
     "asof_join",
     "sessionize",
     "range_join_count",
@@ -5051,12 +5093,6 @@ _GATE_PRIORITY = [
     "remote_gcd",
     "remote_series_udtf",
     "streaming_window_agg",
-    "streaming_dedup_digests",
-    "dup_clusters",
-    "pipeline_e2e",
-    "wav_roundtrip",
-    "tpch_q5",
-    "tpch_q1",
     "pivot_agg",
     "semi_anti_join",
     "set_ops_full",
@@ -5077,38 +5113,6 @@ _GATE_PRIORITY = [
     "decimal_native_math",
     "uint64_widening",
     "audio_chunks",
-    "error_text_corpus",
-    "temporal_roundtrip",
-    "kmv_distinct",
-    "quantize_int8",
-    "rollup_agg",
-    "embedding_near_dup",
-    "hash_sample",
-    "split_assign",
-    "corpus_mixture",
-    "pack_sequences",
-    "negative_pairs",
-    "decontaminate",
-    "normalize_text",
-    "source_quota",
-    "lsh_join_new_vs_ref",
-    "token_count_bpe",
-    "unigram_surprisal",
-    "chunk_documents",
-    "repetition_ratio",
-    "redact_pii",
-    "tfidf_topterms",
-    "upsert_latest",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
 ]
 
 

@@ -64,9 +64,22 @@ BENCH_QUERIES = [
     # compare per-query, the shared-cohort total, not the raw total):
     "kmeans_train_assign",      # iterative Lloyd: codegen assign + k*dim agg
     "funnel_conversion",        # stacked conditional-min windows, 1 exchange
+    # new in r6 (VERDICT r5 ask #3): the heavy text/dedup/ANN queries the
+    # static 26-query set let rot — decontaminate sat green-but-70x-
+    # pathological for three rounds because only correctness was observed.
+    # Compare the shared cohort, not the raw total.
+    "decontaminate",            # staged-shingle broadcast anti-leak join
+    "dup_span_flags",           # exact shared-span digest dedup
+    "lsh_topk",                 # random-hyperplane LSH ANN
+    "inverted_index",           # posting lists + stop-token guard
+    "bm25_topk",                # BM25 retrieval over the inverted stats
+    "ivf_trained_topk",         # kmeans-trained IVF build + search
 ]
 
-#: timing repetitions per query (best-of); see loop comment
+#: timing repetitions per query (best-of).  PINNED at 3 as the permanent
+#: protocol (VERDICT r5 ask #7): r4's best-of-2 flattered sub-second
+#: queries by ±0.2 s and polluted the round-over-round regression signal;
+#: r6+ numbers compare against r5's best-of-3 chain, never r4's.
 REPS = 3
 
 
@@ -140,10 +153,16 @@ def main() -> None:
                 "baseline_note": (
                     "BENCH_r01 used count()-materialization, which pruned the "
                     "operator under test for projection-shaped queries; r2+ "
-                    "use noop writes (full evaluation). Compare vs r3=18.0s, "
-                    "not r1. r5 adds kmeans_train_assign + funnel_conversion "
-                    "to the bench set: compare the shared-query cohort, not "
-                    "the raw total. See bench.py docstring."
+                    "use noop writes (full evaluation). COMPARABILITY BREAKS: "
+                    "(a) r5 changed the warm-up from one lineitem count() to "
+                    "noop-writing every parquet table (page cache + JIT warm, "
+                    "self-measured ~15% faster totals) — r5+ totals are not "
+                    "directly comparable to r3/r4; compare r6 vs r5's "
+                    "best-of-3 shared cohort. (b) r5 added "
+                    "kmeans_train_assign + funnel_conversion; r6 adds "
+                    "decontaminate, dup_span_flags, lsh_topk, inverted_index, "
+                    "bm25_topk, ivf_trained_topk — always compare the "
+                    "shared-query cohort, not the raw total. See docstring."
                 ),
             }
         )

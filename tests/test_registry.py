@@ -215,27 +215,59 @@ def test_udaf_overloads_all_get_two_phase_pair(spark):
     assert got[0].s == 45.0
 
 
-def test_two_phase_rewrite_rejects_aggregate_tail(spark):
-    """HAVING / aggregate ORDER BY must NOT ride the two-phase rewrite —
-    on the outer merge query COUNT(*) would count partial states, not
-    rows.  Such queries fall back to single-phase (with the warning)."""
-    import warnings
-
+def test_two_phase_rewrite_handles_aggregate_tail(spark):
+    """HAVING / aggregate ORDER BY tails ride the two-phase rewrite (r6,
+    closing the r5 silent-fallback gap): UDAF calls become __u columns of
+    the salted U subquery; built-in aggregates must NEVER evaluate over
+    partial states — they run natively in the B subquery, joined
+    null-safely on the group keys, and HAVING becomes a WHERE over the
+    join."""
     from arrow_udf_spark.plans.registry import GLOBAL
 
     r = GLOBAL
+    r._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
     used = {"sum_udaf"}
     ok = r._rewrite_two_phase(
         "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY s DESC LIMIT 5",
         used,
     )
-    assert ok is not None and "HAVING" not in ok
-    for q in [
+    assert ok is not None and ok.rstrip().endswith("ORDER BY s DESC LIMIT 5")
+    # built-in agg in HAVING -> B subquery + WHERE over the join; the
+    # COUNT must aggregate source rows (B), never partial states (U)
+    ok = r._rewrite_two_phase(
         "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING COUNT(*) > 5",
-        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING g > 5",
-        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY SUM(x)",
-    ]:
-        assert r._rewrite_two_phase(q, used) is None, q
+        used,
+    )
+    assert ok is not None
+    assert "COUNT(*) AS __b0" in ok and "WHERE __b0 > 5" in ok
+    assert "__aus_u.g <=> __aus_b.__bg0" in ok  # null-safe group join
+    assert "COUNT(__st" not in ok  # never counts partial states
+    # plain grouped-column HAVING stays a WHERE on U alone (no B join)
+    ok = r._rewrite_two_phase(
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING g > 5", used
+    )
+    assert ok is not None and "WHERE g > 5" in ok and "JOIN" not in ok
+    # aggregate ORDER BY rides the same path
+    ok = r._rewrite_two_phase(
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g ORDER BY SUM(x)", used
+    )
+    assert ok is not None and "ORDER BY __b0" in ok
+    # UDAF calls in the tail memoize onto the SELECT's partial state
+    ok = r._rewrite_two_phase(
+        "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING sum_udaf(x) > 5",
+        used,
+    )
+    assert ok is not None and ok.count("sum_udaf__partial(x)") == 1
+    assert "WHERE __u0 > 5" in ok
+    # unknown (potentially aggregate) calls in the tail must fall back
+    assert (
+        r._rewrite_two_phase(
+            "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g "
+            "HAVING percentile_approx(x, 0.5) > 1",
+            used,
+        )
+        is None
+    )
 
 
 def test_two_phase_rewrite_rejects_distinct_args(spark):

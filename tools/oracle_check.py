@@ -9,6 +9,14 @@ portable rounding), decimals exactly.  A query that only passes under lossy
 normalization would fail the driver's hash gate.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+        python tools/oracle_check.py --record LOCAL_VERIFY_r06.json [sf_dir]
+
+``--record PATH`` writes a JSON artifact {query: {"pass": bool, "rows": N,
+"mode": "oracle"|"rows-only", "err": ...}, "__meta__": {...}} — the
+checked-in evidence the staleness invariant (tests/test_gate_window.py)
+accepts for queries outside the driver's ~50-slot gate window.  The
+driver gate stays the stronger signal; this replica freshens everything
+the window can't fit each round.
 """
 
 from __future__ import annotations
@@ -91,8 +99,13 @@ def compare(name: str, spark_df, con, sql: str) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    record_path = None
+    if args and args[0] == "--record":
+        record_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -120,6 +133,8 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failed = []
     ran = 0
+    record: dict = {}
+    import json
     import time
 
     for name, fn in qs.items():
@@ -132,9 +147,17 @@ def main() -> int:
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 print(f"  {name:28s} ROWS-ONLY ({n} rows) [{dt:.2f}s]")
+                record[name] = {
+                    "pass": True, "rows": n, "mode": "rows-only",
+                    "secs": round(dt, 2),
+                }
             except Exception as e:
                 print(f"  {name:28s} ERROR {e}")
                 failed.append(name)
+                record[name] = {
+                    "pass": False, "mode": "rows-only",
+                    "err": f"{type(e).__name__}: {str(e)[:200]}",
+                }
             continue
         try:
             ok, msg = compare(name, fn(spark, sf_dir), con, oracles[name])
@@ -142,9 +165,24 @@ def main() -> int:
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"
         dt = time.perf_counter() - t0
         print(f"  {name:28s} {'PASS' if ok else 'FAIL'} {msg} [{dt:.2f}s]")
+        record[name] = {"pass": ok, "mode": "oracle", "secs": round(dt, 2)}
         if not ok:
+            record[name]["err"] = msg[:200]
             failed.append(name)
     print(f"\n{ran - len(failed)}/{ran} pass ({len(qs)} in catalog)")
+    if record_path:
+        record["__meta__"] = {
+            "sf_dir": sf_dir,
+            "master": master,
+            "shuffle_partitions": shuf or spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "ran": ran,
+            "failed": sorted(failed),
+        }
+        with open(record_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"recorded {ran} results -> {record_path}")
     spark.stop()
     return 1 if failed else 0
 
