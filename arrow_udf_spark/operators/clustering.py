@@ -29,12 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _sq_dist(vec_col, centroid: list):
-    """Squared L2 distance between an array<double> column and a centroid
-    literal — sequential left-fold, matching DuckDB's ``list_distance``
-    ordering (sqrt is monotonic: omitted, argmin unchanged)."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    diffs = F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b))
+def _sq_dist(vec_col, cent_col):
+    """Squared L2 distance between two array<double> columns — sequential
+    left-fold over the per-dimension squared diffs, the same quantity and
+    op order the DuckDB oracle folds (argmin is sqrt-free on both sides)."""
+    diffs = F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -42,15 +41,28 @@ def _assign(v: DataFrame, cents: list) -> DataFrame:
     """(vec_id, cid): nearest centroid per vector, ties to the lower cid.
 
     ``array_min`` over (distance, cid) structs compares lexicographically —
-    one codegen'd expression per row, no join, no shuffle."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("e"), c).alias("d"),
-                F.lit(int(cid)).alias("cid"),
+    one expression per row, no join, no shuffle.  The centroid matrix
+    enters the plan as ONE parsed SQL literal and the per-centroid
+    distances as a higher-order transform over it: the unrolled form
+    (k structs x dim F.lit coefficients, rebuilt every Lloyd round) cost
+    ~1500 py4j round-trips per round in driver-side plan construction
+    (the lsh_bands lesson).  Float literals render via repr() — shortest
+    round-trip — and CAST(... AS DOUBLE) parses back to the identical
+    double, so the trajectory is unchanged bit-for-bit."""
+    cents_sql = "array({})".format(
+        ",".join(
+            "named_struct('cid', {}, 'c', array({}))".format(
+                int(cid),
+                ",".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in vec),
             )
-            for cid, c in cents
-        ]
+            for cid, vec in cents
+        )
+    )
+    pairs = F.transform(
+        F.expr(cents_sql),
+        lambda s: F.struct(
+            _sq_dist(F.col("e"), s["c"]).alias("d"), s["cid"].alias("cid")
+        ),
     )
     return v.select("vec_id", "e", F.array_min(pairs)["cid"].alias("cid"))
 

@@ -72,14 +72,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text: Column | str, k: int = 8) -> Column:
+def minhash_signature(
+    text: Column | str, k: int = 8, toks: Column | None = None
+) -> Column:
     """k-permutation MinHash over word unigrams, as an array<string> of the
     lexicographic-min ``md5(j || ':' || token)`` per permutation j.
 
     Using md5 as the permutation family keeps the signature reproducible in
     any engine; min over hex strings ≡ min over 128-bit ints.
-    """
-    toks = tokens(text)
+
+    Pass a pre-staged ``toks`` column on hot paths: the signature
+    references the tokenization once per permutation (k sites) and
+    Catalyst does no CSE inside a projection — the decontaminate lesson
+    (see :func:`with_shingles`)."""
+    if toks is None:
+        toks = tokens(text)
 
     def perm(j: int):
         # NB: must be a ONE-arg lambda — Spark passes (element, index) to
@@ -94,10 +101,15 @@ def _banded(
     df: DataFrame, id_col: str, text_col: str, k: int, band_size: int
 ) -> DataFrame:
     """Explode each doc's minhash signature into (id, band, bval) rows —
-    the shared first stage of within-corpus and cross-corpus LSH."""
+    the shared first stage of within-corpus and cross-corpus LSH.
+
+    Tokens are staged in their own projection so the k-permutation
+    signature hashes each token k times but tokenizes the document only
+    once (not k times — no CSE inside a projection)."""
     n_bands = k // band_size
-    sig = minhash_signature(F.col(text_col), k)
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    staged = df.withColumn("__mh_toks", tokens(F.col(text_col)))
+    sig = minhash_signature(F.col(text_col), k, toks=F.col("__mh_toks"))
+    return staged.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
         "id",
         F.explode(
             F.array(

@@ -61,12 +61,9 @@ def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
 
 
-def lang_id(text: Column | str) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hit counts,
-    ties broken by the fixed language order of STOPWORDS."""
-    toks = tokens(text)
-    scores = [(lang, _hits(toks, ws)) for lang, ws in STOPWORDS.items()]
-    # build CASE chain: first language whose score equals the max wins
+def _lang_case(scores: list[tuple[str, Column]]) -> Column:
+    """Argmax CASE chain over (language, score) pairs, ties broken by the
+    fixed language order; all-zero scores yield 'und'."""
     mx = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
     for lang, s in reversed(scores):
@@ -74,12 +71,47 @@ def lang_id(text: Column | str) -> Column:
     return F.when(mx <= 0, F.lit("und")).otherwise(expr)
 
 
-def quality_score(text: Column | str, n_chars: Column | str) -> Column:
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by the fixed language order of STOPWORDS.
+
+    NOTE: as a single expression this inlines the tokenization at every
+    score reference (~2 x languages sites — Catalyst does no CSE inside a
+    projection, the decontaminate lesson).  Hot paths use
+    :func:`with_lang_id`, which stages tokens and per-language scores in
+    their own projections (measured 0.96 s -> ~0.5 s over 50k docs)."""
+    toks = tokens(text)
+    return _lang_case([(lang, _hits(toks, ws)) for lang, ws in STOPWORDS.items()])
+
+
+def with_lang_id(df, text_col: str = "text", out: str = "lang"):
+    """Staged language ID: one tokenization per document, one per-language
+    score evaluation, then the argmax CASE over materialized score
+    columns.  CollapseProject keeps the stages separate because each
+    non-cheap producer is referenced more than once downstream."""
+    d = df.withColumn("__li_toks", tokens(F.col(text_col)))
+    for lang, ws in STOPWORDS.items():
+        d = d.withColumn(f"__li_{lang}", _hits(F.col("__li_toks"), ws))
+    d = d.withColumn(
+        out,
+        _lang_case([(lang, F.col(f"__li_{lang}")) for lang in STOPWORDS]),
+    )
+    return d.drop("__li_toks", *[f"__li_{lang}" for lang in STOPWORDS])
+
+
+def quality_score(
+    text: Column | str, n_chars: Column | str, toks: Column | None = None
+) -> Column:
     """Composite document quality in [0,1]:
-    0.4·length + 0.3·(1 − punctuation ratio) + 0.3·stopword density."""
+    0.4·length + 0.3·(1 − punctuation ratio) + 0.3·stopword density.
+
+    Pass a pre-staged ``toks`` column on hot paths so the tokenization is
+    not inlined at both the hit-count and size sites (see
+    :func:`with_quality_score`)."""
     c = F.col(text) if isinstance(text, str) else text
     n = (F.col(n_chars) if isinstance(n_chars, str) else n_chars).cast("double")
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     clean = F.regexp_replace(c, "[^a-z0-9 ]", "")
     punct_ratio = (F.length(c) - F.length(clean)) / F.greatest(
@@ -96,6 +128,22 @@ def quality_score(text: Column | str, n_chars: Column | str) -> Column:
     # floor(x·1e6 + 0.5)/1e6 instead of round(): engines disagree on
     # round() at exact-midpoint doubles, floor is bit-deterministic
     return F.floor(raw * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def with_quality_score(
+    df,
+    text_col: str = "text",
+    n_col: str = "n_chars",
+    out: str = "q",
+):
+    """Staged quality score: tokenize once into its own projection, then
+    score over the materialized array (the tokenization is referenced at
+    both the stopword-hit and token-count sites)."""
+    d = df.withColumn("__qs_toks", tokens(F.col(text_col)))
+    d = d.withColumn(
+        out, quality_score(F.col(text_col), F.col(n_col), toks=F.col("__qs_toks"))
+    )
+    return d.drop("__qs_toks")
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -1177,10 +1177,13 @@ def _lang_oracle() -> str:
 
 @query("lang_id", _lang_oracle())
 def q_lang_id(spark, sf):
-    from .operators.text import lang_id
+    # staged: one tokenization + one score evaluation per language per doc
+    # (the single-expression form inlines the regex split ~2x languages
+    # times — no CSE inside a projection, the decontaminate lesson)
+    from .operators.text import with_lang_id
 
-    return t(spark, sf, "documents").select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    return with_lang_id(t(spark, sf, "documents"), "text", out="lang_pred").select(
+        "doc_id", "lang_pred"
     )
 
 
@@ -1199,10 +1202,10 @@ def q_lang_id(spark, sf):
     """,
 )
 def q_quality_score(spark, sf):
-    from .operators.text import quality_score
+    from .operators.text import with_quality_score
 
-    return t(spark, sf, "documents").select(
-        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("q")
+    return with_quality_score(t(spark, sf, "documents"), "text", "n_chars").select(
+        "doc_id", "q"
     )
 
 
@@ -2297,10 +2300,14 @@ def q_pipeline_e2e(spark, sf):
 
     from .operators.dedup import content_hash
     from .operators.sampling import hash_sample, pack_sequences
-    from .operators.text import quality_score
+    from .operators.text import with_quality_score
 
     d = t(spark, sf, "documents")
-    scored = d.where(quality_score(F.col("text"), F.col("n_chars")) >= 0.5)
+    scored = (
+        with_quality_score(d, "text", "n_chars", out="__q")
+        .where(F.col("__q") >= 0.5)
+        .drop("__q")
+    )
     keep = F.min("doc_id").over(Window.partitionBy(content_hash("text")))
     deduped = (
         scored.withColumn("__keep", keep)
@@ -2659,11 +2666,10 @@ def q_quality_percentile(spark, sf):
     rank pass is O(rows log rows) within the partition only."""
     from pyspark.sql import Window
 
-    from .operators.text import quality_score
+    from .operators.text import with_quality_score
 
-    d = t(spark, sf, "documents").select(
-        "doc_id", "source",
-        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    d = with_quality_score(t(spark, sf, "documents"), "text", "n_chars").select(
+        "doc_id", "source", "q"
     )
     w = Window.partitionBy("source").orderBy(
         F.col("q").asc(), F.col("doc_id").asc()
