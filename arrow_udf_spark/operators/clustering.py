@@ -49,6 +49,13 @@ def _assign(v: DataFrame, cents: list) -> DataFrame:
     (the lsh_bands lesson).  Float literals render via repr() — shortest
     round-trip — and CAST(... AS DOUBLE) parses back to the identical
     double, so the trajectory is unchanged bit-for-bit."""
+    pairs = _dist_pairs(F.col("e"), cents)
+    return v.select("vec_id", "e", F.array_min(pairs)["cid"].alias("cid"))
+
+
+def cents_expr(cents: list):
+    """The trained centroid list as ONE parsed SQL literal column:
+    array<struct<cid:int, c:array<double>>>."""
     cents_sql = "array({})".format(
         ",".join(
             "named_struct('cid', {}, 'c', array({}))".format(
@@ -58,45 +65,62 @@ def _assign(v: DataFrame, cents: list) -> DataFrame:
             for cid, vec in cents
         )
     )
-    pairs = F.transform(
-        F.expr(cents_sql),
+    return F.expr(cents_sql)
+
+
+def _dist_pairs(vec_col, cents: list):
+    """array<struct<d, cid>> of (squared distance, cid) per centroid —
+    array_min gives the Lloyd assignment, array_sort + slice gives the
+    n_probe nearest cells for multi-probe IVF search."""
+    return F.transform(
+        cents_expr(cents),
         lambda s: F.struct(
-            _sq_dist(F.col("e"), s["c"]).alias("d"), s["cid"].alias("cid")
+            _sq_dist(vec_col, s["c"]).alias("d"), s["cid"].alias("cid")
         ),
     )
-    return v.select("vec_id", "e", F.array_min(pairs)["cid"].alias("cid"))
 
 
-def kmeans_assign(
+def probe_cells(
+    df: DataFrame,
+    cents: list,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``n_probe`` nearest trained cells
+    (ties to the lower cid, same ordering as the assignment argmin).
+
+    Multi-probe is THE standard IVF recall lever: the query's neighbour
+    often sits just across a cell boundary, so searching the p nearest
+    cells instead of 1 trades p× candidate work for recall — still
+    O(p·N/k) per query vs brute force's O(N)."""
+    pairs = _dist_pairs(F.col(vec_col).cast("array<double>"), cents)
+    nearest = F.slice(F.array_sort(pairs), 1, n_probe)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(nearest).alias("__p")
+    ).select("id", F.col("__p.cid").alias("cell"))
+
+
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cache: bool = False,
-) -> DataFrame:
+) -> list:
     """Train ``k`` centroids for ``iters`` Lloyd rounds; return the final
-    (vec_id, cluster) assignment.
+    centroid list ``[(cid, vector), ...]`` (driver-side, O(k·dim)).
 
-    Per round: assign (codegen expression, zero shuffle) → per-dimension
-    mean (posexplode + groupBy(cid, pos) — ONE shuffle of k·dim partial
-    aggregates after map-side combine) → collect the k·dim means to the
-    driver and rebuild the centroid literals.  An emptied cluster simply
-    drops out of the next round (same as the SQL oracle's GROUP BY)."""
+    Per round: assign (one expression over the broadcast centroid
+    literal, zero shuffle) → per-dimension mean (posexplode +
+    groupBy(cid, pos) — ONE shuffle of k·dim partial aggregates after
+    map-side combine) → collect the k·dim means to the driver and
+    rebuild the centroid literal.  An emptied cluster simply drops out
+    of the next round (same as the SQL oracle's GROUP BY)."""
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    if cache and iters > 0:
-        # iterative training re-scans the vectors once per round — caching
-        # them is what Spark MLlib does for its training loops
-        # (MEMORY_AND_DISK: spills instead of OOMing).  Opt-in: measured
-        # at small SF the persist/unpersist churn COSTS ~40% (the scan is
-        # cheaper than the materialization barrier); it pays off when the
-        # scan itself is expensive (wide tables, object storage).
-        from pyspark import StorageLevel
-
-        v = v.persist(StorageLevel.MEMORY_AND_DISK)
     seed = v.orderBy("vec_id").limit(k).collect()  # k rows — O(k·dim)
     cents = [(i, list(r["e"])) for i, r in enumerate(seed)]
     for _ in range(iters):
@@ -114,6 +138,34 @@ def kmeans_assign(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache: bool = False,
+) -> DataFrame:
+    """Train ``k`` centroids for ``iters`` Lloyd rounds (see
+    :func:`kmeans_fit`); return the final (vec_id, cluster) assignment."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    if cache and iters > 0:
+        # iterative training re-scans the vectors once per round — caching
+        # them is what Spark MLlib does for its training loops
+        # (MEMORY_AND_DISK: spills instead of OOMing).  Opt-in: measured
+        # at small SF the persist/unpersist churn COSTS ~40% (the scan is
+        # cheaper than the materialization barrier); it pays off when the
+        # scan itself is expensive (wide tables, object storage).
+        from pyspark import StorageLevel
+
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    cents = kmeans_fit(v, k, iters, id_col="vec_id", vec_col="e")
     out = _assign(v, cents).select(
         "vec_id", F.col("cid").cast("int").alias("cluster")
     )

@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_hamming_pairs",
     "ngram_shingles",
     "shingles_of",
     "with_shingles",
@@ -210,6 +211,88 @@ def with_simhash(
         df.withColumn("__sh_hashes", h)
         .withColumn(out, _simhash_bits(F.col("__sh_hashes"), bits))
         .drop("__sh_hashes")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_dist: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ``<= max_dist``,
+    found via pigeonhole chunk banding: split the ``bits``-bit simhash
+    into ``n_chunks`` equal chunks — any pair within distance
+    ``< n_chunks`` differs in fewer chunks than exist, so it must agree
+    EXACTLY on at least one chunk (requires ``max_dist < n_chunks``;
+    no false negatives).  Candidates come from a chunk-value equi-join;
+    the exact distance check ``bit_count(a XOR b)`` filters false
+    positives.
+
+    Returns ``(a, b, dist)`` with a < b.  Scale: the join is bucketed on
+    (chunk index, chunk value) — the quadratic pair space is confined to
+    buckets of expected size N/2^(bits/n_chunks), and ``max_bucket``
+    truncates degenerate buckets deterministically by (md5(id), id)
+    order, same contract as lsh_candidate_pairs.  The simhash itself is
+    one staged integer per doc (with_simhash), so the shuffle carries
+    (id, 16-bit int) rows only."""
+    if max_dist >= n_chunks:
+        raise ValueError(
+            "pigeonhole banding requires max_dist < n_chunks "
+            f"(got {max_dist} >= {n_chunks})"
+        )
+    chunk_bits = bits // n_chunks
+    sh = with_simhash(df, text_col, out="sh", bits=bits).select(
+        F.col(id_col).alias("id"), "sh"
+    )
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("__ck"),
+    ).select(
+        "id", "sh", F.col("__ck.chunk").alias("chunk"), F.col("__ck.cval").alias("cval")
+    )
+    wb = Window.partitionBy("chunk", "cval").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    chunks = (
+        chunks.withColumn("__bn", F.row_number().over(wb))
+        .where(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cval") == F.col("r.cval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.bit_count(
+                F.col("l.sh").bitwiseXOR(F.col("r.sh"))
+            ).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .distinct()
     )
 
 
