@@ -972,6 +972,79 @@ def q_ngram_jaccard(spark, sf):
 
 
 @query(
+    "minhash_jaccard_est",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS tk FROM documents),
+    sig AS (
+      SELECT doc_id, j,
+             min(md5(CAST(j AS VARCHAR) || ':' || t)) AS mh
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      GROUP BY doc_id, j
+    ),
+    est AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1 AND a.j = b.j
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT x.doc_id AS a,
+             round(CASE WHEN len(list_distinct(list_concat(x.u, y.u))) = 0
+                        THEN 0
+                        ELSE CAST(len(list_intersect(x.u, y.u)) AS DOUBLE)
+                             / len(list_distinct(list_concat(x.u, y.u))) END,
+                   6) AS jac
+      FROM (SELECT doc_id, list_distinct(tk) AS u FROM toks) x
+      JOIN (SELECT doc_id, list_distinct(tk) AS u FROM toks) y
+        ON y.doc_id = x.doc_id + 1
+    )
+    SELECT e.a, e.b, e.n_match,
+           round(CAST(e.n_match AS DOUBLE) / 8, 6) AS est_jac, x.jac
+    FROM est e JOIN exact x ON x.a = e.a
+    """,
+)
+def q_minhash_jaccard_est(spark, sf):
+    """MinHash as an ESTIMATOR, not just a bucketing key: for adjacent
+    doc pairs, the fraction of matching signature components estimates
+    the unigram Jaccard similarity (E[est] = J, the defining property of
+    minhash).  Emitting the estimate NEXT TO the exact Jaccard makes the
+    estimator quality itself a gated, cross-engine-deterministic result —
+    the number a dedup pipeline tunes k against (test asserts the mean
+    absolute error stays under 0.2 at k=8)."""
+    from .operators.dedup import jaccard, minhash_signature
+    from .operators.text import tokens
+
+    d = t(spark, sf, "documents")
+    staged = d.withColumn("__toks", tokens(F.col("text")))
+    sig = staged.select(
+        "doc_id",
+        minhash_signature(F.col("text"), 8, toks=F.col("__toks")).alias("sig"),
+        F.array_distinct(F.col("__toks")).alias("u"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sa"), F.col("u").alias("ua")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sb"), F.col("u").alias("ub")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("long")
+    return a.join(b, F.col("b") == F.col("a") + 1).select(
+        "a",
+        "b",
+        n_match.alias("n_match"),
+        F.round(n_match.cast("double") / 8, 6).alias("est_jac"),
+        F.round(jaccard(F.col("ua"), F.col("ub")), 6).alias("jac"),
+    )
+
+
+@query(
     "dup_span_flags",
     f"""
     WITH sh AS (
@@ -5037,6 +5110,7 @@ _GATE_PRIORITY = [
     "lsh_recall_at_k",  # new r6: ANN recall vs exact top-k
     "ivf_multiprobe_topk",  # new r6: n_probe=2 IVF recall lever
     "simhash_hamming_pairs",  # new r6: pigeonhole hamming-band dedup
+    "minhash_jaccard_est",  # new r6: estimator-vs-exact quality gate
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5078,16 +5152,16 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (7 of 21) --
+    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (6 of 21) --
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
     "sum_udaf",
     "retract_udaf",
     "streaming_dedup_digests",
-    "pipeline_e2e",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "pipeline_e2e",
     "wav_roundtrip",
     "error_text_corpus",
     "sum_udaf_two_phase_sql",

@@ -39,3 +39,16 @@ def test_multiprobe_ivf_beats_single_probe(spark, sf_dir):
     r2 = len(exact & multi) / len(exact)
     assert r2 >= r1, f"multi-probe recall {r2:.2f} < single-probe {r1:.2f}"
     assert r2 >= 0.9, f"multi-probe recall@5 = {r2:.2f} below floor"
+
+
+def test_minhash_estimator_error_bounded(spark, sf_dir):
+    """k=8 minhash estimates unigram Jaccard with sd ~ sqrt(J(1-J)/8)
+    <= 0.18; the mean absolute error over adjacent-pair comparisons must
+    stay well inside that (measured 0.13 / 0.12 at the two test scales,
+    deterministic md5 permutation family)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    rows = QUERIES["minhash_jaccard_est"](spark, sf_dir).collect()
+    assert rows
+    mae = sum(abs(r["est_jac"] - r["jac"]) for r in rows) / len(rows)
+    assert mae <= 0.2, f"minhash k=8 MAE {mae:.3f} exceeds bound"
