@@ -1,0 +1,66 @@
+"""Property tests for the round-6 registry tail rewrite: for
+hypothesis-generated data and HAVING/ORDER-BY tails, the salted
+two-phase U/B rewrite must return exactly the rows plain single-phase
+SQL returns (computed by a Python referee — not by Spark — so an
+analyzer quirk can't mask a rewrite bug)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group g
+        st.integers(min_value=-5, max_value=9),  # value x
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _referee(rows, having_min_count, having_min_sum):
+    agg = defaultdict(lambda: [0, 0])
+    for g, x in rows:
+        agg[g][0] += x
+        agg[g][1] += 1
+    return sorted(
+        (g, s, c)
+        for g, (s, c) in agg.items()
+        if c > having_min_count and s > having_min_sum
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=rows_strategy,
+    min_count=st.integers(min_value=0, max_value=3),
+    min_sum=st.integers(min_value=-20, max_value=20),
+)
+def test_having_tail_two_phase_matches_referee(
+    spark, rows, min_count, min_sum
+):
+    import warnings
+
+    import arrow_udf_spark.functions.corpus  # noqa: F401 — registers fns
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    df = spark.createDataFrame(rows, "g: long, x: long").repartition(4)
+    df.createOrReplaceTempView("prop_tail")
+    GLOBAL.register_sql(spark)
+    q = f"""
+        SELECT g, CAST(sum_udaf(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM prop_tail GROUP BY g
+        HAVING COUNT(*) > {min_count} AND sum_udaf(x) > {min_sum}
+        ORDER BY g
+    """
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = sorted(tuple(r) for r in GLOBAL.sql(spark, q).collect())
+        assert not any(
+            "single-phase" in str(w.message) for w in rec
+        ), "tail shape unexpectedly fell back to single-phase"
+    assert got == _referee(rows, min_count, min_sum)
