@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "inverted_index",           # posting lists + stop-token guard
     "bm25_topk",                # BM25 retrieval over the inverted stats
     "ivf_trained_topk",         # kmeans-trained IVF build + search
+    "ivf_multiprobe_topk",      # n_probe=2 recall lever over trained cells
+    "simhash_hamming_pairs",    # pigeonhole hamming-band dedup
+    "minhash_jaccard_est",      # estimator-vs-exact signature quality
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
