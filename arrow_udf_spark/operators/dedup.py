@@ -238,7 +238,16 @@ def simhash_hamming_pairs(
     truncates degenerate buckets deterministically by (md5(id), id)
     order, same contract as lsh_candidate_pairs.  The simhash itself is
     one staged integer per doc (with_simhash), so the shuffle carries
-    (id, 16-bit int) rows only."""
+    (id, 16-bit int) rows only.
+
+    Duplicate-heavy corpora: the OUTPUT of any pair-emitting near-dup op
+    is quadratic in duplicate multiplicity — m exact copies of a doc
+    contribute m·(m-1)/2 pairs each, and every near-dup relation
+    multiplies by m² (r6 stress test: 10x-replicated sf0.1 documents →
+    216M true pairs).  Run :func:`exact_dedup` first and pair only the
+    canonical survivors (measured 240 s → 8 s on the same corpus); the
+    distance predicate sits inside the join condition so candidate
+    combinations stream rather than materialize."""
     if max_dist >= n_chunks:
         raise ValueError(
             "pigeonhole banding requires max_dist < n_chunks "
@@ -277,21 +286,26 @@ def simhash_hamming_pairs(
     )
     left = chunks.alias("l")
     right = chunks.alias("r")
+    # the distance predicate lives IN the join condition: candidate
+    # combinations stream through the join and only true near-dup pairs
+    # ever materialize into the downstream distinct — in a duplicate-
+    # heavy corpus the candidate space is orders of magnitude larger
+    # than the result (the r6 10x stress test hit ~300M candidates for
+    # ~4M pairs)
+    dist = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("int")
     return (
         left.join(
             right,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.cval") == F.col("r.cval"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.id") < F.col("r.id"))
+            & (dist <= max_dist),
         )
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.bit_count(
-                F.col("l.sh").bitwiseXOR(F.col("r.sh"))
-            ).cast("int").alias("dist"),
+            dist.alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
         .distinct()
     )
 

@@ -24,7 +24,16 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     """Apply engine defaults to a SparkSession builder."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
-        builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local mode runs driver + all executor threads in ONE JVM, and
+        # Spark's default heap is 1g — 32 concurrent tasks sharing 1 GiB
+        # starves every hash aggregate into spill churn and OOMs
+        # duplicate-heavy joins (found by the round-6 10x dedup stress
+        # test on a 128 GiB box).  Size the heap to the machine; on a
+        # real cluster this knob is per-executor and set by the deployer.
+        builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_ARROW_BATCH))
         .config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
