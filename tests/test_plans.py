@@ -357,6 +357,22 @@ def test_rolling_window_input_is_daily_aggregate(spark, sf_dir):
     assert w < agg, "window must consume the aggregate, not raw events"
 
 
+def test_hamming_predicate_streams_through_join(spark, sf_dir):
+    """r6 stress lesson: the hamming-distance filter must sit in the
+    JOIN condition (candidates stream), never in a filter above it
+    (candidates materialize — ~300M rows on a duplicate-heavy corpus
+    before the 1g-heap OOM fix).  bit_count(xor) must appear inside the
+    join's condition line, and no Filter node above the join may carry
+    it."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["simhash_hamming_pairs"](spark, sf_dir))
+    join_lines = [
+        ln for ln in p.splitlines() if "Join" in ln and "bit_count" in ln
+    ]
+    assert join_lines, p[:2000]
+
+
 def test_having_sql_agg_rewritten_two_phase(spark, sf_dir):
     """HAVING / aggregate-ORDER-BY tails must go through the same salted
     two-phase rewrite (r5 gap: they silently fell back to single-phase
