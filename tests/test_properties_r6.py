@@ -33,6 +33,50 @@ def _referee(rows, having_min_count, having_min_sum):
     )
 
 
+docs_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cdef the and of to"),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=docs_strategy)
+def test_simhash_hamming_pairs_matches_bruteforce(spark, texts):
+    """Pigeonhole banding must find EVERY pair within max_dist — compare
+    against an all-pairs referee that recomputes the simhash through the
+    same Spark column (so the property under test is the banding's
+    completeness, not the hash function)."""
+    from itertools import combinations
+
+    from arrow_udf_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        with_simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in with_simhash(df, "text", out="sh").collect()
+    }
+    expected = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in simhash_hamming_pairs(df).collect()
+    )
+    assert got == expected
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     rows=rows_strategy,
