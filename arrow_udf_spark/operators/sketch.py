@@ -214,3 +214,121 @@ def kmv_source_similarity(
         denom.cast("bigint").alias("n_union_k"),
         est.alias("jaccard_est"),
     )
+
+
+#: count-min defaults: 4 independent hash rows x 256 cells = 1024 int64
+#: counters TOTAL, regardless of vocabulary size
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a Count-Min sketch of the token frequency stream (Cormode &
+    Muthukrishnan, "An improved data stream summary: the count-min sketch
+    and its applications", J. Algorithms 2005): ``d`` hash rows of ``w``
+    cells; every token increments one cell per row.
+
+    Returns the sketch as ``(r, cell, cnt)`` rows — at most ``d*w`` of
+    them, independent of vocabulary size.  That is the whole point at
+    100 TB: exact per-token counts shuffle O(vocabulary) keys, the sketch
+    shuffles O(d*w) after map-side combine, and sketches from different
+    corpora/days merge by cell-wise addition.
+
+    Determinism: row r's hash of token t is ``md5int32(r || ':' || t)
+    mod w`` — the md5→int bridge every oracle reproduces bit-exactly.
+    """
+    from .text import token_hash, tokens
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            token_hash(
+                                F.concat(F.lit(f"{r}:"), F.col("tok"))
+                            ),
+                            F.lit(w),
+                        ).cast("int").alias("cell"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("__rc")
+    ).select(F.col("__rc.r").alias("r"), F.col("__rc.cell").alias("cell"))
+    return cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    query_tokens: Sequence[str],
+    text_col: str = "text",
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the Count-Min sketch next to ground truth: for each
+    queried token, ``(token, true_cnt, cms_est)`` where ``cms_est`` is
+    the min over the token's ``d`` cells.
+
+    CMS guarantees ``est >= true`` always and
+    ``est <= true + e*N/w`` with high probability — emitting both numbers
+    makes the estimator's error a gated, cross-engine-deterministic
+    result (the number a pipeline tunes ``w`` against), exactly like
+    ``minhash_jaccard_est`` does for signatures.  The true counts here
+    are only computed for the |query| tokens — cheap — while the sketch
+    side never materializes per-token state.
+    """
+    from .text import token_hash, tokens
+
+    sketch = count_min_sketch(df, text_col, d, w)
+    qt = None
+    for r in range(d):
+        part = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("token"),
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        token_hash(F.lit(f"{r}:{t}")), F.lit(w)
+                    ).cast("int").alias("cell"),
+                )
+                for t in query_tokens
+            ]
+        )
+        qt = part if qt is None else F.concat(qt, part)
+    spark = df.sparkSession
+    probes = (
+        spark.range(1)
+        .select(F.explode(qt).alias("__q"))
+        .select("__q.token", "__q.r", "__q.cell")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "cell"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    truth = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok").isin(list(query_tokens)))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    return (
+        est.join(truth, "token", "left")
+        .select(
+            "token",
+            F.coalesce("true_cnt", F.lit(0)).cast("bigint").alias("true_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+        )
+    )

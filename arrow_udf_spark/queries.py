@@ -1044,6 +1044,60 @@ def q_minhash_jaccard_est(spark, sf):
     )
 
 
+_CMS_TOKENS = ["the", "and", "of", "data", "dup", "to", "a", "zzz_absent"]
+
+
+@query(
+    "count_min_freq",
+    f"""
+    WITH words AS (
+      SELECT tok FROM (SELECT unnest({_DD_TOKS}) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    cells AS (
+      SELECT r,
+             CAST({_DD_H32.format(t="CAST(r AS VARCHAR) || ':' || tok")}
+                  % 256 AS INT) AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT t.token, g.r,
+             CAST({_DD_H32.format(t="CAST(g.r AS VARCHAR) || ':' || t.token")}
+                  % 256 AS INT) AS cell
+      FROM (SELECT unnest({_CMS_TOKENS!r}::VARCHAR[]) AS token) t
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS r) g
+    ),
+    est AS (
+      SELECT token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+      FROM probes p LEFT JOIN cells c USING (r, cell) GROUP BY token
+    ),
+    truth AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM words WHERE tok IN (SELECT unnest({_CMS_TOKENS!r}::VARCHAR[]))
+      GROUP BY tok
+    )
+    SELECT e.token, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+           e.cms_est
+    FROM est e LEFT JOIN truth t USING (token)
+    """,
+)
+def q_count_min_freq(spark, sf):
+    """Count-Min heavy-hitter estimation next to ground truth: the sketch
+    holds 4x256 int64 counters TOTAL (vocabulary-size independent — the
+    100 TB answer to per-token counting, mergeable cell-wise across
+    corpora/days), and each probe token's estimate (min over its 4 cells)
+    is emitted beside its exact count.  CMS guarantees est >= true;
+    the overestimate bound is what a pipeline tunes width against
+    (asserted in tests).  md5-derived cells are engine-exact."""
+    from .operators.sketch import count_min_estimate
+
+    return count_min_estimate(
+        t(spark, sf, "documents"), _CMS_TOKENS, text_col="text"
+    )
+
+
 @query(
     "dup_span_flags",
     f"""
@@ -5186,6 +5240,7 @@ _GATE_PRIORITY = [
     "simhash_hamming_pairs",  # new r6: pigeonhole hamming-band dedup
     "minhash_jaccard_est",  # new r6: estimator-vs-exact quality gate
     "knn_label_vote",  # new r6: kNN majority-vote over embeddings
+    "count_min_freq",  # new r6: CMS heavy hitters, bounded 4x256 state
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5227,14 +5282,14 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (5 of 21) --
+    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (4 of 21) --
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
     "sum_udaf",
-    "retract_udaf",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "retract_udaf",
     "streaming_dedup_digests",
     "pipeline_e2e",
     "wav_roundtrip",

@@ -176,3 +176,42 @@ def test_kmv_source_similarity_state_bounded(spark):
     assert r["n_union_k"] == 8  # merged sketch capped at k
     assert 0 <= r["n_shared"] <= 8
     assert 0.0 <= r["jaccard_est"] <= 1.0
+
+
+def test_count_min_never_underestimates_and_bounds_error(spark, sf_dir):
+    """CMS guarantees est >= true for every token; the expected
+    overestimate for a min over d=4 rows of w=256 cells is ~N/w per
+    colliding row — assert the one-sided bound and a generous 2*N/w
+    error ceiling (deterministic md5 cells, so this is a stable gate)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    rows = QUERIES["count_min_freq"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["true_cnt"] for r in rows)  # lower bound on stream N
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"], r
+    # real N is larger than the probed-token total, so use the full token
+    # stream for the bound
+    from arrow_udf_spark.operators.text import tokens
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    for r in rows:
+        assert r["cms_est"] - r["true_cnt"] <= 2 * n / 256, (r, n)
+
+
+def test_count_min_sketch_state_is_bounded(spark):
+    """The sketch must never exceed d*w rows no matter the vocabulary."""
+    from arrow_udf_spark.operators.sketch import count_min_sketch
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i * 50, i * 50 + 50)))
+            for i in range(20)]  # 1000 distinct tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = count_min_sketch(docs, "text", d=4, w=64)
+    assert sk.count() <= 4 * 64
+    assert sk.agg({"cnt": "sum"}).first()[0] == 4 * 1000  # d copies of N
