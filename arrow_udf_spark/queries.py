@@ -3063,6 +3063,52 @@ def q_percentiles(spark, sf):
 
 
 @query(
+    "sampled_quantiles",
+    """
+    WITH s AS (
+      SELECT l_extendedprice FROM lineitem
+      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 1000
+    )
+    SELECT
+      round(quantile_cont(l.l_extendedprice, 0.25), 6) AS p25_exact,
+      round(quantile_cont(l.l_extendedprice, 0.50), 6) AS p50_exact,
+      round(quantile_cont(l.l_extendedprice, 0.75), 6) AS p75_exact,
+      round(quantile_cont(l.l_extendedprice, 0.95), 6) AS p95_exact,
+      (SELECT round(quantile_cont(l_extendedprice, 0.25), 6) FROM s) AS p25_est,
+      (SELECT round(quantile_cont(l_extendedprice, 0.50), 6) FROM s) AS p50_est,
+      (SELECT round(quantile_cont(l_extendedprice, 0.75), 6) FROM s) AS p75_est,
+      (SELECT round(quantile_cont(l_extendedprice, 0.95), 6) FROM s) AS p95_est
+    FROM lineitem l
+    """,
+)
+def q_sampled_quantiles(spark, sf):
+    """Quantile estimation from a deterministic 10% hash sample, emitted
+    NEXT TO the exact quantiles — the third estimator-quality gate
+    (minhash→similarity, count-min→frequency, hash-sample→quantiles).
+    At 100 TB exact percentile buffers every group value; the sample
+    path bounds that buffer by the sample rate while the gate pins how
+    much accuracy the rate buys.  The md5 basis-point sample is the
+    same cross-engine primitive hash_sample uses."""
+    from .operators.sampling import hash_sample
+
+    li = t(spark, sf, "lineitem")
+    s = hash_sample(li, "l_orderkey", 1000)
+
+    def qs(df, suffix):
+        return df.agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {p})"), 6
+                ).alias(f"p{int(p * 100)}_{suffix}")
+                for p in (0.25, 0.50, 0.75, 0.95)
+            ]
+        )
+
+    return qs(li, "exact").crossJoin(qs(s, "est"))
+
+
+@query(
     "value_histogram",
     """
     SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
@@ -5241,6 +5287,7 @@ _GATE_PRIORITY = [
     "minhash_jaccard_est",  # new r6: estimator-vs-exact quality gate
     "knn_label_vote",  # new r6: kNN majority-vote over embeddings
     "count_min_freq",  # new r6: CMS heavy hitters, bounded 4x256 state
+    "sampled_quantiles",  # new r6: hash-sample quantile estimator gate
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5282,13 +5329,13 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (4 of 21) --
+    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (3 of 21) --
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "sum_udaf",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "sum_udaf",
     "retract_udaf",
     "streaming_dedup_digests",
     "pipeline_e2e",

@@ -215,3 +215,16 @@ def test_count_min_sketch_state_is_bounded(spark):
     sk = count_min_sketch(docs, "text", d=4, w=64)
     assert sk.count() <= 4 * 64
     assert sk.agg({"cnt": "sum"}).first()[0] == 4 * 1000  # d copies of N
+
+
+def test_sampled_quantiles_error_bounded(spark, sf_dir):
+    """The 10% hash-sample quantiles must land within 10% relative error
+    of the exact quantiles at every probed p (deterministic md5 sample —
+    a stable gate, not a flaky one)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    r = QUERIES["sampled_quantiles"](spark, sf_dir).first()
+    for p in (25, 50, 75, 95):
+        exact, est = r[f"p{p}_exact"], r[f"p{p}_est"]
+        assert exact > 0
+        assert abs(est - exact) / exact <= 0.10, (p, exact, est)
