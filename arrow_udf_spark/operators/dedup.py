@@ -546,9 +546,14 @@ def decontaminate(
     # expression two more times per doc.  Outer explode skips the
     # inference; the null gram an empty doc produces is dropped by the
     # inner join on gram (null never equi-matches).
+    # explode_outer on the eval side too: plain explode lets
+    # InferFiltersFromGenerate push a size()/isnotnull() filter below the
+    # staging projection, re-inlining the tokenization (~3x per eval doc
+    # — caught by tools/plan_lint.py).  The null gram an empty eval doc
+    # emits sits harmlessly in the broadcast set (never equi-matches).
     eval_grams = (
         with_shingles(eval_docs, text_col, out="__grams", n=n)
-        .select(F.explode("__grams").alias("gram"))
+        .select(F.explode_outer("__grams").alias("gram"))
         .distinct()
     )
     staged = with_shingles(docs, text_col, out="__grams", n=n).select(

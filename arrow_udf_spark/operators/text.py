@@ -105,9 +105,12 @@ def quality_score(
     """Composite document quality in [0,1]:
     0.4·length + 0.3·(1 − punctuation ratio) + 0.3·stopword density.
 
-    Pass a pre-staged ``toks`` column on hot paths so the tokenization is
-    not inlined at both the hit-count and size sites (see
-    :func:`with_quality_score`)."""
+    The token array is referenced exactly ONCE: stopword hits and token
+    count come out of a single aggregate fold, so even when Catalyst
+    inlines this expression into a pushed-down Filter (predicate pushdown
+    substitutes aliases regardless of cost — staging cannot protect a
+    filter use), the document is tokenized once.  ``toks`` lets callers
+    share an already-staged array."""
     c = F.col(text) if isinstance(text, str) else text
     n = (F.col(n_chars) if isinstance(n_chars, str) else n_chars).cast("double")
     if toks is None:
@@ -117,9 +120,25 @@ def quality_score(
     punct_ratio = (F.length(c) - F.length(clean)) / F.greatest(
         F.length(c), F.lit(1)
     ).cast("double")
-    stop_ratio = _hits(toks, STOPWORDS["en"]).cast("double") / F.greatest(
-        F.size(toks), F.lit(1)
-    ).cast("double")
+    lst = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    # ONE aggregate expression: (stopword hits, token count) fold with the
+    # ratio produced by the finish lambda — referencing an accumulator
+    # struct from two sibling expressions would inline the whole fold
+    # twice (no CSE inside a projection).  Counts are exact ints, so the
+    # ratio is bit-identical to the oracle's len(list_filter)/len(list).
+    stop_ratio = F.aggregate(
+        toks,
+        F.struct(F.lit(0).alias("h"), F.lit(0).alias("n")),
+        lambda a, t: F.struct(
+            (
+                a["h"]
+                + F.when(F.array_contains(lst, t), F.lit(1)).otherwise(F.lit(0))
+            ).alias("h"),
+            (a["n"] + F.lit(1)).alias("n"),
+        ),
+        lambda a: a["h"].cast("double")
+        / F.greatest(a["n"], F.lit(1)).cast("double"),
+    )
     raw = (
         F.lit(0.4) * len_score
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
@@ -217,7 +236,11 @@ def repetition_ratio(
     index to a second lambda arg, which would corrupt closure-bound
     constants.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # stage the token array first: the gram expression references it at
+    # n+2 sites and Catalyst does no CSE inside a projection (the
+    # decontaminate lesson — caught again by tools/plan_lint.py)
+    staged = df.withColumn("__rr_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.col("__rr_toks")
     ntok = F.size(toks)
     # sequence(0, -k) ramps DOWN — guard docs shorter than n tokens
     grams = F.when(
@@ -229,7 +252,7 @@ def repetition_ratio(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.withColumn("__g", grams).select(
+    out = staged.withColumn("__g", grams).select(
         key,
         F.size(F.col("__g")).cast("long").alias("n_grams"),
         F.size(F.array_distinct(F.col("__g"))).cast("long").alias("n_unique"),

@@ -854,11 +854,16 @@ def q_dedup_exact(spark, sf):
 )
 def q_minhash_signature(spark, sf):
     from .operators.dedup import minhash_signature
+    from .operators.text import tokens
 
-    d = t(spark, sf, "documents", spread=True)
+    d = t(spark, sf, "documents", spread=True).withColumn(
+        "__toks", tokens(F.col("text"))
+    )
     return d.select(
         "doc_id",
-        F.array_join(minhash_signature(F.col("text"), k=4), "|").alias("sig"),
+        F.array_join(
+            minhash_signature(F.col("text"), k=4, toks=F.col("__toks")), "|"
+        ).alias("sig"),
     )
 
 
@@ -2891,15 +2896,13 @@ def q_dedup_keep_best(spark, sf):
     actually applies after candidate generation — one left join + one
     window over near-clique-sized cluster partitions."""
     from .operators.dedup import dup_clusters, keep_best, lsh_candidate_pairs
-    from .operators.text import quality_score
+    from .operators.text import with_quality_score
 
     d = t(spark, sf, "documents").where(F.col("doc_id") < 100)
     pairs = lsh_candidate_pairs(
         d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
     )
-    scored = d.select(
-        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("q")
-    )
+    scored = with_quality_score(d, "text", "n_chars").select("doc_id", "q")
     return keep_best(scored, dup_clusters(pairs), "q")
 
 
