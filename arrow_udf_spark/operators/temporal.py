@@ -292,3 +292,31 @@ def rolling_daily_sum(
         "day_micros",
         F.sum("day_micros").over(w).alias("rolling_micros"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-type transition counts (the Markov/path-analysis matrix):
+    for each user's event stream ordered by (ts, id), count every
+    consecutive ``(prev_type, next_type)`` pair across the corpus.
+
+    Scale: ONE hash exchange on the user key feeds the lag window (event
+    order is resolved inside each user partition), and the transition
+    aggregate is map-side combinable over at most |types|² keys — the
+    output is schema-sized, not data-sized.  The id tie-break makes the
+    sequence deterministic under timestamp collisions."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.lag(F.col(type_col)).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -3066,6 +3066,30 @@ def q_percentiles(spark, sf):
 
 
 @query(
+    "event_transitions",
+    """
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf):
+    """Markov transition matrix over per-user event streams: one user-key
+    exchange feeds the lag window, then a map-side-combinable aggregate
+    over at most |types|^2 keys — path analysis whose output is
+    schema-sized regardless of corpus size."""
+    from .operators.temporal import event_transitions
+
+    return event_transitions(t(spark, sf, "events"))
+
+
+@query(
     "sampled_quantiles",
     """
     WITH s AS (
@@ -5291,6 +5315,7 @@ _GATE_PRIORITY = [
     "knn_label_vote",  # new r6: kNN majority-vote over embeddings
     "count_min_freq",  # new r6: CMS heavy hitters, bounded 4x256 state
     "sampled_quantiles",  # new r6: hash-sample quantile estimator gate
+    "event_transitions",  # new r6: Markov transition matrix, 1 exchange
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5332,12 +5357,12 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (3 of 21) --
+    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (2 of 21) --
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "tpch_q6",
     "sum_udaf",
     "retract_udaf",
     "streaming_dedup_digests",
