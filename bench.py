@@ -164,8 +164,10 @@ def main() -> None:
                     "best-of-3 shared cohort. (b) r5 added "
                     "kmeans_train_assign + funnel_conversion; r6 adds "
                     "decontaminate, dup_span_flags, lsh_topk, inverted_index, "
-                    "bm25_topk, ivf_trained_topk — always compare the "
-                    "shared-query cohort, not the raw total. See docstring."
+                    "bm25_topk, ivf_trained_topk, ivf_multiprobe_topk, "
+                    "simhash_hamming_pairs, minhash_jaccard_est — always "
+                    "compare the shared-query cohort, not the raw total. "
+                    "See docstring."
                 ),
             }
         )
