@@ -108,3 +108,95 @@ def test_having_tail_two_phase_matches_referee(
             "single-phase" in str(w.message) for w in rec
         ), "tail shape unexpectedly fell back to single-phase"
     assert got == _referee(rows, min_count, min_sum)
+
+
+cms_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["tok%d" % i for i in range(30)] + ["the", "data"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=cms_docs_strategy)
+def test_count_min_matches_referee(spark, docs):
+    """The Spark CMS must agree cell-for-cell with a pure-Python referee
+    that re-derives the md5 cells — and its point estimates must never
+    underestimate the true counts."""
+    import hashlib
+    from collections import Counter
+
+    from arrow_udf_spark.operators.sketch import count_min_estimate
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    probe = ["tok0", "tok1", "the", "data", "absent_tok"]
+    got = {
+        r["token"]: (r["true_cnt"], r["cms_est"])
+        for r in count_min_estimate(df, probe, d=4, w=64).collect()
+    }
+
+    stream = [t for toks in docs for t in toks]
+    true = Counter(stream)
+    cells = Counter()
+    for t in stream:
+        for r in range(4):
+            h = int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16)
+            cells[(r, h % 64)] += 1
+    for t in probe:
+        est = min(
+            cells.get(
+                (r, int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8], 16) % 64),
+                0,
+            )
+            for r in range(4)
+        )
+        assert got[t] == (true.get(t, 0), est), (t, got[t], (true.get(t, 0), est))
+        assert est >= true.get(t, 0)
+
+
+transitions_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.sampled_from(["a", "b", "c"]),  # type
+        st.integers(min_value=0, max_value=50),  # ts (collisions likely)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=transitions_strategy)
+def test_event_transitions_matches_referee(spark, rows):
+    """Per-user streams ordered by (ts, event_id) — the id tie-break must
+    make transition counts deterministic under timestamp collisions."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timezone
+
+    from arrow_udf_spark.operators.temporal import event_transitions
+
+    data = [
+        (i, datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None), u, ty)
+        for i, (u, ty, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    )
+    by_user = defaultdict(list)
+    for eid, ts, u, ty in data:
+        by_user[u].append((ts, eid, ty))
+    ref = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, p), (_, _, n) in zip(evs, evs[1:]):
+            ref[(p, n)] += 1
+    got = Counter(
+        {(r["prev_type"], r["next_type"]): r["n"]
+         for r in event_transitions(df).collect()}
+    )
+    assert got == ref
