@@ -3066,6 +3066,79 @@ def q_percentiles(spark, sf):
 
 
 @query(
+    "pagerank_docs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+             ] AS s
+      FROM documents WHERE doc_id < 100
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s[1] || '|' || s[2] AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, s[3] || '|' || s[4] AS bval FROM sig
+    ), prs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs
+    ), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 100),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+    i1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+           FROM edges e JOIN r0 r ON r.node = e.src
+           JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN i1 i USING (node)),
+    i2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+           FROM edges e JOIN r1 r ON r.node = e.src
+           JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN i2 i USING (node)),
+    i3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+           FROM edges e JOIN r2 r ON r.node = e.src
+           JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN i3 i USING (node))
+    SELECT node AS doc_id, rank FROM r3
+    """,
+)
+def q_pagerank_docs(spark, sf):
+    """PageRank over the LSH near-dup graph (the centrality of a document
+    inside its duplicate neighbourhood — a dedup-policy signal beyond
+    keep-best): 3 rounds of integer-fixed-point power iteration.  Every
+    round is one edge⋈rank hash join + one map-side-combined per-dst sum
+    — O(E) shuffle, zero driver state — and the int64 arithmetic
+    (rank DIV deg, (85·Σ) DIV 100) makes the trajectory bit-identical
+    in any engine and under any shuffle layout, replayed exactly by the
+    unrolled-CTE oracle."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import pagerank
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    prs = lsh_candidate_pairs(
+        d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
+    )
+    edges = prs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        prs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return pagerank(edges, nodes, iters=3).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+
+
+@query(
     "event_transitions",
     """
     SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
@@ -5316,6 +5389,7 @@ _GATE_PRIORITY = [
     "count_min_freq",  # new r6: CMS heavy hitters, bounded 4x256 state
     "sampled_quantiles",  # new r6: hash-sample quantile estimator gate
     "event_transitions",  # new r6: Markov transition matrix, 1 exchange
+    "pagerank_docs",  # new r6: int-fixed-point power iteration, O(E)/round
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5357,11 +5431,11 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (2 of 21) --
+    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (1 of 21) --
     "tpch_q1",
-    "tpch_q3",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "tpch_q3",
     "tpch_q6",
     "sum_udaf",
     "retract_udaf",
