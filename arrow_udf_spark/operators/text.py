@@ -428,3 +428,73 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def source_token_tv(
+    df,
+    sources: list,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Pairwise corpus-drift matrix: total-variation distance between the
+    unigram distributions of each source pair, in EXACT integers.
+
+    TV(A,B) = 1/2 * sum_t |p_A(t) - p_B(t)| — computed as the integer
+    numerator ``tv_num = sum_t |c_A(t)*N_B - c_B(t)*N_A|`` next to the
+    stream sizes (TV = tv_num / (2*N_A*N_B)); no division ever happens,
+    so the result is bit-identical in any engine (log-based divergences
+    like KL/JS would hit libm; TV is the distribution-shift metric that
+    stays rational).
+
+    Scale: per-source token counts are vocabulary-sized (one map-side
+    combined aggregate over the corpus); the pivot is one shuffle keyed
+    on token; the pairwise pass is ONE aggregate producing |S|^2/2
+    columns over the pivot — sources never join documents.  Stream
+    totals are |S| numbers collected to the driver (the k-means-centroid
+    pattern, O(S) driver state).
+
+    Returns ``(src_a, src_b, tv_num, n_a, n_b)`` for a < b.
+    """
+    words = (
+        df.where(F.col(source_col).isin(list(sources)))
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    totals = {
+        r["src"]: r["n"]
+        for r in words.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cnts = words.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c"))
+    piv = cnts.groupBy("tok").pivot("src", list(sources)).sum("c")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sources)
+        for b in list(sources)[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        na, nb = int(totals.get(a, 0)), int(totals.get(b, 0))
+        diff = F.abs(
+            F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast("long") * F.lit(nb)
+            - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast("long") * F.lit(na)
+        )
+        aggs.append(F.sum(diff).cast("long").alias(f"__tv_{a}__{b}"))
+    one = piv.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("src_a"),
+                F.lit(b).alias("src_b"),
+                F.col(f"__tv_{a}__{b}").alias("tv_num"),
+                F.lit(int(totals.get(a, 0))).cast("long").alias("n_a"),
+                F.lit(int(totals.get(b, 0))).cast("long").alias("n_b"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.explode(rows).alias("__r")).select(
+        "__r.src_a", "__r.src_b", "__r.tv_num", "__r.n_a", "__r.n_b"
+    )

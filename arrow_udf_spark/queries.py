@@ -3065,6 +3065,58 @@ def q_percentiles(spark, sf):
     )
 
 
+def _tv_oracle() -> str:
+    srcs = ["src0", "src1", "src2", "src3"]
+    arms = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            arms.append(
+                f"""
+      SELECT '{a}' AS src_a, '{b}' AS src_b,
+             CAST(SUM(ABS(COALESCE("{a}", 0) * (SELECT n FROM n WHERE source = '{b}')
+                        - COALESCE("{b}", 0) * (SELECT n FROM n WHERE source = '{a}')))
+                  AS BIGINT) AS tv_num,
+             (SELECT n FROM n WHERE source = '{a}') AS n_a,
+             (SELECT n FROM n WHERE source = '{b}') AS n_b
+      FROM piv"""
+            )
+    union = "\n      UNION ALL".join(arms)
+    return f"""
+    WITH w AS (
+      SELECT source, tok
+      FROM (SELECT source, unnest({_DD_TOKS}) AS tok FROM documents
+            WHERE source IN ('src0','src1','src2','src3'))
+      WHERE tok <> ''
+    ),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY source),
+    piv AS (
+      SELECT tok,
+             SUM(CASE WHEN source = 'src0' THEN 1 END) AS "src0",
+             SUM(CASE WHEN source = 'src1' THEN 1 END) AS "src1",
+             SUM(CASE WHEN source = 'src2' THEN 1 END) AS "src2",
+             SUM(CASE WHEN source = 'src3' THEN 1 END) AS "src3"
+      FROM w GROUP BY tok
+    )
+    {union}
+    """
+
+
+@query("corpus_divergence", _tv_oracle())
+def q_corpus_divergence(spark, sf):
+    """Pairwise distribution-shift matrix between sources: exact-integer
+    total-variation numerators (sum_t |c_A(t)*N_B - c_B(t)*N_A|) next to
+    the stream sizes — TV = tv_num/(2*N_A*N_B), but no division ever
+    happens so the gate is bit-exact.  TV, unlike KL/JS, needs no log —
+    the drift metric that stays rational.  One vocabulary-keyed pivot
+    shuffle; the pairwise pass is a single aggregate; sources never join
+    documents."""
+    from .operators.text import source_token_tv
+
+    return source_token_tv(
+        t(spark, sf, "documents"), ["src0", "src1", "src2", "src3"]
+    )
+
+
 @query(
     "pagerank_docs",
     f"""
@@ -5390,6 +5442,7 @@ _GATE_PRIORITY = [
     "sampled_quantiles",  # new r6: hash-sample quantile estimator gate
     "event_transitions",  # new r6: Markov transition matrix, 1 exchange
     "pagerank_docs",  # new r6: int-fixed-point power iteration, O(E)/round
+    "corpus_divergence",  # new r6: exact-integer TV drift matrix
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer
@@ -5431,10 +5484,9 @@ _GATE_PRIORITY = [
     "window_topk_orders",
     "join_with_udf",
     "set_ops",
-    # -- 4. r3-stale, judge-r5-reverified — fill to 50 (1 of 21) --
-    "tpch_q1",
     # -- remainder: r3-stale judge-reverified overflow first (replica
     #    artifact covers them), then the r4/r5-fresh catalog --
+    "tpch_q1",
     "tpch_q3",
     "tpch_q6",
     "sum_udaf",
