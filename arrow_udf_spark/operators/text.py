@@ -481,7 +481,11 @@ def source_token_tv(
             F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast("long") * F.lit(nb)
             - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast("long") * F.lit(na)
         )
-        aggs.append(F.sum(diff).cast("long").alias(f"__tv_{a}__{b}"))
+        # coalesce: an empty token stream (all-empty docs) must read as
+        # zero divergence, not NULL
+        aggs.append(
+            F.coalesce(F.sum(diff), F.lit(0)).cast("long").alias(f"__tv_{a}__{b}")
+        )
     one = piv.agg(*aggs)
     rows = F.array(
         *[

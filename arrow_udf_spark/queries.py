@@ -3073,11 +3073,11 @@ def _tv_oracle() -> str:
             arms.append(
                 f"""
       SELECT '{a}' AS src_a, '{b}' AS src_b,
-             CAST(SUM(ABS(COALESCE("{a}", 0) * (SELECT n FROM n WHERE source = '{b}')
-                        - COALESCE("{b}", 0) * (SELECT n FROM n WHERE source = '{a}')))
+             CAST(COALESCE(SUM(ABS(COALESCE("{a}", 0) * (SELECT n FROM n WHERE source = '{b}')
+                        - COALESCE("{b}", 0) * (SELECT n FROM n WHERE source = '{a}'))), 0)
                   AS BIGINT) AS tv_num,
-             (SELECT n FROM n WHERE source = '{a}') AS n_a,
-             (SELECT n FROM n WHERE source = '{b}') AS n_b
+             COALESCE((SELECT n FROM n WHERE source = '{a}'), 0) AS n_a,
+             COALESCE((SELECT n FROM n WHERE source = '{b}'), 0) AS n_b
       FROM piv"""
             )
     union = "\n      UNION ALL".join(arms)

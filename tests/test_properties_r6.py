@@ -200,3 +200,78 @@ def test_event_transitions_matches_referee(spark, rows):
          for r in event_transitions(df).collect()}
     )
     assert got == ref
+
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(raw=graph_strategy)
+def test_pagerank_matches_integer_referee(spark, raw):
+    """The int64 fixed-point trajectory must be reproducible by a plain
+    Python referee doing the same DIV arithmetic — no float drift, no
+    shuffle-order dependence."""
+    from collections import defaultdict
+
+    from arrow_udf_spark.operators.graph import pagerank
+
+    edges = sorted({(a, b) for a, b in raw if a != b})
+    nodes = sorted({n for e in edges for n in e} | {0, 1})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node: long")
+    edf = spark.createDataFrame(
+        edges or [(0, 1)], "src: long, dst: long"
+    ).limit(len(edges))  # empty-edges case: limit(0)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edf, ndf, iters=3).collect()
+    }
+
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    rank = {n: 1_000_000_000 for n in nodes}
+    base = 15 * 1_000_000_000 // 100
+    for _ in range(3):
+        inc = defaultdict(int)
+        for a, b in edges:
+            inc[b] += rank[a] // deg[a]
+        rank = {n: base + (85 * inc.get(n, 0)) // 100 for n in nodes}
+    assert got == rank
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_corpus_divergence_matches_referee(spark, docs):
+    """Exact-integer TV numerators vs a Counter-based referee."""
+    from collections import Counter
+
+    from arrow_udf_spark.operators.text import source_token_tv
+
+    rows = [(s, " ".join(toks)) for s, toks in docs]
+    df = spark.createDataFrame(rows, "source: string, text: string")
+    out = source_token_tv(df, ["sA", "sB"]).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    ca = Counter(t for s, toks in docs if s == "sA" for t in toks)
+    cb = Counter(t for s, toks in docs if s == "sB" for t in toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+    tv = sum(
+        abs(ca.get(t, 0) * nb - cb.get(t, 0) * na)
+        for t in set(ca) | set(cb)
+    )
+    assert (r["src_a"], r["src_b"]) == ("sA", "sB")
+    assert (r["tv_num"], r["n_a"], r["n_b"]) == (tv, na, nb)
