@@ -1,0 +1,147 @@
+"""Duplicate-heavy / scale stress harness (round-6 findings, PLANS.md
+"duplicate-heavy stress matrix" + "ANN stress").
+
+Replicates the driver's sf0.1 tables 10x with shifted ids — every
+document gains 10 exact copies, the adversarial shape for pair-emitting
+dedup — and drives the dedup + ANN families end-to-end.  This is the
+run that surfaced the 1g local-JVM heap default (OOM in a hash
+aggregate) and moved simhash's hamming predicate into the join
+condition; keep it runnable so the next scale regression is a command,
+not an archaeology project.
+
+Usage:  python tools/stress.py [replication=10]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import reduce
+
+
+def main() -> int:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from arrow_udf_spark import get_spark
+
+    spark = get_spark("stress", master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+
+    d0 = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            d0.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                "text",
+                "n_chars",
+                "source",
+            )
+            for i in range(rep)
+        ],
+    ).repartition(32).localCheckpoint(eager=True)
+    n = docs.count()
+    print(f"documents x{rep}: {n}")
+
+    e0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            e0.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(rep)
+        ],
+    ).repartition(16).localCheckpoint(eager=True)
+    print(f"embeddings x{rep}: {emb.count()}")
+
+    from arrow_udf_spark.operators.clustering import kmeans_fit
+    from arrow_udf_spark.operators.dedup import (
+        decontaminate,
+        dup_clusters,
+        exact_dedup,
+        keep_best,
+        lsh_candidate_pairs,
+        shared_shingle_flags,
+        simhash_hamming_pairs,
+    )
+    from arrow_udf_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_multiprobe_topk,
+        lsh_topk,
+    )
+    from arrow_udf_spark.operators.text import with_quality_score
+
+    failures = 0
+
+    def run(name, thunk):
+        nonlocal failures
+        t0 = time.perf_counter()
+        try:
+            c = thunk().count()
+            print(f"  {name:36s} {c:>10} rows  {time.perf_counter() - t0:6.1f}s")
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            failures += 1
+            print(f"  {name:36s} FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    print("dedup family:")
+    run("exact_dedup", lambda: exact_dedup(docs, "text", "doc_id"))
+    canonical = docs.join(
+        exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    run(
+        "lsh_candidate_pairs(cap1000)",
+        lambda: lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=1000),
+    )
+    run(
+        "exact-dedup -> simhash_hamming",
+        lambda: simhash_hamming_pairs(canonical, max_bucket=10_000),
+    )
+    run("dup_span_flags", lambda: shared_shingle_flags(docs, n=5))
+    run(
+        "decontaminate",
+        lambda: decontaminate(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+        ),
+    )
+
+    print("dedup policy pipeline:")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", max_bucket=1000
+    ).localCheckpoint(eager=True)
+    run("dup_clusters(pairs)", lambda: dup_clusters(pairs))
+    run(
+        "keep_best",
+        lambda: keep_best(
+            with_quality_score(docs, "text", "n_chars").select("doc_id", "q"),
+            dup_clusters(pairs),
+            "q",
+        ),
+    )
+
+    print("ANN family:")
+    q = emb.where(F.col("vec_id") < 5)
+    run("brute_force_topk", lambda: brute_force_topk(emb, q, k=5))
+    run("lsh_topk", lambda: lsh_topk(emb, q, k=5))
+    cents = kmeans_fit(emb, k=8, iters=2)
+    run(
+        "ivf_multiprobe_topk",
+        lambda: ivf_multiprobe_topk(emb, q, cents, k=5, n_probe=2),
+    )
+
+    spark.stop()
+    print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
