@@ -3248,12 +3248,19 @@ def q_sampled_quantiles(spark, sf):
     s = hash_sample(li, "l_orderkey", 1000)
 
     def qs(df, suffix):
-        return df.agg(
+        # ONE percentile call with an array of probabilities: separate
+        # percentile(col, p) aggregates each buffer the full column
+        # (4x the value buffer and 4 sorts — measured 8.9s -> ~2s at
+        # sf0.1); the array form buffers and sorts once
+        agg = df.agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.95D))"
+            ).alias("qs")
+        )
+        return agg.select(
             *[
-                F.round(
-                    F.expr(f"percentile(l_extendedprice, {p})"), 6
-                ).alias(f"p{int(p * 100)}_{suffix}")
-                for p in (0.25, 0.50, 0.75, 0.95)
+                F.round(F.col("qs")[i], 6).alias(f"p{int(p * 100)}_{suffix}")
+                for i, p in enumerate((0.25, 0.50, 0.75, 0.95))
             ]
         )
 

@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "ivf_multiprobe_topk",      # n_probe=2 recall lever over trained cells
     "simhash_hamming_pairs",    # pigeonhole hamming-band dedup
     "minhash_jaccard_est",      # estimator-vs-exact signature quality
+    "knn_label_vote",           # 5-NN majority vote, broadcast queries
+    "count_min_freq",           # CMS heavy hitters, d*w bounded state
+    "sampled_quantiles",        # hash-sample quantile estimator
+    "event_transitions",        # Markov matrix, one user-key exchange
+    "pagerank_docs",            # int64 power iteration, O(E)/round
+    "corpus_divergence",        # exact-integer TV drift matrix
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
