@@ -3057,11 +3057,18 @@ def q_tpch_q3(spark, sf):
     """,
 )
 def q_percentiles(spark, sf):
+    # one percentile(col, array(...)) call per group: separate percentile
+    # aggregates each buffer the group's full value list (3x the memory
+    # and 3 sorts — the sampled_quantiles lesson, r6)
     li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.50D, 0.75D))").alias("qs")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("qs")[0], 6).alias("p25"),
+        F.round(F.col("qs")[1], 6).alias("p50"),
+        F.round(F.col("qs")[2], 6).alias("p75"),
     )
 
 
