@@ -3222,6 +3222,85 @@ def q_event_transitions(spark, sf):
 
 
 @query(
+    "streaming_transitions",
+    """
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_streaming_transitions(spark, sf):
+    """The transition matrix maintained INCREMENTALLY over a live
+    3-micro-batch stream: per-user state holds only the last event, so
+    transitions that straddle batch boundaries still count (the batch
+    operator needs the whole history in a lag window; the stream needs
+    O(1) state per user).  Final aggregated increments must equal the
+    from-scratch batch oracle."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from .streaming.stateful import streaming_transitions
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # per-user IN-ORDER replay is this operator's contract (the Kafka
+    # partition-by-key shape): write three time-split files explicitly
+    # and give them strictly increasing mtimes — FileStreamSource orders
+    # candidate files by modification time, while a single
+    # repartitionByRange write leaves batch order to path luck (observed
+    # boundary transitions mis-counted when batch 2 replayed first)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tempfile.mkdtemp(prefix="stream_tr_")
+    for i in range(3):
+        cond = F.col("ts") >= F.lit(lo + i * span)
+        if i < 2:
+            cond = cond & (F.col("ts") < F.lit(lo + (i + 1) * span))
+        part_dir = f"{d}/__part{i}"
+        ev.where(cond if i > 0 else F.col("ts") < F.lit(lo + span)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{d}/batch{i}.parquet"
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        mt = _time.time() + i * 10
+        os.utime(dst, (mt, mt))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_transitions(stream)
+    sink = f"stream_tr_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"""
+        SELECT prev_type, next_type, CAST(SUM(n) AS BIGINT) AS n
+        FROM {sink} GROUP BY prev_type, next_type
+        """
+    )
+
+
+@query(
     "sampled_quantiles",
     """
     WITH s AS (
@@ -5457,6 +5536,7 @@ _GATE_PRIORITY = [
     "event_transitions",  # new r6: Markov transition matrix, 1 exchange
     "pagerank_docs",  # new r6: int-fixed-point power iteration, O(E)/round
     "corpus_divergence",  # new r6: exact-integer TV drift matrix
+    "streaming_transitions",  # new r6: O(1)/user cross-batch state
     "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
     "ngram_jaccard_pairs",  # re-staged shingle projection
     "dup_span_flags",  # re-staged + explode_outer

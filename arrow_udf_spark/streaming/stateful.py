@@ -374,3 +374,61 @@ def streaming_dedup(
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicates(["__h", ts_col]).drop("__h")
     return out.dropDuplicates(["__h"]).drop("__h")
+
+
+def streaming_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally maintained event-type transition counts over a
+    stream: per-user state holds only the LAST event seen, so a
+    transition that straddles a micro-batch boundary still counts —
+    per-key state is O(1) regardless of stream length (compare the
+    batch operator's lag window, which needs the whole history).
+
+    Emits (prev_type, next_type, n) increments per (user, batch) in
+    append mode; the consumer aggregates increments.  Assumes per-user
+    in-order replay across batches (the Kafka partition-by-key /
+    time-split-files shape); within a batch rows are sorted by
+    (ts, id)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        last = pickle.loads(state.get[0]) if state.exists else None
+        counts: Counter = Counter()
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        for row in batch.itertuples(index=False):
+            cur = getattr(row, type_col)
+            if last is not None:
+                counts[(last, cur)] += 1
+            last = cur
+        state.update((pickle.dumps(last),))
+        if counts:
+            yield pd.DataFrame(
+                [
+                    {"prev_type": p, "next_type": n, "n": v}
+                    for (p, n), v in counts.items()
+                ]
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_state_schema(),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
