@@ -310,6 +310,25 @@ class Registry:
             if rewritten is None or rewritten == expr_src:
                 return None  # no aggregate found / unprovable shape
             outer_items.append(f"{rewritten} AS {alias}")
+        # SELECT-alias map for the tail: Spark lets HAVING/ORDER BY name a
+        # select alias (HAVING sum_qty > 100), but the rewritten WHERE
+        # runs over the U/B join, BELOW the final projection where the
+        # alias is born — substitute the alias's rewritten expression.
+        # Group columns are excluded (they exist in the join; an alias
+        # shadowing one would be self-referential).
+        alias_map = {}
+        for item in outer_items:
+            am2 = re.match(r"(?is)^(?P<e>.+)\s+AS\s+(?P<a>[A-Za-z_]\w*)$", item)
+            if am2 and am2.group("a").lower() not in grp_set:
+                alias_map[am2.group("a").lower()] = f"({am2.group('e')})"
+
+        def _subst_aliases(expr: str) -> str:
+            return re.sub(
+                r"[A-Za-z_]\w*",
+                lambda mm: alias_map.get(mm.group(0).lower(), mm.group(0)),
+                expr,
+            )
+
         having_sql = order_sql = limit_sql = ""
         tail = m.group("tail") or ""
         if tail:
@@ -325,7 +344,7 @@ class Registry:
                 )
                 if hav_rw is None:
                     return None
-                having_sql = f" WHERE {hav_rw}"
+                having_sql = f" WHERE {_subst_aliases(hav_rw)}"
             if order is not None:
                 items = []
                 for it in _split_top_level(order):

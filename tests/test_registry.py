@@ -283,3 +283,20 @@ def test_two_phase_rewrite_rejects_distinct_args(spark):
         )
         is None
     )
+
+
+def test_two_phase_having_resolves_select_aliases(spark):
+    """Spark lets HAVING reference a select alias (HAVING sum_qty > N);
+    the rewritten WHERE runs over the U/B join BELOW the projection that
+    creates the alias, so the rewriter must substitute the alias's
+    expression."""
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
+    ok = GLOBAL._rewrite_two_phase(
+        "SELECT g, CAST(sum_udaf(x) AS BIGINT) AS sum_qty FROM t "
+        "GROUP BY g HAVING sum_qty > 100",
+        {"sum_udaf"},
+    )
+    assert ok is not None
+    assert "WHERE (CAST(__u0 AS BIGINT)) > 100" in ok
