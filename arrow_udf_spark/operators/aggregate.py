@@ -129,7 +129,14 @@ class AggregateFunction:
         scale concentrates the whole group's rows on one task.  The
         DataFrame :meth:`agg` path shuffles only O(groups) pickled partial
         states and is the one to use in pipelines.
+
+        The wrapped UDF is memoized per instance, so the warning really
+        does fire once per aggregate — not once per ``register_sql``
+        call (the suite calls it from many tests/queries).
         """
+        cached = getattr(self, "_grouped_agg_cache", None)
+        if cached is not None:
+            return cached
         import warnings
 
         warnings.warn(
@@ -168,9 +175,11 @@ class AggregateFunction:
             return finish(st) if finish is not None else st
 
         agg_fn.__name__ = self.sig.name
-        return pandas_udf(
+        udf = pandas_udf(
             agg_fn, returnType=self.result_field.dtype, functionType=_GROUPED
         )
+        self._grouped_agg_cache = udf
+        return udf
 
     # ------------------------------------------------------------------
     def as_spark_grouped_agg_partial(self):

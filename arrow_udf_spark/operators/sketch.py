@@ -288,6 +288,11 @@ def count_min_estimate(
     ``minhash_jaccard_est`` does for signatures.  The true counts here
     are only computed for the |query| tokens — cheap — while the sketch
     side never materializes per-token state.
+
+    The truth side counts over the SAME stream the sketch ingested
+    (empty-string tokens excluded on both sides) — otherwise probing
+    ``''`` could yield ``true_cnt > cms_est`` and break the documented
+    ``est >= true`` invariant (ADVICE r6, low).
     """
     from .text import token_hash, tokens
 
@@ -320,6 +325,7 @@ def count_min_estimate(
     )
     truth = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")  # same filter as count_min_sketch
         .where(F.col("tok").isin(list(query_tokens)))
         .groupBy(F.col("tok").alias("token"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))

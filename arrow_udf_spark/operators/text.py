@@ -446,6 +446,13 @@ def source_token_tv(
     like KL/JS would hit libm; TV is the distribution-shift metric that
     stays rational).
 
+    The numerator is computed in DECIMAL(38,0): each product
+    ``c_A(t)*N_B`` is bounded by ``N_A*N_B`` (~1e26 at a 1e13-token
+    corpus), which overflows int64 — Spark's non-ANSI multiply would
+    wrap SILENTLY and break the exactness guarantee (ADVICE r6, low).
+    DECIMAL(19,0)x(19,0) -> (38,0) keeps every term exact up to 38
+    digits and fails loudly (NULL/overflow error) beyond, never wraps.
+
     Scale: per-source token counts are vocabulary-sized (one map-side
     combined aggregate over the corpus); the pivot is one shuffle keyed
     on token; the pairwise pass is ONE aggregate producing |S|^2/2
@@ -477,14 +484,19 @@ def source_token_tv(
     aggs = []
     for a, b in pairs:
         na, nb = int(totals.get(a, 0)), int(totals.get(b, 0))
+        dec = "decimal(19,0)"
         diff = F.abs(
-            F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast("long") * F.lit(nb)
-            - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast("long") * F.lit(na)
+            F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast(dec)
+            * F.lit(nb).cast(dec)
+            - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast(dec)
+            * F.lit(na).cast(dec)
         )
         # coalesce: an empty token stream (all-empty docs) must read as
         # zero divergence, not NULL
         aggs.append(
-            F.coalesce(F.sum(diff), F.lit(0)).cast("long").alias(f"__tv_{a}__{b}")
+            F.coalesce(F.sum(diff), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(f"__tv_{a}__{b}")
         )
     one = piv.agg(*aggs)
     rows = F.array(

@@ -82,6 +82,10 @@ class Registry:
     # aggregate name -> sql name its first overload registered under (bare
     # or mangled); used by the two-phase SQL rewrite in :meth:`sql`
     _agg_sql_names: dict[str, str] = field(default_factory=dict)
+    #: sticky flag set by ``register_sql(strict=True)``: the single-phase
+    #: GROUPED_AGG SQL surface is never registered and unprovable query
+    #: shapes raise instead of falling back to it
+    _strict_sql: bool = False
 
     def add(self, fn: Any) -> None:
         self._fns.setdefault(fn.sig.name, []).append(fn)
@@ -111,7 +115,9 @@ class Registry:
     def all(self) -> list[Any]:
         return [f for fns in self._fns.values() for f in fns]
 
-    def register_sql(self, spark: "SparkSession") -> list[str]:
+    def register_sql(
+        self, spark: "SparkSession", strict: bool = False
+    ) -> list[str]:
         """Expose overloads to ``spark.sql`` under mangled names.
 
         Scalars register via ``spark.udf.register``; table functions via
@@ -119,7 +125,20 @@ class Registry:
         ``LATERAL``).  The first overload of each name is also registered
         under the bare name, so ``SELECT gcd(a, b)`` works for the common
         case.
+
+        ``strict=True`` REFUSES to register the single-phase GROUPED_AGG
+        surface for aggregates (the scale trap: plain ``spark.sql`` plans
+        it without partial aggregation, every row of a group on one
+        worker).  Only the scale-safe ``__partial``/``__merge`` pair is
+        registered; a bare aggregate call then fails analysis-time with
+        UNRESOLVED_ROUTINE instead of silently planning the single-phase
+        shape, and :meth:`sql` raises (with the rewrite pointer) rather
+        than falling back.  Strict mode is sticky on the registry so a
+        later :meth:`sql` call honors it.
         """
+        if strict:
+            self._strict_sql = True
+        strict = self._strict_sql
         registered = []
         for name, fns in self._fns.items():
             # never shadow a Spark builtin under its bare name: a session
@@ -148,7 +167,12 @@ class Registry:
                     # aggregates own their name space: first overload bare
                     sql_name = name if bare_ok else f.sig.mangled()
                     self._agg_sql_names.setdefault(name, sql_name)
-                    spark.udf.register(sql_name, f.as_spark_grouped_agg())
+                    if not strict:
+                        # single-phase GROUPED_AGG surface (warns at wrap
+                        # time); strict mode refuses it outright
+                        spark.udf.register(
+                            sql_name, f.as_spark_grouped_agg()
+                        )
                     # two-phase SQL pair: the salted GROUP BY pattern
                     # (partial -> pickled state, merge -> finish) splits
                     # hot keys across workers; see
@@ -162,6 +186,11 @@ class Registry:
                     registered.append(f"{sql_name}__partial")
                     registered.append(f"{sql_name}__merge")
                     bare_ok = False
+                    if strict:
+                        # the bare single-phase name was NOT registered —
+                        # keep it out of the registered list (and out of
+                        # _sql_names, so leaving strict mode re-registers)
+                        continue
                 else:
                     continue
                 if sql_name == name:
@@ -207,6 +236,18 @@ class Registry:
         "cast", "coalesce", "abs", "round", "floor", "ceil", "ceiling",
         "nullif", "greatest", "least", "if", "ifnull", "nvl", "sign",
     }
+    #: bare words that signal a shape the call rewriter must NOT hoist
+    #: aggregates across.  ``SELECT`` is the load-bearing one: a scalar
+    #: subquery ``(SELECT max(y) FROM u)`` opens a new scope whose
+    #: aggregates range over ``u``, not the outer table — hoisting them
+    #: into the B subquery silently computes them over the wrong table
+    #: (ADVICE r6, high).  The rest are scope/structure keywords that can
+    #: only appear when such a subquery (or a window/set-op) is present.
+    _UNSAFE_BARE_WORDS = {
+        "select", "from", "where", "group", "having", "order", "limit",
+        "union", "intersect", "except", "join", "on", "exists", "with",
+        "over", "lateral", "values", "qualify",
+    }
 
     def sql(self, spark: "SparkSession", query: str) -> "DataFrame":
         """Run SQL with bare aggregate names made scale-safe by default.
@@ -242,6 +283,18 @@ class Registry:
         self.register_sql(spark)
         rewritten = self._rewrite_two_phase(query, used)
         if rewritten is None:
+            if self._strict_sql:
+                raise ValueError(
+                    "query shape not rewritable to two-phase aggregation "
+                    "and strict SQL mode refuses the single-phase "
+                    "GROUPED_AGG fallback (every row of a group on one "
+                    "worker). Simplify the query to a provable shape "
+                    "(single GROUP BY block, plain column group keys, "
+                    "no subqueries in the select list / HAVING / ORDER "
+                    "BY), or use the DataFrame "
+                    "AggregateFunction.agg(df, by=..., args=...) path, "
+                    "or re-register with register_sql(strict=False)."
+                )
             warnings.warn(
                 "query shape not rewritable to two-phase aggregation; "
                 "running single-phase GROUPED_AGG (every row of a group "
@@ -406,7 +459,13 @@ class Registry:
     def _split_tail(tail: str) -> Optional[tuple]:
         """Split ``HAVING ... ORDER BY ... LIMIT n`` into its clauses at
         paren depth 0.  Returns (having, order_by, limit) — each None when
-        absent — or None when the tail has another shape."""
+        absent — or None when the tail has another shape.
+
+        Unbalanced parens mean the non-paren-aware _GROUPBY_SHAPE regex
+        mis-split the query (e.g. ``WHERE x IN (SELECT y FROM u ORDER BY
+        z)`` truncates WHERE and hands this function ``ORDER BY z)``) —
+        return None so the caller falls back to single-phase execution
+        instead of emitting malformed SQL (ADVICE r6, medium)."""
         marks = []  # (pos, kind, match_end)
         depth = 0
         for i, ch in enumerate(tail):
@@ -414,6 +473,8 @@ class Registry:
                 depth += 1
             elif ch == ")":
                 depth -= 1
+                if depth < 0:
+                    return None
             elif depth == 0:
                 m = re.match(
                     r"(?i)\b(HAVING|ORDER\s+BY|LIMIT)\b", tail[i:]
@@ -421,6 +482,8 @@ class Registry:
                 if m and (i == 0 or not tail[i - 1].isalnum()):
                     kind = re.sub(r"\s+", " ", m.group(1).upper())
                     marks.append((i, kind, i + m.end()))
+        if depth != 0:
+            return None  # unbalanced tail — regex mis-split the query
         if not marks or tail[: marks[0][0]].strip():
             return None
         seen_order = [k for _, k, _ in marks]
@@ -471,6 +534,14 @@ class Registry:
             while k < n and expr[k].isspace():
                 k += 1
             if k >= n or expr[k] != "(":
+                # bare word (no call parens).  Column references and
+                # operator/literal keywords (AND, OR, NOT, IN, NULL, CASE,
+                # ...) pass through, but scope-opening keywords mean a
+                # subquery / window we cannot prove hoist-safe: fall back
+                # to single-phase instead of hoisting an inner scope's
+                # aggregate over the outer table.
+                if name.lower() in self._UNSAFE_BARE_WORDS:
+                    return None
                 out.append(expr[i:j])
                 i = j
                 continue

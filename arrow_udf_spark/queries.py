@@ -3080,9 +3080,12 @@ def _tv_oracle() -> str:
             arms.append(
                 f"""
       SELECT '{a}' AS src_a, '{b}' AS src_b,
-             CAST(COALESCE(SUM(ABS(COALESCE("{a}", 0) * (SELECT n FROM n WHERE source = '{b}')
-                        - COALESCE("{b}", 0) * (SELECT n FROM n WHERE source = '{a}'))), 0)
-                  AS BIGINT) AS tv_num,
+             CAST(COALESCE(SUM(ABS(
+                 CAST(COALESCE("{a}", 0) AS DECIMAL(19,0))
+                   * CAST((SELECT n FROM n WHERE source = '{b}') AS DECIMAL(19,0))
+                 - CAST(COALESCE("{b}", 0) AS DECIMAL(19,0))
+                   * CAST((SELECT n FROM n WHERE source = '{a}') AS DECIMAL(19,0)))), 0)
+                  AS DECIMAL(38,0)) AS tv_num,
              COALESCE((SELECT n FROM n WHERE source = '{a}'), 0) AS n_a,
              COALESCE((SELECT n FROM n WHERE source = '{b}'), 0) AS n_b
       FROM piv"""

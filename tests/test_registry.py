@@ -159,6 +159,7 @@ def test_udaf_sql_surface_warns_no_partial_agg(spark):
 
     from arrow_udf_spark.functions import corpus as C
 
+    C.SumAgg._grouped_agg_cache = None  # reset the once-per-aggregate memo
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         C.SumAgg.as_spark_grouped_agg()
@@ -300,3 +301,71 @@ def test_two_phase_having_resolves_select_aliases(spark):
     )
     assert ok is not None
     assert "WHERE (CAST(__u0 AS BIGINT)) > 100" in ok
+
+
+def test_register_sql_strict_refuses_single_phase(spark):
+    """VERDICT r6 ask #5: ``register_sql(strict=True)`` never registers
+    the single-phase GROUPED_AGG surface — the bare aggregate name fails
+    analysis instead of silently planning the whole-group-on-one-worker
+    shape — while the __partial/__merge pair still works, and
+    ``Registry.sql`` raises (with the DataFrame-path pointer) on shapes
+    it cannot rewrite instead of falling back."""
+    import warnings
+
+    from arrow_udf_spark.operators.aggregate import udaf
+    from arrow_udf_spark.plans.registry import Registry
+
+    reg = Registry()
+
+    @udaf(
+        input_types=["bigint"], result_type="bigint", name="strict_sum",
+        registry=reg,
+    )
+    class StrictSum:
+        def create_state(self):
+            return 0
+
+        def accumulate(self, s, x):
+            return s + (0 if x is None else int(x))
+
+        def merge(self, a, b):
+            return a + b
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        registered = set(reg.register_sql(spark, strict=True))
+    # no single-phase registration -> no GROUPED_AGG scale warning
+    assert not any(
+        "without partial" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+    assert "strict_sum" not in registered
+    assert {"strict_sum__partial", "strict_sum__merge"} <= registered
+    # the pair is the only SQL surface: bare name fails analysis
+    spark.range(10).selectExpr(
+        "id AS x", "pmod(id, 3) AS g"
+    ).createOrReplaceTempView("strict_t")
+    with pytest.raises(Exception, match="(?i)unresolved|cannot resolve"):
+        spark.sql("SELECT g, strict_sum(x) FROM strict_t GROUP BY g").collect()
+    got = spark.sql(
+        """
+        SELECT strict_sum__merge(p) AS s FROM (
+            SELECT strict_sum__partial(x) AS p FROM strict_t
+            GROUP BY pmod(x, 4)
+        )
+        """
+    ).collect()
+    assert got[0]["s"] == 45
+    # provable shapes still rewrite and run through the front door
+    df = reg.sql(
+        spark, "SELECT g, strict_sum(x) AS s FROM strict_t GROUP BY g"
+    )
+    assert sorted((r["g"], r["s"]) for r in df.collect()) == [
+        (0, 18), (1, 12), (2, 15),
+    ]
+    # unprovable shapes raise in strict mode (no single-phase fallback)
+    with pytest.raises(ValueError, match="strict SQL mode"):
+        reg.sql(
+            spark,
+            "SELECT g, strict_sum(x) AS s FROM strict_t GROUP BY g "
+            "HAVING s > (SELECT max(id) FROM range(1))",
+        )
