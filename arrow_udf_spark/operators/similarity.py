@@ -31,6 +31,8 @@ from .dedup import cosine
 __all__ = [
     "brute_force_topk",
     "brute_force_topk_numpy",
+    "ivf_build_index",
+    "ivf_persisted_topk",
     "ivf_topk",
     "lsh_bands",
     "lsh_topk",
@@ -247,6 +249,110 @@ def ivf_multiprobe_topk(
     )
     scored = indexed.join(F.broadcast(qp), "cell").select(
         "q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("score_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def ivf_build_index(
+    items: DataFrame,
+    cents: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF coarse index: assign every item vector
+    to its trained cell (broadcast-centroid codegen expression, zero
+    shuffle) and write ``(vec_id, emb)`` parquet PARTITIONED BY cell.
+
+    This is the production half the in-plan ``ivf_trained_topk`` skips: a
+    100 TB pipeline trains once, pays ONE indexing pass (one shuffle — the
+    repartition on cell, so each cell's vectors land co-located in that
+    cell's directory instead of fragmenting one file per task per cell),
+    and then serves every future query batch from the persisted index —
+    a query-time scan that partition-prunes to the handful of probed
+    cell directories, reading O(n_probe·N/k) bytes instead of re-scanning
+    and re-assigning the whole corpus per batch.  (Reference anchor: the
+    batched ``text_embedding`` vector UDF,
+    arrow-udf-remote/python/example.py:233-247, is the embed step that
+    feeds this index build.)
+
+    Incremental maintenance at scale: new vectors assign against the same
+    frozen centroid literal and append to their cell directory
+    (``mode=append``); cells never need rewriting until a re-train.
+    """
+    from .clustering import _assign
+
+    iv = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    indexed = _assign(iv, cents).select(
+        F.col("vec_id"),
+        F.col("e").alias("emb"),
+        F.col("cid").cast("int").alias("cell"),
+    )
+    # one shuffle keyed on cell -> one writer task per cell, contiguous
+    # cell directories (the scan side's pruning unit)
+    indexed.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_persisted_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    cents: list,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF search over a PERSISTED index (built by
+    :func:`ivf_build_index`): same output contract and same results as
+    :func:`ivf_multiprobe_topk`, but the corpus is never re-assigned —
+    the scan reads ONLY the probed cells' partition directories.
+
+    How the pruning works: the query batch's probe cells (each query's
+    ``n_probe`` nearest trained cells — O(q·n_probe) short rows) are
+    collected to the driver and folded into the scan filter as
+    ``cell IN (...)``, which Spark turns into a PARTITION filter on the
+    cell-partitioned parquet — directories outside the probe set are
+    never opened (``PartitionFilters`` in the plan; asserted in
+    tests/test_plans.py).  Candidates then join the broadcast
+    (q_id, cell) probe pairs per-query — a query scores only ITS probed
+    cells, not the batch's union — and the exact cosine re-rank keeps
+    top-k.  Per-query work is O(n_probe·N/n_list); per-BATCH I/O is
+    O(|probed cells|·N/n_list) regardless of corpus size.
+    """
+    from .clustering import probe_cells
+
+    probes = probe_cells(queries, cents, n_probe, id_col, vec_col)
+    probe_rows = probes.collect()  # O(queries·n_probe) — driver-bounded
+    cells = sorted({int(r["cell"]) for r in probe_rows})
+    qp = spark.createDataFrame(
+        [(int(r["id"]), int(r["cell"])) for r in probe_rows],
+        "q_id long, cell int",
+    )
+    idx = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        idx.join(F.broadcast(qp), "cell")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("qv"), F.col("emb")).alias("score_raw"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("score_raw").desc(), F.col("n_id").asc()

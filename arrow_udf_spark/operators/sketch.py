@@ -48,7 +48,14 @@ from pyspark.sql import functions as F
 
 from .aggregate import udaf
 
-__all__ = ["kmv_distinct", "KmvAgg", "KMV_K", "KMV_SPACE", "kmv_hash_col"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_error_gate",
+    "KmvAgg",
+    "KMV_K",
+    "KMV_SPACE",
+    "kmv_hash_col",
+]
 
 #: sketch width: 64 hashes/group ≈ 12% standard error — plenty for
 #: partition planning / skew detection, the 100 TB use cases
@@ -149,6 +156,51 @@ class KmvAgg:
 
         # same IEEE-double expression as the Catalyst/oracle formulation
         return int(math.floor((self.K - 1.0) * float(KMV_SPACE) / float(state[-1])))
+
+
+def kmv_error_gate(
+    df: DataFrame, key: str, ks: Sequence[int] = (16, 64, 256)
+) -> DataFrame:
+    """KMV estimator-quality gate: the approximate distinct count at
+    several sketch widths NEXT TO the exact ``COUNT(DISTINCT key)`` —
+    ``(k, approx_distinct, exact_distinct)`` per k.
+
+    This pins the accuracy the sketch buys at each width (standard error
+    ≈ 1/sqrt(k-2): k=16 → ~27%, k=64 → ~13%, k=256 → ~6%) as a gated,
+    cross-engine-deterministic result — the number a pipeline tunes k
+    against, exactly like ``count_min_freq`` does for CMS and
+    ``minhash_jaccard_est`` for signatures (the one sketch family whose
+    accuracy was not yet gate-pinned, VERDICT r6 ask #7).
+
+    One pass: a single hash-aggregate collects the sorted distinct-hash
+    array AND the exact distinct count; every k then reads its estimate
+    from a prefix slice of the same array — three sketch widths cost one
+    scan, not three.  (The exact side is what makes this a GATE, not a
+    production path — production uses :func:`kmv_distinct` / ``KmvAgg``
+    with bounded state and no exact baseline.)
+    """
+    kmax = max(ks)
+    h = df.where(F.col(key).isNotNull()).select(
+        F.col(key).alias("__k"), kmv_hash_col(key).alias("__h")
+    )
+    agg = h.agg(
+        F.slice(F.sort_array(F.collect_set("__h")), 1, kmax).alias("__mins"),
+        F.countDistinct("__k").cast("long").alias("exact_distinct"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).cast("int").alias("k"),
+                _estimate_expr(F.slice(F.col("__mins"), 1, int(k)), int(k))
+                .cast("long")
+                .alias("approx_distinct"),
+            )
+            for k in ks
+        ]
+    )
+    return agg.select(
+        F.explode(rows).alias("__r"), "exact_distinct"
+    ).select("__r.k", "__r.approx_distinct", "exact_distinct")
 
 
 def kmv_source_similarity(

@@ -4950,6 +4950,41 @@ def q_kmv_udaf(spark, sf):
 
 
 @query(
+    "kmv_error_gate",
+    """
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS hv
+        FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+    nh AS (SELECT COUNT(*) AS n FROM h),
+    ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+           FROM lineitem WHERE l_partkey IS NOT NULL)
+    SELECT CAST(k AS INT) AS k,
+           CASE WHEN (SELECT n FROM nh) < k
+                THEN CAST((SELECT n FROM nh) AS BIGINT)
+                ELSE CAST(FLOOR(((k - 1.0) * 1152921504606846976.0)
+                                / CAST((SELECT hv FROM ranked WHERE rn = k)
+                                       AS DOUBLE)) AS BIGINT)
+           END AS approx_distinct,
+           (SELECT exact_distinct FROM ex) AS exact_distinct
+    FROM (SELECT unnest([16, 64, 256]) AS k)
+    """,
+)
+def q_kmv_error_gate(spark, sf):
+    """KMV estimator-quality gate (VERDICT r6 ask #7): the approximate
+    distinct at k=16/64/256 next to the exact COUNT(DISTINCT) — pins the
+    accuracy each sketch width buys, the way count_min_freq pins CMS and
+    minhash_jaccard_est pins signatures.  One hash pass serves all three
+    widths (prefix slices of one sorted distinct-hash array); the md5
+    hash and the single-rounding-step IEEE estimate are engine-exact."""
+    from .operators.sketch import kmv_error_gate
+
+    return kmv_error_gate(t(spark, sf, "lineitem"), key="l_partkey")
+
+
+@query(
     "quantize_int8",
     """
     WITH t AS (
@@ -5117,9 +5152,7 @@ def q_ivf_trained_topk(spark, sf):
     return ivf_topk(items, queries, k=5, cell_col="cluster")
 
 
-@query(
-    "ivf_multiprobe_topk",
-    f"""
+_IVF_MULTIPROBE_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
@@ -5151,8 +5184,10 @@ def q_ivf_trained_topk(spark, sf):
                                        ORDER BY s DESC, n_id) rn
           FROM scored)
     WHERE rn <= 5
-    """,
-)
+    """
+
+
+@query("ivf_multiprobe_topk", _IVF_MULTIPROBE_ORACLE)
 def q_ivf_multiprobe_topk(spark, sf):
     """Multi-probe IVF (n_probe=2) over the same trained trajectory as
     ivf_trained_topk: the query searches its TWO nearest learned cells —
@@ -5167,6 +5202,33 @@ def q_ivf_multiprobe_topk(spark, sf):
     cents = kmeans_fit(e, k=8, iters=2)
     return ivf_multiprobe_topk(
         e, e.where(F.col("vec_id") < 5), cents, k=5, n_probe=2
+    )
+
+
+@query("ivf_persisted_topk", _IVF_MULTIPROBE_ORACLE)
+def q_ivf_persisted_topk(spark, sf):
+    """The production ANN shape (VERDICT r6 "missing #3"): train once,
+    PERSIST the index (vectors written partitioned by learned cell, one
+    indexing shuffle), then serve the query batch from the persisted
+    index — the scan partition-prunes to the probed cells' directories
+    (``PartitionFilters`` asserted in tests/test_plans.py) instead of
+    re-scanning/re-assigning the corpus per batch.  Identical Lloyd
+    trajectory, probe ordering, and ranking as ``ivf_multiprobe_topk``
+    (it shares that oracle verbatim), so the gate proves persist+prune
+    changes nothing about the answer.  At 100 TB: index build amortizes
+    across every future batch; per-batch I/O is O(probed cells), and new
+    vectors append to their cell directory without touching the rest."""
+    import tempfile
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import ivf_build_index, ivf_persisted_topk
+
+    e = t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    path = tempfile.mkdtemp(prefix="aus_ivf_idx_") + "/index"
+    ivf_build_index(e, cents, path)
+    return ivf_persisted_topk(
+        spark, path, e.where(F.col("vec_id") < 5), cents, k=5, n_probe=2
     )
 
 
@@ -5509,44 +5571,127 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-6 ordering.  The driver gates the first ~50 entries; priority
-    # (VERDICT r5 ask #1 — rotate the window onto the stale cohort):
-    #   1. new-in-r6 / re-shaped queries (no driver row in this form):
-    #      the HAVING/ORDER-BY two-phase SQL rewrite, the ANN recall
-    #      gate, and the re-staged shingle queries (decontaminate /
-    #      ngram_jaccard_pairs / dup_span_flags plan rebuilt) plus the
-    #      queries whose oracle or guard changed (kmeans squared-distance
-    #      oracle, lsh dim guard);
-    #   2. the 19 r3-stale queries with NO fresh proof of any kind;
-    #   3. the 14 r3-stale queries whose only exemption was the r4-judge
-    #      /proxy allowlist (aging out);
-    #   4. remaining slots: the 22 r3-stale queries the r5 judge
-    #      re-verified, stalest-value first.
+    # Round-7 ordering.  The driver gates the first ~50 entries; priority
+    # (VERDICT r6 ask #1 — rotate the window onto the 71 queries whose
+    # latest driver row is r4-or-older, stalest families first):
+    #   1. new-in-r7 (persisted-IVF ANN, KMV error gate) and the two
+    #      queries whose code/oracle changed this round
+    #      (corpus_divergence tv_num -> DECIMAL(38,0); count_min_freq
+    #      truth-side empty-token filter) — changed queries must re-prove;
+    #   2. set_ops (r1 driver row — missed the r6 window by one slot);
+    #   3. the stale families VERDICT named: remote corpus (the A19/A20
+    #      interop proof should not age), streaming, the UDAF/decimal
+    #      corpus, then pipeline_e2e / dup_clusters / kmv_*;
+    #   4. the rest of the r3-stale tail (TPC-H q1/q3/q6/q17/q18, text);
+    #   5. remaining slots from the r4-stale cohort: the temporal family
+    #      and the env-probe corpus (view/http/timeout/interval).
     # Queries the 50-slot window cannot fit get fresh evidence from the
     # LOCAL_VERIFY_r{N}.json replica artifact (tools/oracle_check.py
     # --record), which the staleness test accepts in place of a driver
     # row — the window rotates, the replica covers the rest.
     # ------------------------------------------------------------------
-    # -- 1. new / re-shaped in r6 (10) --
-    "sql_agg_having_two_phase",  # new r6: HAVING + agg ORDER BY two-phase
-    "lsh_recall_at_k",  # new r6: ANN recall vs exact top-k
-    "ivf_multiprobe_topk",  # new r6: n_probe=2 IVF recall lever
-    "simhash_hamming_pairs",  # new r6: pigeonhole hamming-band dedup
-    "minhash_jaccard_est",  # new r6: estimator-vs-exact quality gate
-    "knn_label_vote",  # new r6: kNN majority-vote over embeddings
-    "count_min_freq",  # new r6: CMS heavy hitters, bounded 4x256 state
-    "sampled_quantiles",  # new r6: hash-sample quantile estimator gate
-    "event_transitions",  # new r6: Markov transition matrix, 1 exchange
-    "pagerank_docs",  # new r6: int-fixed-point power iteration, O(E)/round
-    "corpus_divergence",  # new r6: exact-integer TV drift matrix
-    "streaming_transitions",  # new r6: O(1)/user cross-batch state
-    "decontaminate",  # re-staged plan (71s -> ~1s scale-killer fix)
-    "ngram_jaccard_pairs",  # re-staged shingle projection
-    "dup_span_flags",  # re-staged + explode_outer
-    "kmeans_train_assign",  # oracle now orders by squared distance
-    "ivf_trained_topk",  # consumes the re-oracled kmeans trajectory
-    "lsh_topk",  # NULL-tolerant dim guard
-    # -- 2. r3-stale, no fresh proof (19) --
+    # -- 1. new / changed in r7 (4) --
+    "ivf_persisted_topk",  # new r7: persisted cell-partitioned ANN index
+    "kmv_error_gate",  # new r7: KMV est vs exact at k=16/64/256
+    "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
+    "count_min_freq",  # changed r7: truth side filters '' like the sketch
+    # -- 2. r1-stale (1) --
+    "set_ops",
+    # -- 3a. remote family (7) --
+    "remote_gcd",
+    "remote_series_udtf",
+    "remote_ref_gcd",
+    "remote_ref_series_udtf",
+    "remote_ref_decimal_add",
+    "remote_ref_json_access",
+    "remote_ref_tcp_info",
+    # -- 3b. streaming family (3) --
+    "streaming_window_agg",
+    "streaming_dedup_digests",
+    "streaming_enrich_join",
+    # -- 3c. UDAF / decimal / error corpus (10) --
+    "sum_udaf",
+    "retract_udaf",
+    "sum_udaf_two_phase_sql",
+    "count_udaf",
+    "kmv_udaf",
+    "decimal_add_fn",
+    "decimal_native_math",
+    "float_to_decimal_fn",
+    "div_error",
+    "error_text_corpus",
+    # -- 3d. pipeline / dedup / sketch (5) --
+    "pipeline_e2e",
+    "dup_clusters",
+    "kmv_distinct",
+    "lsh_join_new_vs_ref",
+    "quantize_int8",
+    # -- 4. rest of the r3-stale tail (12) --
+    "redact_pii",
+    "rollup_agg",
+    "temporal_roundtrip",
+    "tfidf_topterms",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q17",
+    "tpch_q18",
+    "unigram_surprisal",
+    "upsert_latest",
+    "wav_roundtrip",
+    # -- 5. r4-stale picks to fill the window (8) --
+    "asof_join",
+    "sessionize",
+    "range_join_count",
+    "resample_ffill",
+    "view_roundtrip",
+    "http_fetch_corpus",
+    "timeout_error_corpus",
+    "interval_add_fn",
+    # -- remainder: the other r4-stale queries, then the r5/r6-fresh
+    #    catalog (replica artifact covers everything past the window) --
+    "embedding_mean_pool",
+    "expr_breadth",
+    "fingerprint",
+    "simhash",
+    "minhash_signature",
+    "percentiles",
+    "pivot_agg",
+    "salted_join_agg",
+    "semi_anti_join",
+    "series_udtf",
+    "set_ops_full",
+    "skew_agg",
+    "split_words_udtf",
+    "stats_aggs",
+    "string_agg_nations",
+    "struct_to_json_fn",
+    "uint64_widening",
+    "value_histogram",
+    "array_identity_fn",
+    "audio_chunks",
+    "binary_fns",
+    "gcd3_fn",
+    "json_concat_fn",
+    "map_fn",
+    "return_all_fn",
+    # r5/r6-fresh from here (prior-round head, unchanged order)
+    "sql_agg_having_two_phase",
+    "lsh_recall_at_k",
+    "ivf_multiprobe_topk",
+    "simhash_hamming_pairs",
+    "minhash_jaccard_est",
+    "knn_label_vote",
+    "sampled_quantiles",
+    "event_transitions",
+    "pagerank_docs",
+    "streaming_transitions",
+    "decontaminate",
+    "ngram_jaccard_pairs",
+    "dup_span_flags",
+    "kmeans_train_assign",
+    "ivf_trained_topk",
+    "lsh_topk",
     "tpch_q5",
     "tpch_q7",
     "tpch_q8",
@@ -5566,7 +5711,6 @@ _GATE_PRIORITY = [
     "chunk_documents",
     "repetition_ratio",
     "vocab_topk",
-    # -- 3. r3-stale, exemption aging out (14) --
     "lang_id",
     "sample_frames",
     "identity_roundtrip",
@@ -5580,31 +5724,6 @@ _GATE_PRIORITY = [
     "tpch_q19",
     "window_topk_orders",
     "join_with_udf",
-    "set_ops",
-    # -- remainder: r3-stale judge-reverified overflow first (replica
-    #    artifact covers them), then the r4/r5-fresh catalog --
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "sum_udaf",
-    "retract_udaf",
-    "streaming_dedup_digests",
-    "pipeline_e2e",
-    "wav_roundtrip",
-    "error_text_corpus",
-    "sum_udaf_two_phase_sql",
-    "dup_clusters",
-    "temporal_roundtrip",
-    "kmv_distinct",
-    "quantize_int8",
-    "rollup_agg",
-    "lsh_join_new_vs_ref",
-    "unigram_surprisal",
-    "redact_pii",
-    "upsert_latest",
-    "tpch_q17",
-    "tpch_q18",
-    "tfidf_topterms",
     "sql_agg_bare_two_phase",
     "decimal_wide_add",
     "streaming_retract_sliding",
@@ -5650,54 +5769,6 @@ _GATE_PRIORITY = [
     "cosine_topk_numpy",
     "ivf_topk",
     "image_meta",
-    "kmv_udaf",
-    "decimal_add_fn",
-    "count_udaf",
-    "timeout_error_corpus",
-    "float_to_decimal_fn",
-    "struct_to_json_fn",
-    "map_fn",
-    "remote_ref_gcd",
-    "remote_ref_series_udtf",
-    "remote_ref_decimal_add",
-    "remote_ref_json_access",
-    "remote_ref_tcp_info",
-    "view_roundtrip",
-    "http_fetch_corpus",
-    "streaming_enrich_join",
-    "embedding_mean_pool",
-    "div_error",
-    "minhash_signature",
-    "simhash",
-    "fingerprint",
-    "series_udtf",
-    "asof_join",
-    "sessionize",
-    "range_join_count",
-    "resample_ffill",
-    "remote_gcd",
-    "remote_series_udtf",
-    "streaming_window_agg",
-    "pivot_agg",
-    "semi_anti_join",
-    "set_ops_full",
-    "string_agg_nations",
-    "stats_aggs",
-    "percentiles",
-    "value_histogram",
-    "expr_breadth",
-    "skew_agg",
-    "salted_join_agg",
-    "gcd3_fn",
-    "json_concat_fn",
-    "binary_fns",
-    "array_identity_fn",
-    "split_words_udtf",
-    "return_all_fn",
-    "interval_add_fn",
-    "decimal_native_math",
-    "uint64_widening",
-    "audio_chunks",
 ]
 
 

@@ -420,3 +420,49 @@ def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
         .first()["s"]
     )
     assert df.first()["s"] == expected
+
+
+def test_ivf_persisted_index_partition_prunes(spark, sf_dir):
+    """The persisted-IVF query path must read ONLY the probed cells'
+    partition directories: the index scan carries a PartitionFilter of
+    exactly the n_probe cells the single query probes — never the full
+    cell list — and the probe/query sides broadcast (no shuffle of the
+    index beyond the final per-query top-k)."""
+    import re
+    import tempfile
+
+    from arrow_udf_spark.operators.clustering import kmeans_fit
+    from arrow_udf_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_persisted_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(e, k=8, iters=2)
+    path = tempfile.mkdtemp(prefix="ivf_prune_") + "/index"
+    ivf_build_index(e, cents, path)
+
+    out = ivf_persisted_topk(
+        spark, path, e.where(F.col("vec_id") < 1), cents, k=5, n_probe=2
+    )
+    plan = _plan(out)
+    idx_scan = next(
+        ln for ln in plan.splitlines() if "index" in ln and "FileScan" in ln
+    )
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", idx_scan)
+    assert m, idx_scan
+    cells = m.group(1).split(",")
+    # ONE query with n_probe=2 probes exactly 2 cells out of 8
+    assert len(cells) == 2, cells
+    # probe pairs and query vectors broadcast into the pruned scan
+    assert "BroadcastHashJoin" in plan
+    # and the answer over the pruned scan matches the un-persisted
+    # multiprobe search exactly
+    from arrow_udf_spark.operators.similarity import ivf_multiprobe_topk
+
+    exp = ivf_multiprobe_topk(
+        e, e.where(F.col("vec_id") < 1), cents, k=5, n_probe=2
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, exp.collect())
+    )

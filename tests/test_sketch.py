@@ -228,3 +228,28 @@ def test_sampled_quantiles_error_bounded(spark, sf_dir):
         exact, est = r[f"p{p}_exact"], r[f"p{p}_est"]
         assert exact > 0
         assert abs(est - exact) / exact <= 0.10, (p, exact, est)
+
+
+def test_kmv_error_gate_floors(spark):
+    """The KMV gate must show each width inside its 3-sigma band
+    (stderr ~ 1/sqrt(k-2)) at a cardinality well above kmax, and fall
+    back to the EXACT count when the true cardinality is below k."""
+    from arrow_udf_spark.operators.sketch import kmv_error_gate
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    rows = {
+        r["k"]: (r["approx_distinct"], r["exact_distinct"])
+        for r in kmv_error_gate(li, key="l_partkey").collect()
+    }
+    assert set(rows) == {16, 64, 256}
+    for k, (est, ex) in rows.items():
+        bound = 3.0 / (k - 2) ** 0.5
+        rel = abs(est - ex) / ex
+        assert rel <= bound, f"k={k}: rel error {rel:.3f} > 3-sigma {bound:.3f}"
+    # below-k cardinality -> the sketch IS the exact distinct-hash count
+    small = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    srows = {
+        r["k"]: (r["approx_distinct"], r["exact_distinct"])
+        for r in kmv_error_gate(small, key="l_partkey").collect()
+    }
+    assert srows[256][0] == srows[256][1]
