@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "event_transitions",        # Markov matrix, one user-key exchange
     "pagerank_docs",            # int64 power iteration, O(E)/round
     "corpus_divergence",        # exact-integer TV drift matrix
+    # new in r7:
+    "ivf_persisted_topk",       # persisted cell-partitioned ANN index
+    "kmv_error_gate",           # KMV est-vs-exact at three widths
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
@@ -90,6 +93,24 @@ BENCH_QUERIES = [
 #: queries by ±0.2 s and polluted the round-over-round regression signal;
 #: r6+ numbers compare against r5's best-of-3 chain, never r4's.
 REPS = 3
+
+#: ORDER PROTOCOL (VERDICT r6 ask #4, permanent from r7): the reps run as
+#: REPS full PASSES over the cohort — pass 0 in catalog order, pass 1
+#: reversed, pass 2 in a seed-7 shuffle — instead of 3 back-to-back runs
+#: per query.  With 40+ queries in one session, later queries inherit a
+#: warmer JVM/page cache than earlier ones; interleaving the passes means
+#: a query's position varies across its reps, so cohort growth can no
+#: longer silently re-time earlier queries (the r5→r6 simhash/fingerprint
+#: "regression" was exactly this artifact).  Best-of-REPS per query is
+#: unchanged; orders are deterministic for reproducibility.
+
+
+def _pass_orders(names: list) -> list:
+    import random
+
+    shuffled = names[:]
+    random.Random(7).shuffle(shuffled)
+    return [names, list(reversed(names)), shuffled][:REPS]
 
 
 def main() -> None:
@@ -120,34 +141,44 @@ def main() -> None:
     # per-query error isolation: one broken query must never zero the whole
     # round's benchmark — failures record as null and the JSON line always
     # prints (round-2 lesson: a single analysis error DNF'd the bench).
-    timings: dict[str, float | None] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        # best of 3 (r5, was 2): first run pays Python-worker spin-up for
-        # this plan shape, later runs measure steady-state throughput —
-        # sub-second queries were moving ±0.2 s under best-of-2, polluting
-        # the round-over-round regression signal.  noop write forces
-        # evaluation of EVERY output column/row (count() would let
-        # Catalyst column-prune the operator under test).
-        try:
-            best = None
-            df = None
-            for _ in range(REPS):
+    #
+    # Timing runs as REPS interleaved passes in different deterministic
+    # orders (see _pass_orders) so a query's JVM-warmth position varies
+    # across its reps; best-of-REPS per query.  noop write forces
+    # evaluation of EVERY output column/row (count() would let Catalyst
+    # column-prune the operator under test).
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    best: dict[str, float] = {}
+    failed: set = set()
+    for order in _pass_orders(names):
+        for name in order:
+            if name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            n = df.count()  # untimed, reporting only
-            timings[name] = round(best, 3)
-            sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
-        except Exception as e:  # noqa: BLE001 — isolation is the point
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                failed.add(name)
+                sys.stderr.write(
+                    f"  {name}: FAILED {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:200]}\n"
+                )
+    timings: dict[str, float | None] = {}
+    for name in names:
+        if name in failed:
             timings[name] = None
-            sys.stderr.write(
-                f"  {name}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:200]}\n"
-            )
+            continue
+        timings[name] = round(best[name], 3)
+        try:
+            n = QUERIES[name](spark, sf_dir).count()  # untimed, reporting
+        except Exception:  # noqa: BLE001
+            n = -1
+        sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
@@ -171,9 +202,15 @@ def main() -> None:
                     "kmeans_train_assign + funnel_conversion; r6 adds "
                     "decontaminate, dup_span_flags, lsh_topk, inverted_index, "
                     "bm25_topk, ivf_trained_topk, ivf_multiprobe_topk, "
-                    "simhash_hamming_pairs, minhash_jaccard_est — always "
+                    "simhash_hamming_pairs, minhash_jaccard_est; r7 adds "
+                    "ivf_persisted_topk + kmv_error_gate — always "
                     "compare the shared-query cohort, not the raw total. "
-                    "See docstring."
+                    "(c) From r7 the reps run as interleaved passes in "
+                    "different deterministic orders (catalog / reversed / "
+                    "seed-7 shuffle) instead of 3 back-to-back runs per "
+                    "query, so later queries no longer systematically "
+                    "inherit a warmer JVM than earlier ones; best-of-3 per "
+                    "query is unchanged. See docstring."
                 ),
             }
         )
