@@ -266,6 +266,7 @@ def ivf_build_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "overwrite",
 ) -> None:
     """Build and PERSIST the IVF coarse index: assign every item vector
     to its trained cell (broadcast-centroid codegen expression, zero
@@ -299,8 +300,12 @@ def ivf_build_index(
         F.col("cid").cast("int").alias("cell"),
     )
     # one shuffle keyed on cell -> one writer task per cell, contiguous
-    # cell directories (the scan side's pruning unit)
-    indexed.repartition("cell").write.mode("overwrite").partitionBy(
+    # cell directories (the scan side's pruning unit).  mode="append"
+    # is the incremental path: new vectors assign against the same
+    # frozen centroids and add files to their cell directory without
+    # touching existing data (gated by ivf_append_topk: split build +
+    # append answers exactly like a single full build).
+    indexed.repartition("cell").write.mode(mode).partitionBy(
         "cell"
     ).parquet(path)
 

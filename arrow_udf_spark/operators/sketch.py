@@ -49,6 +49,9 @@ from pyspark.sql import functions as F
 from .aggregate import udaf
 
 __all__ = [
+    "bloom_build",
+    "bloom_prejoin_gate",
+    "bloom_prune",
     "kmv_distinct",
     "kmv_error_gate",
     "KmvAgg",
@@ -156,6 +159,161 @@ class KmvAgg:
 
         # same IEEE-double expression as the Catalyst/oracle formulation
         return int(math.floor((self.K - 1.0) * float(KMV_SPACE) / float(state[-1])))
+
+
+def bloom_build(
+    small: DataFrame, key: str, m_bits: int = 512, k_hashes: int = 2
+) -> list:
+    """Build a Bloom filter over the small side's keys: ``m_bits`` bits
+    packed into ``m_bits/64`` signed int64 words (driver-side, bounded by
+    ``m_bits`` regardless of key cardinality).
+
+    Bit positions are md5-derived (``md5int32(key || ':' || i) % m``) so
+    any engine reproduces the exact same filter — no library bloom, no
+    seed.  The distinct positions are one bounded aggregate
+    (O(m) rows max after DISTINCT) collected to the driver.
+    """
+    from .text import token_hash
+
+    pos = (
+        small.where(F.col(key).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            token_hash(
+                                F.concat(
+                                    F.col(key).cast("string"), F.lit(f":{i}")
+                                )
+                            ),
+                            F.lit(m_bits),
+                        ).alias("p")
+                        for i in range(k_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # Java longs are signed: fold bit 63 into the sign
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune(
+    big: DataFrame,
+    key: str,
+    words: list,
+    m_bits: int = 512,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Filter ``big`` to rows whose key MIGHT be in the bloom set: all
+    ``k_hashes`` bit positions set.  No false negatives ever (a present
+    key's bits are all set by construction); false positives pass and
+    are eliminated by the join itself.
+
+    This is THE map-side shuffle reducer at 100 TB: the filter is an
+    O(m/64)-long literal folded into the scan's partition-local predicate
+    (no join, no shuffle, whole-stage codegen bit math), so the fact
+    table shrinks to ~(match + fp) rows BEFORE the join exchange —
+    Spark's own runtime row-level filtering does exactly this shape with
+    an injected bloom; here the filter is explicit, deterministic, and
+    oracle-checkable.  Bit test: ``(words[p DIV 64] >> (p % 64)) & 1``
+    — arithmetic shift is fine because the mask keeps only the target
+    bit.
+    """
+    from .text import token_hash
+
+    words_sql = "array({})".format(",".join(f"{int(w)}L" for w in words))
+    ps = F.array(
+        *[
+            F.pmod(
+                token_hash(
+                    F.concat(F.col(key).cast("string"), F.lit(f":{i}"))
+                ),
+                F.lit(m_bits),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    staged = big.where(F.col(key).isNotNull()).withColumn("__bp", ps)
+    test = (
+        f"forall(__bp, p -> (shiftright(element_at({words_sql}, "
+        f"cast(p DIV 64 AS INT) + 1), cast(p % 64 AS INT)) & 1) = 1)"
+    )
+    return staged.where(F.expr(test)).drop("__bp")
+
+
+def bloom_prejoin_gate(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 512,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Bloom pre-join quality gate: one row
+    ``(n_big, n_bloom_pass, n_exact_match, n_false_pos)`` pinning the
+    filter's behavior next to the exact semijoin —
+
+    - ``n_bloom_pass >= n_exact_match`` ALWAYS (no false negatives, the
+      bloom contract; asserted in tests),
+    - ``n_false_pos = n_bloom_pass - n_exact_match`` is the extra-row
+      cost a pipeline tunes ``m_bits``/``k_hashes`` against — the same
+      estimator-gate pattern as ``count_min_freq``/``kmv_error_gate``.
+
+    ONE pass: a broadcast left join against the distinct small keys
+    (small by contract — it fit in a bloom build) feeds a single
+    conditional aggregate computing all four counters — no count
+    subqueries, no 1-row cross joins, map-side combinable.
+    """
+    from .text import token_hash
+
+    words = bloom_build(small, small_key, m_bits, k_hashes)
+    words_sql = "array({})".format(",".join(f"{int(w)}L" for w in words))
+    ps = F.array(
+        *[
+            F.pmod(
+                token_hash(
+                    F.concat(F.col(big_key).cast("string"), F.lit(f":{i}"))
+                ),
+                F.lit(m_bits),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    test = (
+        f"forall(__bp, p -> (shiftright(element_at({words_sql}, "
+        f"cast(p DIV 64 AS INT) + 1), cast(p % 64 AS INT)) & 1) = 1)"
+    )
+    sk = (
+        small.where(F.col(small_key).isNotNull())
+        .select(F.col(small_key).alias("__k"))
+        .distinct()
+    )
+    b = (
+        big.where(F.col(big_key).isNotNull())
+        .withColumn("__bp", ps)
+        .withColumn("__pass", F.expr(test))
+        .join(F.broadcast(sk), F.col(big_key) == F.col("__k"), "left")
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_big"),
+        F.count(F.when(F.col("__pass"), 1)).cast("bigint").alias(
+            "n_bloom_pass"
+        ),
+        F.count(F.when(F.col("__k").isNotNull(), 1)).cast("bigint").alias(
+            "n_exact_match"
+        ),
+        F.count(F.when(F.col("__pass") & F.col("__k").isNull(), 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
 
 
 def kmv_error_gate(

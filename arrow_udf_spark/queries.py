@@ -4950,6 +4950,58 @@ def q_kmv_udaf(spark, sf):
 
 
 @query(
+    "bloom_prejoin",
+    """
+    WITH sk AS (SELECT DISTINCT p_partkey AS key FROM part
+                WHERE p_size <= 5 AND p_partkey IS NOT NULL),
+    pos AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i),
+                                     1, 8)) AS BIGINT) % 512 AS p
+            FROM sk CROSS JOIN (SELECT unnest(range(0, 2)) AS i)),
+    big AS (SELECT l_partkey AS key FROM lineitem
+            WHERE l_partkey IS NOT NULL),
+    pass AS (
+      SELECT key FROM big
+      WHERE (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':0'), 1, 8))
+                  AS BIGINT) % 512) IN (SELECT p FROM pos)
+        AND (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':1'), 1, 8))
+                  AS BIGINT) % 512) IN (SELECT p FROM pos)
+    ),
+    c AS (SELECT
+      (SELECT COUNT(*) FROM big) AS n_big,
+      (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
+      (SELECT COUNT(*) FROM big WHERE key IN (SELECT key FROM sk))
+          AS n_exact_match)
+    SELECT CAST(n_big AS BIGINT) AS n_big,
+           CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+           CAST(n_exact_match AS BIGINT) AS n_exact_match,
+           CAST(n_bloom_pass - n_exact_match AS BIGINT) AS n_false_pos
+    FROM c
+    """,
+)
+def q_bloom_prejoin(spark, sf):
+    """Deterministic Bloom pre-join filter gated next to the exact
+    semijoin: the dim side's keys fold into a 512-bit md5-derived bitmap
+    (8 int64 words, bounded regardless of cardinality) and the fact
+    table is pruned MAP-SIDE — codegen bit math in the scan predicate,
+    no join, no shuffle — before any exchange.  The gate row
+    (n_big, n_bloom_pass, n_exact_match, n_false_pos) pins the no-false-
+    negative contract and the false-positive cost a pipeline tunes
+    m/k against — the shuffle-reduction pattern Spark's runtime
+    row-level filtering applies, made explicit and oracle-checkable."""
+    from .operators.sketch import bloom_prejoin_gate
+
+    return bloom_prejoin_gate(
+        t(spark, sf, "lineitem"),
+        t(spark, sf, "part").where(F.col("p_size") <= 5),
+        "l_partkey",
+        "p_partkey",
+        m_bits=512,
+        k_hashes=2,
+    )
+
+
+@query(
     "kmv_error_gate",
     """
     WITH h AS (
@@ -4982,6 +5034,65 @@ def q_kmv_error_gate(spark, sf):
     from .operators.sketch import kmv_error_gate
 
     return kmv_error_gate(t(spark, sf, "lineitem"), key="l_partkey")
+
+
+@query(
+    "streaming_kmv_distinct",
+    _KMV_ORACLE.format(grp="l_returnflag", key="l_orderkey", tbl="lineitem"),
+)
+def q_streaming_kmv_distinct(spark, sf):
+    """The KMV sketch maintained INCREMENTALLY over a live 3-micro-batch
+    stream: per-key state through the state store is the bounded <= k
+    sorted hash tuple (KmvAgg's A6/A9 protocol under
+    ``applyInPandasWithState``), each batch re-emits the running
+    estimate, and the FINAL update per key must equal the from-scratch
+    batch sketch (the oracle) — merge associativity/commutativity on a
+    real stream.  This is the streaming face of the 100 TB
+    COUNT(DISTINCT) answer: O(k) state per key forever, no growing
+    distinct set, mergeable across days by construction."""
+    import tempfile
+    import uuid
+
+    from .operators.sketch import KmvAgg, kmv_hash_col
+    from .streaming.stateful import streaming_running_agg
+
+    li = (
+        t(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            kmv_hash_col("l_orderkey").alias("hv"),
+            "l_orderkey",
+        )
+        .repartitionByRange(3, "l_orderkey")
+        .drop("l_orderkey")
+    )
+    d = tempfile.mkdtemp(prefix="stream_kmv_")
+    li.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_running_agg(
+        stream, KmvAgg, by=["l_returnflag"], args=["hv"], emit_seq=True
+    )
+    sink = f"kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {len(q.recentProgress)}"
+        )
+    return spark.sql(
+        f"SELECT l_returnflag, CAST(max_by(kmv_udaf, __seq) AS BIGINT) "
+        f"AS approx_distinct FROM {sink} GROUP BY l_returnflag"
+    )
 
 
 @query(
@@ -5227,6 +5338,33 @@ def q_ivf_persisted_topk(spark, sf):
     cents = kmeans_fit(e, k=8, iters=2)
     path = tempfile.mkdtemp(prefix="aus_ivf_idx_") + "/index"
     ivf_build_index(e, cents, path)
+    return ivf_persisted_topk(
+        spark, path, e.where(F.col("vec_id") < 5), cents, k=5, n_probe=2
+    )
+
+
+@query("ivf_append_topk", _IVF_MULTIPROBE_ORACLE)
+def q_ivf_append_topk(spark, sf):
+    """Incremental index maintenance, gated: the index is built from the
+    EVEN vec_ids, then the odd vec_ids are APPENDED against the same
+    frozen centroids (new files land in their cell directory; existing
+    data untouched) — and the search answers EXACTLY like a single full
+    build (shares the ivf_multiprobe_topk oracle verbatim).  This is how
+    a 100 TB pipeline actually lives with an ANN index: daily embeddings
+    append in one assignment pass; nothing re-clusters, nothing
+    rewrites, re-training is a deliberate separate event."""
+    import tempfile
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import ivf_build_index, ivf_persisted_topk
+
+    e = t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    path = tempfile.mkdtemp(prefix="aus_ivf_app_") + "/index"
+    ivf_build_index(e.where(F.col("vec_id") % 2 == 0), cents, path)
+    ivf_build_index(
+        e.where(F.col("vec_id") % 2 == 1), cents, path, mode="append"
+    )
     return ivf_persisted_topk(
         spark, path, e.where(F.col("vec_id") < 5), cents, k=5, n_probe=2
     )
@@ -5590,9 +5728,12 @@ _GATE_PRIORITY = [
     # --record), which the staleness test accepts in place of a driver
     # row — the window rotates, the replica covers the rest.
     # ------------------------------------------------------------------
-    # -- 1. new / changed in r7 (4) --
+    # -- 1. new / changed in r7 (7) --
     "ivf_persisted_topk",  # new r7: persisted cell-partitioned ANN index
+    "ivf_append_topk",  # new r7: incremental append == full build
     "kmv_error_gate",  # new r7: KMV est vs exact at k=16/64/256
+    "bloom_prejoin",  # new r7: broadcast-bitmap pre-join prune gate
+    "streaming_kmv_distinct",  # new r7: bounded sketch state on a stream
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

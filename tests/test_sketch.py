@@ -253,3 +253,39 @@ def test_kmv_error_gate_floors(spark):
         for r in kmv_error_gate(small, key="l_partkey").collect()
     }
     assert srows[256][0] == srows[256][1]
+
+
+def test_bloom_prune_no_false_negatives_and_no_join(spark):
+    """The bloom contract: every key actually present on the small side
+    must survive the prune (no false negatives, ever); the prune itself
+    must be a pure filter — no join/exchange in its plan."""
+    from arrow_udf_spark.operators.sketch import bloom_build, bloom_prune
+
+    sf = "/root/testdata/sf0.001"
+    part = spark.read.parquet(f"{sf}/part.parquet").where("p_size <= 5")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    words = bloom_build(part, "p_partkey", m_bits=256, k_hashes=2)
+    assert len(words) == 4  # 256 bits -> 4 signed words
+    pruned = bloom_prune(li, "l_partkey", words, m_bits=256, k_hashes=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:500]
+    # no false negatives: semijoin of the PRUNED side equals the exact one
+    keys = {r["p_partkey"] for r in part.select("p_partkey").collect()}
+    exact = li.where(F.col("l_partkey").isin(list(keys))).count()
+    survived = pruned.where(F.col("l_partkey").isin(list(keys))).count()
+    assert survived == exact
+
+
+def test_bloom_gate_row_shape(spark):
+    from arrow_udf_spark.operators.sketch import bloom_prejoin_gate
+
+    sf = "/root/testdata/sf0.001"
+    r = bloom_prejoin_gate(
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/part.parquet").where("p_size <= 5"),
+        "l_partkey",
+        "p_partkey",
+    ).collect()[0]
+    assert r["n_bloom_pass"] >= r["n_exact_match"]
+    assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_exact_match"]
+    assert r["n_false_pos"] >= 0 and r["n_big"] >= r["n_bloom_pass"]
