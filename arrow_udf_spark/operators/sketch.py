@@ -58,6 +58,7 @@ __all__ = [
     "KMV_K",
     "KMV_SPACE",
     "kmv_hash_col",
+    "skew_profile",
 ]
 
 #: sketch width: 64 hashes/group ≈ 12% standard error — plenty for
@@ -159,6 +160,44 @@ class KmvAgg:
 
         # same IEEE-double expression as the Catalyst/oracle formulation
         return int(math.floor((self.K - 1.0) * float(KMV_SPACE) / float(state[-1])))
+
+
+def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Join-key skew diagnostic — the number you look at BEFORE salting:
+    the ``top`` heaviest keys with exact counts and their corpus share in
+    parts-per-million — ``(rank, key, cnt, ppm)``, ties to the smaller
+    key.  ``ppm = cnt * 1_000_000 DIV total`` (integer division, exact in
+    any engine — no float share).
+
+    A hot key's ppm directly sizes the salt factor a shuffle join needs
+    (a key at 200_000 ppm = 20% of the table lands 20% of the shuffle on
+    one reducer).  Plan: ONE map-side-combined count aggregate over the
+    key (O(distinct) shuffle rows), total as a broadcast single-row
+    cross (1-row, lint-whitelisted shape) — no window over the raw
+    table, no sort of the full key space (TakeOrdered).
+    """
+    keyed = df.where(F.col(key).isNotNull())
+    counts = keyed.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 1000000 DIV __total AS BIGINT)").alias("ppm"),
+        )
+    )
 
 
 def bloom_build(

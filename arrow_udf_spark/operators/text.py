@@ -27,6 +27,7 @@ __all__ = [
     "STOPWORDS",
     "normalize_text",
     "source_quota",
+    "bpe_pair_counts",
 ]
 
 #: small fixed stopword lists per language (order = tiebreak priority)
@@ -173,6 +174,45 @@ def fingerprint(text: Column | str) -> Column:
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + token_hash(t)) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def bpe_pair_counts(df, text_col: str = "text", top: int = 10):
+    """The hot loop of BPE tokenizer training, distributed: count every
+    adjacent CHARACTER pair inside each whitespace token across the
+    corpus and return the ``top`` heaviest — ``(rank, pair, cnt)`` with
+    ties to the lexicographically smaller pair.  (A full BPE train
+    repeats this argmax + merge; the pair count is the step that touches
+    all the data, so it is the step that must scale.)
+
+    Plan: per token, pairs come from one ``transform(sequence)`` over
+    substring — pure codegen, no Python; the aggregate's key space is
+    bounded by the character-bigram vocabulary (thousands), so map-side
+    combine collapses the corpus before ONE shuffle; the top-k is a
+    TakeOrdered, never a full sort.  Exact integer counts + fixed
+    tie-break = engine-exact oracle.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top)
+        .select("rank", "pair", "cnt")
     )
 
 

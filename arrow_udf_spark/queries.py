@@ -5037,6 +5037,68 @@ def q_kmv_error_gate(spark, sf):
 
 
 @query(
+    "skew_profile",
+    """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events
+            WHERE user_id IS NOT NULL)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT)
+               AS rank,
+           key, cnt,
+           CAST(cnt * 1000000 // t AS BIGINT) AS ppm
+    FROM (SELECT * FROM c ORDER BY cnt DESC, key ASC LIMIT 10), tot
+    ORDER BY rank
+    """,
+)
+def q_skew_profile(spark, sf):
+    """Join-key skew diagnostic: the 10 heaviest keys with exact counts
+    and integer parts-per-million share — the number that sizes a salt
+    factor before a shuffle join (a 200_000-ppm key puts 20% of the
+    exchange on one reducer).  One map-side-combined count aggregate,
+    top-k via TakeOrdered, share as exact integer division — no floats,
+    no full sort, no window over the raw table."""
+    from .operators.sketch import skew_profile
+
+    return skew_profile(t(spark, sf, "events"), key="user_id", top=10)
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(tok)),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM toks WHERE len(tok) >= 2
+    ),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+               AS rank,
+           pair, cnt
+    FROM c ORDER BY cnt DESC, pair ASC LIMIT 10
+    """,
+)
+def q_bpe_pair_counts(spark, sf):
+    """The hot loop of BPE tokenizer training: corpus-wide adjacent
+    character-pair counts, top-10 with deterministic tie-break.  Pair
+    generation is one codegen transform(sequence)/substring per token
+    (no Python); the aggregate key space is the char-bigram vocabulary
+    (thousands), so map-side combine collapses the corpus before a
+    single bounded shuffle — the full BPE train is this argmax + a
+    merge applied repeatedly, and this is the step that touches all
+    the data."""
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf, "documents"), top=10)
+
+
+@query(
     "streaming_kmv_distinct",
     _KMV_ORACLE.format(grp="l_returnflag", key="l_orderkey", tbl="lineitem"),
 )
@@ -5734,6 +5796,8 @@ _GATE_PRIORITY = [
     "kmv_error_gate",  # new r7: KMV est vs exact at k=16/64/256
     "bloom_prejoin",  # new r7: broadcast-bitmap pre-join prune gate
     "streaming_kmv_distinct",  # new r7: bounded sketch state on a stream
+    "skew_profile",  # new r7: exact heavy-key diagnostic, integer ppm
+    "bpe_pair_counts",  # new r7: BPE pair-frequency hot loop
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

@@ -226,3 +226,17 @@ def test_remote_table_function_fallible(spark):
         by_k.setdefault(r.k, []).append((r.json_array_elements, r.error))
     assert sorted(by_k[1]) == [("1", None), ("2", None)]
     assert by_k[2] == [(None, "not an array")]
+
+
+def test_bpe_pair_counts_tiny(spark):
+    """aa bb: pairs are 'aa' x? — 'aab' yields 'aa','ab'; ties break
+    lexicographically."""
+    from arrow_udf_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([("aab aab ba",)], "text: string")
+    rows = bpe_pair_counts(df, top=3).collect()
+    assert [(r["rank"], r["pair"], r["cnt"]) for r in rows] == [
+        (1, "aa", 2),
+        (2, "ab", 2),
+        (3, "ba", 1),
+    ]

@@ -289,3 +289,16 @@ def test_bloom_gate_row_shape(spark):
     assert r["n_bloom_pass"] >= r["n_exact_match"]
     assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_exact_match"]
     assert r["n_false_pos"] >= 0 and r["n_big"] >= r["n_bloom_pass"]
+
+
+def test_skew_profile_shape(spark):
+    from arrow_udf_spark.operators.sketch import skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)], "k: string"
+    )
+    rows = skew_profile(df, "k", top=2).collect()
+    assert [(r["rank"], r["key"], r["cnt"], r["ppm"]) for r in rows] == [
+        (1, "a", 6, 600000),
+        (2, "b", 3, 300000),
+    ]

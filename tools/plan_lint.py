@@ -56,6 +56,10 @@ WHITELIST = {
     ("kmv_source_similarity", "cartesian"):
         "pairwise similarity of k-hash SKETCHES (n_sources rows) — "
         "documents never meet documents, the crossjoin is the contract",
+    ("skew_profile", "cartesian"):
+        "corpus total is a broadcast 1-row crossJoin onto the top-k "
+        "rows (ppm denominator) — the alternative, a global window over "
+        "O(distinct keys), is the worse shape at scale",
 }
 
 #: queries the lint skips entirely: they execute side effects at
