@@ -45,6 +45,8 @@ __all__ = [
     "encode_ppm",
     "parse_image_header",
     "wav_meta",
+    "parse_wav_samples",
+    "wav_frame_energy",
     "synth_ppm",
     "resize_ppm",
     "downsample_ppm_2x",
@@ -191,6 +193,89 @@ def wav_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = pdf.iloc[:, :1].copy()
             out["meta"] = metas
             yield out
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def parse_wav_samples(payload):
+    """Extract the int16 PCM sample array from WAV bytes — the same
+    independent RIFF chunk walk as :func:`parse_wav_meta`, but returning
+    the data chunk's samples (numpy int64 array) instead of metadata.
+    Returns None for anything that is not a PCM16 WAV."""
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            bits = struct.unpack_from("<HHIIHH", payload, pos + 8)[5]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if bits != 16 or data is None:
+        return None
+    return np.frombuffer(data, dtype="<i2").astype("int64")
+
+
+def wav_frame_energy(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 256
+) -> DataFrame:
+    """Per-frame audio energy from REAL decoded PCM — the VAD /
+    silence-trim primitive of an audio training pipeline: synthesize the
+    deterministic WAV per id (same bytes as :func:`wav_meta`), re-parse
+    the sample array with the independent RIFF walker, and emit
+    ``(id, frame, n_samples, sumsq)`` per ``frame``-sample window.
+
+    Energy is reported as the EXACT integer sum of squares next to the
+    frame length (RMS = sqrt(sumsq/n), but no sqrt ever runs, so the
+    gate is bit-exact in any engine — the corpus_divergence rule).  The
+    oracle recomputes the same integers from the synthesis formula in
+    SQL; encoder and parser share only the WAV spec, so either one
+    breaking a byte breaks the gate.  Per-row map work in
+    ``mapInPandas``; output fan-out is n_samples/frame rows; no shuffle.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sumsq", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf.iloc[:, 0]:
+                n = 400 + int(i) % 50 * 16
+                tone = (
+                    np.arange(n, dtype=np.int64) * (int(i) % 797 + 1) % 2048
+                    - 1024
+                ).astype("<i2")
+                samples = parse_wav_samples(encode_wav_pcm16(tone, 8000))
+                for f in range(0, len(samples), frame):
+                    seg = samples[f : f + frame]
+                    rows.append(
+                        (
+                            i,
+                            f // frame,
+                            int(len(seg)),
+                            int(np.sum(seg * seg)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame", "n_samples", "sumsq"]
+            )
 
     return df.select(id_col).mapInPandas(gen, out_schema)
 

@@ -4831,6 +4831,37 @@ def q_wav_roundtrip(spark, sf):
 
 
 @query(
+    "wav_frame_energy",
+    """
+    WITH d AS (SELECT doc_id,
+                      400 + (doc_id % 50) * 16 AS n,
+                      doc_id % 797 + 1 AS k
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(j // 256 AS INT) AS frame,
+                 CAST((j * k) % 2048 - 1024 AS BIGINT) AS v
+          FROM (SELECT doc_id, k, unnest(range(0, n)) AS j FROM d))
+    SELECT doc_id, frame,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq
+    FROM s GROUP BY doc_id, frame
+    """,
+)
+def q_wav_frame_energy(spark, sf):
+    """Audio feature extraction from REAL decoded PCM: per-256-sample
+    frame energy (exact integer sum of squares + frame length — the VAD
+    / silence-trim primitive; RMS = sqrt(sumsq/n) but no sqrt runs, so
+    the gate stays bit-exact).  The WAV bytes are synthesized, re-parsed
+    by the independent RIFF walker (encoder and parser share only the
+    spec), and the oracle recomputes the integers from the synthesis
+    formula — a byte-level bug on either side breaks the gate.  Per-row
+    mapInPandas, no shuffle; frames fan out n/256 rows."""
+    from .operators.multimodal import wav_frame_energy
+
+    return wav_frame_energy(t(spark, sf, "documents"), "doc_id", frame=256)
+
+
+@query(
     "split_assign",
     """
     SELECT doc_id,
@@ -5798,6 +5829,7 @@ _GATE_PRIORITY = [
     "streaming_kmv_distinct",  # new r7: bounded sketch state on a stream
     "skew_profile",  # new r7: exact heavy-key diagnostic, integer ppm
     "bpe_pair_counts",  # new r7: BPE pair-frequency hot loop
+    "wav_frame_energy",  # new r7: per-frame PCM energy, real decode
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --
