@@ -37,6 +37,7 @@ __all__ = [
     "lsh_bands",
     "lsh_topk",
     "quantize_int8",
+    "quantized_dot_recall",
 ]
 
 
@@ -561,6 +562,87 @@ def lsh_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("q_id", "n_id", F.round("score_raw", 6).alias("score"))
+    )
+
+
+def quantized_dot_recall(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantization-loss gate for int8 ANN serving: per query, the
+    overlap between the top-k by DEQUANTIZED int8 dot product and the
+    top-k by exact float dot product — ``(q_id, n_overlap)``.
+
+    Isolates pure quantization error (both sides rank by inner product,
+    so the only difference is int8 rounding).  The int8 dot itself is
+    EXACT int32 arithmetic (the reason int8 serving is fast); the
+    dequantization ``(dot * s_q) * s_n`` is two IEEE multiplies in
+    pinned order, so the ranking is engine-exact.  This is the number
+    that justifies storing embeddings 4x smaller: recall@k under
+    quantization, gated next to the exact answer like
+    ``lsh_recall_at_k`` does for bucketing loss.
+    """
+    qi = quantize_int8(
+        items.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        ),
+        vec_col="nv",
+        out_col="nq",
+    )
+    qq = quantize_int8(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        vec_col="qv",
+        out_col="qq",
+    )
+    pairs = qi.crossJoin(F.broadcast(qq))
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("nq"), F.col("qq"), lambda a, b: a.cast("int") * b.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (dot_int.cast("double") * F.col("qq_scale")) * F.col("nq_scale")
+    exact = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "q_id", "n_id", approx.alias("sa"), exact.alias("se")
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("sa").desc(), F.col("n_id").asc()
+    )
+    we = Window.partitionBy("q_id").orderBy(
+        F.col("se").desc(), F.col("n_id").asc()
+    )
+    ta = (
+        scored.withColumn("ra", F.row_number().over(wa))
+        .where(F.col("ra") <= k)
+        .select("q_id", "n_id")
+    )
+    te = (
+        scored.withColumn("re", F.row_number().over(we))
+        .where(F.col("re") <= k)
+        .select("q_id", "n_id")
+    )
+    overlap = (
+        ta.join(te, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("q_id"))
+        .join(overlap, "q_id", "left")
+        .select("q_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"))
     )
 
 

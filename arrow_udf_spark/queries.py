@@ -5226,6 +5226,62 @@ def q_quantize_int8(spark, sf):
 
 
 @query(
+    "quantized_dot_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q8 AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS s,
+             list_transform(e, x ->
+                 CAST(CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0
+                      THEN 0
+                      ELSE greatest(-127, least(127,
+                           FLOOR((x * 127.0)
+                                 / list_max(list_transform(e, y -> abs(y)))
+                                 + 0.5)))
+                 END AS BIGINT)) AS q
+      FROM v
+    ),
+    qs AS (SELECT vec_id AS q_id, e AS qv, s AS sq, q AS qq
+           FROM q8 WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.q_id, n.vec_id AS n_id,
+             (CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                   i -> n.q[i] * qs.qq[i])) AS DOUBLE) * qs.sq) * n.s AS sa,
+             list_sum(list_transform(range(1, len(n.e) + 1),
+                   i -> n.e[i] * qs.qv[i])) AS se
+      FROM q8 n CROSS JOIN qs
+    ),
+    ta AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sa DESC, n_id ASC) AS r FROM scored)
+           WHERE r <= 5),
+    te AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY se DESC, n_id ASC) AS r FROM scored)
+           WHERE r <= 5),
+    o AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ta JOIN te USING (q_id, n_id) GROUP BY q_id)
+    SELECT qs.q_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+    FROM qs LEFT JOIN o USING (q_id)
+    """,
+)
+def q_quantized_dot_recall(spark, sf):
+    """Quantization-loss gate: per query, overlap between the top-5 by
+    dequantized int8 dot product and the top-5 by exact float dot —
+    the recall number that justifies 4x-smaller int8 embedding serving,
+    pinned next to the exact answer (the lsh_recall_at_k pattern).  The
+    int8 dot is exact integer arithmetic; dequantization is two pinned
+    IEEE multiplies, so the ranking is engine-exact.  Recall floor
+    asserted in tests/test_similarity_recall.py."""
+    from .operators.similarity import quantized_dot_recall
+
+    e = t(spark, sf, "embeddings")
+    return quantized_dot_recall(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@query(
     "embedding_mean_pool",
     """
     WITH ex AS (
@@ -5830,6 +5886,7 @@ _GATE_PRIORITY = [
     "skew_profile",  # new r7: exact heavy-key diagnostic, integer ppm
     "bpe_pair_counts",  # new r7: BPE pair-frequency hot loop
     "wav_frame_energy",  # new r7: per-frame PCM energy, real decode
+    "quantized_dot_recall",  # new r7: int8 serving recall vs exact dot
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

@@ -52,3 +52,17 @@ def test_minhash_estimator_error_bounded(spark, sf_dir):
     assert rows
     mae = sum(abs(r["est_jac"] - r["jac"]) for r in rows) / len(rows)
     assert mae <= 0.2, f"minhash k=8 MAE {mae:.3f} exceeds bound"
+
+
+def test_quantized_dot_recall_floor(spark):
+    """int8 quantization must keep top-5-by-dot recall high on the gate
+    corpus (it measures pure rounding loss — observed 5/5 everywhere;
+    floor at >= 4/5 to leave room for data drift, not for regressions)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    rows = QUERIES["quantized_dot_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_overlap"] >= 4, rows

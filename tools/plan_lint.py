@@ -56,6 +56,9 @@ WHITELIST = {
     ("kmv_source_similarity", "cartesian"):
         "pairwise similarity of k-hash SKETCHES (n_sources rows) — "
         "documents never meet documents, the crossjoin is the contract",
+    ("quantized_dot_recall", "cartesian"):
+        "joins the int8 ranking to the exact-dot baseline — the exact "
+        "side is brute force by contract (the lsh_recall_at_k shape)",
     ("skew_profile", "cartesian"):
         "corpus total is a broadcast 1-row crossJoin onto the top-k "
         "rows (ppm denominator) — the alternative, a global window over "
