@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     # new in r7:
     "ivf_persisted_topk",       # persisted cell-partitioned ANN index
     "kmv_error_gate",           # KMV est-vs-exact at three widths
+    "bloom_prejoin",            # broadcast-bitmap map-side fact prune
+    "skew_profile",             # heavy-key diagnostic, exact ppm
+    "bpe_pair_counts",          # char-pair counts (BPE hot loop)
+    "wav_frame_energy",         # PCM frame energy via mapInPandas
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
@@ -203,7 +207,9 @@ def main() -> None:
                     "decontaminate, dup_span_flags, lsh_topk, inverted_index, "
                     "bm25_topk, ivf_trained_topk, ivf_multiprobe_topk, "
                     "simhash_hamming_pairs, minhash_jaccard_est; r7 adds "
-                    "ivf_persisted_topk + kmv_error_gate — always "
+                    "ivf_persisted_topk, kmv_error_gate, bloom_prejoin, "
+                    "skew_profile, bpe_pair_counts, wav_frame_energy — "
+                    "always "
                     "compare the shared-query cohort, not the raw total. "
                     "(c) From r7 the reps run as interleaved passes in "
                     "different deterministic orders (catalog / reversed / "
