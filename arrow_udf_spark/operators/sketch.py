@@ -52,6 +52,7 @@ __all__ = [
     "bloom_build",
     "bloom_prejoin_gate",
     "bloom_prune",
+    "bloom_tuning_gate",
     "kmv_distinct",
     "kmv_error_gate",
     "KmvAgg",
@@ -352,6 +353,90 @@ def bloom_prejoin_gate(
         F.count(F.when(F.col("__pass") & F.col("__k").isNull(), 1))
         .cast("bigint")
         .alias("n_false_pos"),
+    )
+
+
+def bloom_tuning_gate(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_list: Sequence[int] = (512, 8192),
+    k_hashes: int = 2,
+) -> DataFrame:
+    """:func:`bloom_prejoin_gate` at several filter widths in ONE pass —
+    ``(m_bits, n_big, n_bloom_pass, n_exact_match, n_false_pos)`` per
+    width.  The point is the tuning curve: an under-sized filter
+    saturates (n_bloom_pass -> n_big, the prune buys nothing) while a
+    properly-sized one prunes to ~n_exact_match — the same
+    multi-width-next-to-exact shape as ``kmv_error_gate``.
+
+    All widths share the scan: each row computes its bit positions per
+    m (k_hashes md5s are reused — position = hash % m), every width's
+    pass-bit is a column, and one conditional aggregate emits the whole
+    curve.  No extra shuffle per width.
+    """
+    from .text import token_hash
+
+    hashes = [
+        token_hash(F.concat(F.col(big_key).cast("string"), F.lit(f":{i}")))
+        for i in range(k_hashes)
+    ]
+    b = big.where(F.col(big_key).isNotNull())
+    pass_cols = {}
+    for m in m_list:
+        words = bloom_build(small, small_key, m, k_hashes)
+        words_sql = "array({})".format(
+            ",".join(f"{int(w)}L" for w in words)
+        )
+        ps = F.array(*[F.pmod(h, F.lit(m)) for h in hashes])
+        col = f"__pass_{m}"
+        test = (
+            f"forall(__bp_{m}, p -> (shiftright(element_at({words_sql}, "
+            f"cast(p DIV 64 AS INT) + 1), cast(p % 64 AS INT)) & 1) = 1)"
+        )
+        b = b.withColumn(f"__bp_{m}", ps).withColumn(col, F.expr(test))
+        pass_cols[m] = col
+    sk = (
+        small.where(F.col(small_key).isNotNull())
+        .select(F.col(small_key).alias("__k"))
+        .distinct()
+    )
+    b = b.join(F.broadcast(sk), F.col(big_key) == F.col("__k"), "left")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_big")]
+    for m, col in pass_cols.items():
+        aggs.append(
+            F.count(F.when(F.col(col), 1)).cast("bigint").alias(f"__p{m}")
+        )
+        aggs.append(
+            F.count(F.when(F.col(col) & F.col("__k").isNull(), 1))
+            .cast("bigint")
+            .alias(f"__fp{m}")
+        )
+    aggs.append(
+        F.count(F.when(F.col("__k").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_exact_match")
+    )
+    one = b.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(m)).cast("int").alias("m_bits"),
+                F.col("n_big").alias("n_big"),
+                F.col(f"__p{m}").alias("n_bloom_pass"),
+                F.col("n_exact_match").alias("n_exact_match"),
+                F.col(f"__fp{m}").alias("n_false_pos"),
+            )
+            for m in m_list
+        ]
+    )
+    return one.select(F.explode(rows).alias("__r")).select(
+        "__r.m_bits",
+        "__r.n_big",
+        "__r.n_bloom_pass",
+        "__r.n_exact_match",
+        "__r.n_false_pos",
     )
 
 

@@ -4980,54 +4980,71 @@ def q_kmv_udaf(spark, sf):
     )
 
 
-@query(
-    "bloom_prejoin",
-    """
+def _bloom_oracle(m_list=(512, 8192)) -> str:
+    arms = []
+    for m in m_list:
+        arms.append(
+            f"""
+      SELECT CAST({m} AS INT) AS m_bits,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS n_big,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM big
+              WHERE (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':0'),
+                                          1, 8)) AS BIGINT) % {m})
+                        IN (SELECT p FROM pos{m})
+                AND (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':1'),
+                                          1, 8)) AS BIGINT) % {m})
+                        IN (SELECT p FROM pos{m})) AS n_bloom_pass,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM big
+              WHERE key IN (SELECT key FROM sk)) AS n_exact_match,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM big
+              WHERE (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':0'),
+                                          1, 8)) AS BIGINT) % {m})
+                        IN (SELECT p FROM pos{m})
+                AND (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':1'),
+                                          1, 8)) AS BIGINT) % {m})
+                        IN (SELECT p FROM pos{m})
+                AND key NOT IN (SELECT key FROM sk)) AS n_false_pos"""
+        )
+    pos_ctes = ",\n".join(
+        f"""pos{m} AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i),
+                                     1, 8)) AS BIGINT) % {m} AS p
+            FROM sk CROSS JOIN (SELECT unnest(range(0, 2)) AS i))"""
+        for m in m_list
+    )
+    union = "\n      UNION ALL".join(arms)
+    return f"""
     WITH sk AS (SELECT DISTINCT p_partkey AS key FROM part
                 WHERE p_size <= 5 AND p_partkey IS NOT NULL),
-    pos AS (SELECT DISTINCT
-                CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i),
-                                     1, 8)) AS BIGINT) % 512 AS p
-            FROM sk CROSS JOIN (SELECT unnest(range(0, 2)) AS i)),
+    {pos_ctes},
     big AS (SELECT l_partkey AS key FROM lineitem
-            WHERE l_partkey IS NOT NULL),
-    pass AS (
-      SELECT key FROM big
-      WHERE (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':0'), 1, 8))
-                  AS BIGINT) % 512) IN (SELECT p FROM pos)
-        AND (CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':1'), 1, 8))
-                  AS BIGINT) % 512) IN (SELECT p FROM pos)
-    ),
-    c AS (SELECT
-      (SELECT COUNT(*) FROM big) AS n_big,
-      (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
-      (SELECT COUNT(*) FROM big WHERE key IN (SELECT key FROM sk))
-          AS n_exact_match)
-    SELECT CAST(n_big AS BIGINT) AS n_big,
-           CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
-           CAST(n_exact_match AS BIGINT) AS n_exact_match,
-           CAST(n_bloom_pass - n_exact_match AS BIGINT) AS n_false_pos
-    FROM c
-    """,
-)
+            WHERE l_partkey IS NOT NULL)
+    {union}
+    """
+
+
+@query("bloom_prejoin", _bloom_oracle())
 def q_bloom_prejoin(spark, sf):
     """Deterministic Bloom pre-join filter gated next to the exact
-    semijoin: the dim side's keys fold into a 512-bit md5-derived bitmap
-    (8 int64 words, bounded regardless of cardinality) and the fact
-    table is pruned MAP-SIDE — codegen bit math in the scan predicate,
-    no join, no shuffle — before any exchange.  The gate row
-    (n_big, n_bloom_pass, n_exact_match, n_false_pos) pins the no-false-
-    negative contract and the false-positive cost a pipeline tunes
-    m/k against — the shuffle-reduction pattern Spark's runtime
-    row-level filtering applies, made explicit and oracle-checkable."""
-    from .operators.sketch import bloom_prejoin_gate
+    semijoin, at TWO widths in one pass: the dim side's keys fold into
+    md5-derived bitmaps (m/64 int64 words, bounded regardless of
+    cardinality) and the fact table is pruned MAP-SIDE — codegen bit
+    math in the scan predicate, no join, no shuffle — before any
+    exchange.  Per width, (m_bits, n_big, n_bloom_pass, n_exact_match,
+    n_false_pos) pins the no-false-negative contract and the
+    false-positive cost: at larger SFs the 512-bit row shows
+    SATURATION (pass -> n_big, the prune buys nothing) while 8192 bits
+    prunes to ~matches — the under/right-sizing curve a pipeline tunes
+    m against, the kmv_error_gate shape applied to Spark's own
+    runtime-row-filter pattern."""
+    from .operators.sketch import bloom_tuning_gate
 
-    return bloom_prejoin_gate(
+    return bloom_tuning_gate(
         t(spark, sf, "lineitem"),
         t(spark, sf, "part").where(F.col("p_size") <= 5),
         "l_partkey",
         "p_partkey",
-        m_bits=512,
+        m_list=(512, 8192),
         k_hashes=2,
     )
 
