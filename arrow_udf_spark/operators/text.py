@@ -486,12 +486,16 @@ def source_token_tv(
     like KL/JS would hit libm; TV is the distribution-shift metric that
     stays rational).
 
-    The numerator is computed in DECIMAL(38,0): each product
-    ``c_A(t)*N_B`` is bounded by ``N_A*N_B`` (~1e26 at a 1e13-token
-    corpus), which overflows int64 — Spark's non-ANSI multiply would
-    wrap SILENTLY and break the exactness guarantee (ADVICE r6, low).
-    DECIMAL(19,0)x(19,0) -> (38,0) keeps every term exact up to 38
-    digits and fails loudly (NULL/overflow error) beyond, never wraps.
+    The numerator type is chosen from the DRIVER-KNOWN stream totals:
+    ``sum_t |c_A*N_B - c_B*N_A| <= 2*N_A*N_B``, so when every pairwise
+    ``2*N_A*N_B < 2^63`` the whole computation provably fits int64 and
+    runs on fast long arithmetic; otherwise (the ~1e13-token corpus
+    where the products reach ~1e26) it runs in DECIMAL(19,0)x(19,0) ->
+    (38,0), which keeps every term exact to 38 digits and fails loudly
+    beyond — Spark's non-ANSI long multiply would wrap SILENTLY and
+    break the exactness guarantee (ADVICE r6, low).  Either path emits
+    ``tv_num`` as DECIMAL(38,0), so the result schema (and the oracle)
+    never depends on the data.
 
     Scale: per-source token counts are vocabulary-sized (one map-side
     combined aggregate over the corpus); the pivot is one shuffle keyed
@@ -521,15 +525,19 @@ def source_token_tv(
         for i, a in enumerate(sources)
         for b in list(sources)[i + 1 :]
     ]
+    fits_long = all(
+        2 * int(totals.get(a, 0)) * int(totals.get(b, 0)) < 2**63
+        for a, b in pairs
+    )
     aggs = []
     for a, b in pairs:
         na, nb = int(totals.get(a, 0)), int(totals.get(b, 0))
-        dec = "decimal(19,0)"
+        num_t = "bigint" if fits_long else "decimal(19,0)"
         diff = F.abs(
-            F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast(dec)
-            * F.lit(nb).cast(dec)
-            - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast(dec)
-            * F.lit(na).cast(dec)
+            F.coalesce(F.col(f"`{a}`"), F.lit(0)).cast(num_t)
+            * F.lit(nb).cast(num_t)
+            - F.coalesce(F.col(f"`{b}`"), F.lit(0)).cast(num_t)
+            * F.lit(na).cast(num_t)
         )
         # coalesce: an empty token stream (all-empty docs) must read as
         # zero divergence, not NULL
