@@ -1104,6 +1104,68 @@ def q_count_min_freq(spark, sf):
 
 
 @query(
+    "streaming_count_min",
+    f"""
+    WITH words AS (
+      SELECT tok FROM (SELECT unnest({_DD_TOKS}) AS tok FROM documents)
+      WHERE tok <> ''
+    )
+    SELECT r,
+           CAST({_DD_H32.format(t="CAST(r AS VARCHAR) || ':' || tok")}
+                % 256 AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM words CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_count_min(spark, sf):
+    """The Count-Min sketch maintained by Spark's NATIVE streaming
+    aggregation over a live 3-micro-batch stream: state is the d*w cell
+    counters (<=1024 rows, bounded regardless of vocabulary or stream
+    length — the whole point of a sketch on a stream), cells merge by
+    addition across batches, and the final complete-mode table must
+    equal the from-scratch batch sketch.  Complements
+    streaming_kmv_distinct (UDAF state store path) with the built-in
+    aggregation state path — both faces of 'sketches are mergeable,
+    streams are just incremental merges'."""
+    import tempfile
+    import uuid
+
+    from .operators.sketch import count_min_sketch
+
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartitionByRange(3, "doc_id")
+        .drop("doc_id")
+    )
+    d = tempfile.mkdtemp(prefix="stream_cms_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = count_min_sketch(stream, "text")
+    sink = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {len(q.recentProgress)}"
+        )
+    return spark.sql(
+        f"SELECT r, cell, CAST(cnt AS BIGINT) AS cnt FROM {sink}"
+    )
+
+
+@query(
     "dup_span_flags",
     f"""
     WITH sh AS (
@@ -5904,6 +5966,7 @@ _GATE_PRIORITY = [
     "bpe_pair_counts",  # new r7: BPE pair-frequency hot loop
     "wav_frame_energy",  # new r7: per-frame PCM energy, real decode
     "quantized_dot_recall",  # new r7: int8 serving recall vs exact dot
+    "streaming_count_min",  # new r7: native streaming-agg CMS, d*w state
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

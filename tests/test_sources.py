@@ -146,3 +146,59 @@ def test_partition_pruning_at_read(spark, sf_dir, tmp_path):
     n_urgent = back.count()
     n_all = spark.read.parquet(dest).count()
     assert 0 < n_urgent < n_all
+
+
+def test_sorted_layout_skips_row_groups(spark, sf_dir):
+    """Zone-map evidence: the SAME selective predicate over the SAME
+    rows reads a fraction of the data when the file is sorted on the
+    filter column (parquet row-group min/max stats let the pushed filter
+    skip whole groups) and everything when it is shuffled.  This is the
+    sort-on-write layout rule at 100 TB: the scan node's numOutputRows
+    is what the reader actually surfaced, pre-Filter."""
+    import tempfile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = tempfile.mkdtemp(prefix="rg_skip_")
+    opts = {"parquet.block.size": 131072}  # small groups -> many stats
+    li.sort("l_orderkey").coalesce(1).write.mode("overwrite").options(
+        **opts
+    ).parquet(d + "/sorted")
+    li.orderBy(F.md5(F.col("l_orderkey").cast("string"))).coalesce(
+        1
+    ).write.mode("overwrite").options(**opts).parquet(d + "/shuffled")
+
+    def scan_output_rows(path):
+        df = (
+            spark.read.parquet(path)
+            .where("l_orderkey BETWEEN 100 AND 200")
+            .select("l_orderkey")
+        )
+        matches = df.count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+
+        def walk(n):
+            if "Scan" in n.nodeName():
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        return kv._2().value()
+            for i in range(n.children().length()):
+                got = walk(n.children().apply(i))
+                if got is not None:
+                    return got
+            return None
+
+        return matches, walk(plan)
+
+    m_sorted, rows_sorted = scan_output_rows(d + "/sorted")
+    m_shuf, rows_shuf = scan_output_rows(d + "/shuffled")
+    assert m_sorted == m_shuf  # same answer either way
+    total = li.count()
+    # shuffled layout surfaces (essentially) every row; sorted layout
+    # skips whole row groups (at the tiny test SF the file only has a
+    # handful of groups, so assert the mechanism — a large relative
+    # reduction — not a fixed fraction; measured 36x at sf0.01)
+    assert rows_shuf > total * 0.9
+    assert rows_sorted < rows_shuf / 2, (rows_sorted, rows_shuf)
