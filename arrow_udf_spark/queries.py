@@ -5571,6 +5571,85 @@ def q_ivf_persisted_topk(spark, sf):
     )
 
 
+#: the embedded-documents view: the text_embedding UDF's hash projection
+#: with its float32 storage rounding replicated via CAST(AS FLOAT)
+_ANN_E2E_V = """SELECT doc_id AS vec_id,
+           list_transform(range(0, 8), i ->
+             CAST(CAST(CAST((CAST(('0x' || substr(md5(i || ':' || text),
+                                                  1, 8)) AS BIGINT) % 1000)
+                            AS DOUBLE) / 1000.0 AS FLOAT) AS DOUBLE)) AS e
+    FROM documents"""
+
+
+@query(
+    "ann_pipeline_e2e",
+    f"""
+    WITH v AS ({_ANN_E2E_V}),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                      AS cid, e AS c
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)),
+    a0 AS ({_KMEANS_ASSIGN_CTE.format(cents="c0")}),
+    c1 AS ({_KMEANS_MEANS_CTE.format(assign="a0")}),
+    a1 AS ({_KMEANS_ASSIGN_CTE.format(cents="c1")}),
+    probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(v.e) + 1),
+                                i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))
+                            ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c1 AS c WHERE v.vec_id < 5) WHERE rn <= 2),
+    scored AS (
+      SELECT p.q_id, a1.vec_id AS n_id,
+             list_cosine_similarity(vn.e, vq.e) AS s
+      FROM probes p
+      JOIN a1 ON a1.cid = p.cell
+      JOIN v vn ON vn.vec_id = a1.vec_id
+      JOIN v vq ON vq.vec_id = p.q_id)
+    SELECT q_id, n_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY s DESC, n_id) rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_ann_pipeline_e2e(spark, sf):
+    """The reference's north-star LLM-pipeline shape end-to-end
+    (arrow-udf-remote/python/example.py:233-247: a batched
+    ``text_embedding`` UDF feeding an index): documents -> the Python
+    batched embedding UDF (Arrow Series-in/Series-out, the reference's
+    contract) -> k-means trains 4 coarse cells on the embeddings ->
+    the index persists partitioned by cell (ivf_build_index) -> the
+    query batch serves from the partition-pruned persisted index with
+    n_probe=2 and exact cosine re-rank.  The oracle replays everything
+    — including the UDF's hash projection AND its float32 storage
+    rounding (CAST AS FLOAT) — in pure SQL, so embed, train, index,
+    and serve are all one hash-exact gate."""
+    import tempfile
+
+    from .functions import corpus as C
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import ivf_build_index, ivf_persisted_topk
+
+    d = t(spark, sf, "documents")
+    emb = d.select(
+        F.col("doc_id").alias("vec_id"),
+        C.text_embedding(F.col("text")).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, k=4, iters=1)
+    path = tempfile.mkdtemp(prefix="aus_ann_e2e_") + "/index"
+    ivf_build_index(emb, cents, path)
+    return ivf_persisted_topk(
+        spark,
+        path,
+        emb.where(F.col("vec_id") < 5),
+        cents,
+        k=5,
+        n_probe=2,
+    )
+
+
 @query("ivf_append_topk", _IVF_MULTIPROBE_ORACLE)
 def q_ivf_append_topk(spark, sf):
     """Incremental index maintenance, gated: the index is built from the
@@ -5967,6 +6046,7 @@ _GATE_PRIORITY = [
     "wav_frame_energy",  # new r7: per-frame PCM energy, real decode
     "quantized_dot_recall",  # new r7: int8 serving recall vs exact dot
     "streaming_count_min",  # new r7: native streaming-agg CMS, d*w state
+    "ann_pipeline_e2e",  # new r7: embed UDF -> train -> persist -> serve
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --
