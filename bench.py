@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "skew_profile",             # heavy-key diagnostic, exact ppm
     "bpe_pair_counts",          # char-pair counts (BPE hot loop)
     "wav_frame_energy",         # PCM frame energy via mapInPandas
+    "ann_pipeline_e2e",         # embed UDF -> train -> persist -> serve
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
@@ -208,7 +209,7 @@ def main() -> None:
                     "bm25_topk, ivf_trained_topk, ivf_multiprobe_topk, "
                     "simhash_hamming_pairs, minhash_jaccard_est; r7 adds "
                     "ivf_persisted_topk, kmv_error_gate, bloom_prejoin, "
-                    "skew_profile, bpe_pair_counts, wav_frame_energy — "
+                    "skew_profile, bpe_pair_counts, wav_frame_energy, ann_pipeline_e2e — "
                     "always "
                     "compare the shared-query cohort, not the raw total. "
                     "(c) From r7 the reps run as interleaved passes in "
