@@ -371,18 +371,25 @@ def bloom_tuning_gate(
     properly-sized one prunes to ~n_exact_match — the same
     multi-width-next-to-exact shape as ``kmv_error_gate``.
 
-    All widths share the scan: each row computes its bit positions per
-    m (k_hashes md5s are reused — position = hash % m), every width's
-    pass-bit is a column, and one conditional aggregate emits the whole
-    curve.  No extra shuffle per width.
+    All widths share the scan AND the hashing: the k_hashes md5s are
+    STAGED into their own projection (the with_simhash lesson —
+    re-inlining the hash expression into every width's bit test was
+    measured to double the per-width cost), each width's positions are
+    cheap ``% m`` over the staged columns, every width's pass-bit is a
+    column, and one conditional aggregate emits the whole curve.  No
+    extra shuffle per width.
     """
     from .text import token_hash
 
-    hashes = [
-        token_hash(F.concat(F.col(big_key).cast("string"), F.lit(f":{i}")))
-        for i in range(k_hashes)
-    ]
     b = big.where(F.col(big_key).isNotNull())
+    for i in range(k_hashes):
+        b = b.withColumn(
+            f"__bh_{i}",
+            token_hash(
+                F.concat(F.col(big_key).cast("string"), F.lit(f":{i}"))
+            ),
+        )
+    hashes = [F.col(f"__bh_{i}") for i in range(k_hashes)]
     pass_cols = {}
     for m in m_list:
         words = bloom_build(small, small_key, m, k_hashes)
