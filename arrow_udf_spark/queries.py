@@ -5209,6 +5209,92 @@ def q_bpe_pair_counts(spark, sf):
 
 
 @query(
+    "streaming_bloom",
+    """
+    WITH pos AS (
+      SELECT DISTINCT
+          CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':' || i),
+                               1, 8)) AS BIGINT) % 512 AS p
+      FROM part CROSS JOIN (SELECT unnest(range(0, 2)) AS i)
+      WHERE p_size <= 5 AND p_partkey IS NOT NULL
+    )
+    SELECT CAST(p // 64 AS INT) AS word_idx,
+           CAST(bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                       ELSE 1::BIGINT << CAST(p % 64 AS INT) END)
+                AS BIGINT) AS word
+    FROM pos GROUP BY 1
+    """,
+)
+def q_streaming_bloom(spark, sf):
+    """The Bloom filter BUILT on a stream: dim-side keys arrive over 3
+    micro-batches and the bitmap words accumulate through Spark's native
+    streaming aggregation with ``bit_or`` — OR is idempotent and
+    commutative, so the state is exactly the m/64 words regardless of
+    stream length or replay, and the complete-mode table must equal the
+    batch :func:`bloom_build`.  At scale this is how the pre-join filter
+    (bloom_prejoin) stays fresh while the dim table trickles in —
+    rebuild never, OR forever."""
+    import tempfile
+    import uuid
+
+    pt = (
+        t(spark, sf, "part")
+        .where((F.col("p_size") <= 5) & F.col("p_partkey").isNotNull())
+        .select("p_partkey")
+        .repartitionByRange(3, "p_partkey")
+    )
+    d = tempfile.mkdtemp(prefix="stream_bloom_")
+    pt.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(pt.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    from .operators.text import token_hash
+
+    m = 512
+    pos = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        token_hash(
+                            F.concat(
+                                F.col("p_partkey").cast("string"),
+                                F.lit(f":{i}"),
+                            )
+                        ),
+                        F.lit(m),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy(
+        F.expr("CAST(p DIV 64 AS INT)").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("word")
+    )
+    sink = f"bloom_{uuid.uuid4().hex[:8]}"
+    q = (
+        words.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {len(q.recentProgress)}"
+        )
+    return spark.sql(
+        f"SELECT word_idx, CAST(word AS BIGINT) AS word FROM {sink}"
+    )
+
+
+@query(
     "streaming_kmv_distinct",
     _KMV_ORACLE.format(grp="l_returnflag", key="l_orderkey", tbl="lineitem"),
 )
@@ -6047,6 +6133,7 @@ _GATE_PRIORITY = [
     "quantized_dot_recall",  # new r7: int8 serving recall vs exact dot
     "streaming_count_min",  # new r7: native streaming-agg CMS, d*w state
     "ann_pipeline_e2e",  # new r7: embed UDF -> train -> persist -> serve
+    "streaming_bloom",  # new r7: bit_or-accumulated filter on a stream
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

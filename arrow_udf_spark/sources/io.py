@@ -220,6 +220,55 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs (streaming sinks and per-trigger appends leave
+    thousands of KB-sized files; each costs a task, an open, and a
+    footer read on every scan).  Sizes the output from the SOURCE's
+    actual bytes: ``n_files = ceil(total_bytes / target_file_mb)``,
+    rewrites with exactly that many output files (repartition — an
+    honest shuffle; coalesce would skew when input files are uneven),
+    optionally re-sorting within partitions so row-group min/max stats
+    stay selective after compaction.  Returns the output file count.
+
+    Metadata-only sizing: the file listing comes from the driver-side
+    catalog, never from reading data twice.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    p = jvm.Path(src)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src).repartition(n_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    df.write.mode("overwrite").parquet(dst)
+    out = jvm.Path(dst)
+    ofs = out.getFileSystem(spark._jsc.hadoopConfiguration())
+    oit = ofs.listFiles(out, True)
+    n_out = 0
+    while oit.hasNext():
+        if oit.next().getPath().getName().endswith(".parquet"):
+            n_out += 1
+    return n_out
+
+
 #: physical-type families conform_schema knows how to reconcile
 _TS_TYPES = ("timestamp", "timestamp_ntz")
 _INT_WIDEN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}

@@ -202,3 +202,28 @@ def test_sorted_layout_skips_row_groups(spark, sf_dir):
     # reduction — not a fixed fraction; measured 36x at sf0.01)
     assert rows_shuf > total * 0.9
     assert rows_sorted < rows_shuf / 2, (rows_sorted, rows_shuf)
+
+
+def test_compact_parquet_small_files(spark, sf_dir):
+    """A fragmented 64-file table compacts to the byte-sized file count
+    with identical data; sort_by keeps zone maps selective after the
+    rewrite."""
+    import tempfile
+
+    from arrow_udf_spark.sources.io import compact_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = tempfile.mkdtemp(prefix="compact_")
+    li.repartition(64).write.mode("overwrite").parquet(d + "/frag")
+    import glob
+
+    assert len(glob.glob(d + "/frag/part-*.parquet")) == 64
+    n = compact_parquet(
+        spark, d + "/frag", d + "/compact", target_file_mb=64,
+        sort_by=["l_orderkey"],
+    )
+    assert n == len(glob.glob(d + "/compact/part-*.parquet"))
+    assert n <= 2  # ~200 KB of data vs a 64 MB target
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, spark.read.parquet(d + "/compact").collect()))
+    assert a == b
