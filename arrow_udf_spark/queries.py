@@ -3263,6 +3263,46 @@ def q_pagerank_docs(spark, sf):
 
 
 @query(
+    "time_bucket_rollup",
+    """
+    WITH raw AS (
+      SELECT ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT 'hour' AS level,
+           strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'day',
+           strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S'),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'month',
+           strftime(CAST(date_trunc('month', ts) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S'),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM raw GROUP BY 2
+    """,
+)
+def q_time_bucket_rollup(spark, sf):
+    """Hypertable continuous-aggregate cascade: hour buckets aggregate
+    the raw rows ONCE; day and month roll up from the hour/day PARTIALS
+    (sums of sums) without re-touching the raw table — the refresh
+    pattern that makes multi-granularity dashboards O(buckets) at
+    100 TB.  The oracle computes every level DIRECTLY from the raw rows,
+    so the gate proves the partial cascade is lossless (decomposable
+    measures in exact integer cents)."""
+    from .operators.temporal import time_bucket_rollup
+
+    return time_bucket_rollup(t(spark, sf, "events"))
+
+
+@query(
     "event_transitions",
     """
     SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
@@ -6134,6 +6174,7 @@ _GATE_PRIORITY = [
     "streaming_count_min",  # new r7: native streaming-agg CMS, d*w state
     "ann_pipeline_e2e",  # new r7: embed UDF -> train -> persist -> serve
     "streaming_bloom",  # new r7: bit_or-accumulated filter on a stream
+    "time_bucket_rollup",  # new r7: continuous-aggregate cascade
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --
