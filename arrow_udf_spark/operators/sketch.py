@@ -60,6 +60,8 @@ __all__ = [
     "KMV_SPACE",
     "kmv_hash_col",
     "skew_profile",
+    "count_min_sketch_keys",
+    "join_size_gate",
 ]
 
 #: sketch width: 64 hashes/group ≈ 12% standard error — plenty for
@@ -609,6 +611,97 @@ def count_min_sketch(
     return cells.groupBy("r", "cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def count_min_sketch_keys(
+    df: DataFrame,
+    key: str,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """:func:`count_min_sketch` over a KEY COLUMN instead of a token
+    stream — same ``(r, cell, cnt)`` contract, same md5 cell derivation
+    over the key's string rendering, NULL keys excluded."""
+    from .text import token_hash
+
+    keys = df.where(F.col(key).isNotNull()).select(
+        F.col(key).cast("string").alias("tok")
+    )
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            token_hash(
+                                F.concat(F.lit(f"{r}:"), F.col("tok"))
+                            ),
+                            F.lit(w),
+                        ).cast("int").alias("cell"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("__rc")
+    ).select(F.col("__rc.r").alias("r"), F.col("__rc.cell").alias("cell"))
+    return cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def join_size_gate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Pre-shuffle join-size estimation (Cormode & Muthukrishnan's
+    inner-product application of Count-Min) gated next to the exact
+    answer: ``|A join B| = sum_k cA(k)*cB(k)``, estimated as
+    ``min_r sum_cell cmsA[r,cell]*cmsB[r,cell]`` — one row
+    ``(join_size_exact, join_size_est)``.
+
+    This is the number a planner consults BEFORE committing to a
+    shuffle join (a skewed self-join's output is sum c(k)^2, which can
+    dwarf the inputs): the sketches are d*w counters per side — they
+    fit on the driver at any scale, merge across partitions/days, and
+    the inner product costs O(d*w) — while the exact side shuffles the
+    per-key count tables (vocabulary-sized, map-side combined), which
+    the gate affords but a 100 TB planner would skip.  The CMS
+    guarantee transfers: ``est >= exact`` always (collisions only add),
+    asserted in tests.
+    """
+    ca = count_min_sketch_keys(a, a_key, d, w)
+    cb = count_min_sketch_keys(b, b_key, d, w)
+    prod = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["r", "cell"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("join_size_est"))
+    )
+    ka = (
+        a.where(F.col(a_key).isNotNull())
+        .groupBy(F.col(a_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    kb = (
+        b.where(F.col(b_key).isNotNull())
+        .groupBy(F.col(b_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    exact = (
+        ka.join(kb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("bigint")
+            .alias("join_size_exact")
+        )
+    )
+    return exact.crossJoin(F.broadcast(prod))
 
 
 def count_min_estimate(

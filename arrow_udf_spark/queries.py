@@ -5258,6 +5258,42 @@ def q_kmv_error_gate(spark, sf):
 
 
 @query(
+    "join_size_est",
+    """
+    WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                WHERE user_id IS NOT NULL),
+    kc AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM ks GROUP BY k),
+    cells AS (
+      SELECT r,
+             CAST(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k),
+                                       1, 8)) AS BIGINT) % 256 AS INT)
+                 AS cell,
+             CAST(SUM(c) AS BIGINT) AS cnt
+      FROM kc CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+      GROUP BY 1, 2),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM (
+              SELECT r, SUM(cnt * cnt) AS ip FROM cells GROUP BY r)),
+    ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS join_size_exact FROM kc)
+    SELECT ex.join_size_exact, est.join_size_est
+    FROM ex CROSS JOIN est
+    """,
+)
+def q_join_size_est(spark, sf):
+    """Pre-shuffle join-size planning, gated: the events-on-user_id
+    SELF-join's output size (sum c(k)^2 — the quadratic-blowup number)
+    estimated from the Count-Min inner product (min over rows of
+    sum_cell cnt^2, Cormode's classic application) next to the exact
+    answer.  The sketch side is d*w counters per input — driver-sized at
+    any scale, mergeable across days — where the exact side shuffles
+    vocabulary-sized count tables; est >= exact always (collisions only
+    add), asserted in tests."""
+    from .operators.sketch import join_size_gate
+
+    ev = t(spark, sf, "events")
+    return join_size_gate(ev, "user_id", ev, "user_id")
+
+
+@query(
     "skew_profile",
     """
     WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
@@ -6247,6 +6283,7 @@ _GATE_PRIORITY = [
     "streaming_bloom",  # new r7: bit_or-accumulated filter on a stream
     "time_bucket_rollup",  # new r7: continuous-aggregate cascade
     "bigram_surprisal",  # new r7: smoothed contextual LM quality proxy
+    "join_size_est",  # new r7: CMS inner-product join-size planning
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --

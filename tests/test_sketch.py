@@ -302,3 +302,21 @@ def test_skew_profile_shape(spark):
         (1, "a", 6, 600000),
         (2, "b", 3, 300000),
     ]
+
+
+def test_join_size_est_overestimates_never_under(spark):
+    """CMS inner product >= true join size, always (collisions only
+    add); and when distinct keys fit the cell width the estimate is
+    EXACT."""
+    from arrow_udf_spark.operators.sketch import join_size_gate
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k: long"
+    )
+    r = join_size_gate(df, "k", df, "k").collect()[0]
+    # c = {1:3, 2:2, 3:1} -> sum c^2 = 14; 3 keys << 256 cells -> exact
+    assert r["join_size_exact"] == 14
+    assert r["join_size_est"] == 14
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    r2 = join_size_gate(ev, "user_id", ev, "user_id").collect()[0]
+    assert r2["join_size_est"] >= r2["join_size_exact"]

@@ -56,6 +56,9 @@ WHITELIST = {
     ("kmv_source_similarity", "cartesian"):
         "pairwise similarity of k-hash SKETCHES (n_sources rows) — "
         "documents never meet documents, the crossjoin is the contract",
+    ("join_size_est", "cartesian"):
+        "1-row x 1-row crossJoin of the exact and estimated global "
+        "aggregates (the sampled_quantiles shape)",
     ("quantized_dot_recall", "cartesian"):
         "joins the int8 ranking to the exact-dot baseline — the exact "
         "side is brute force by contract (the lsh_recall_at_k shape)",
