@@ -138,6 +138,47 @@ def main() -> int:
         lambda: ivf_multiprobe_topk(emb, q, cents, k=5, n_probe=2),
     )
 
+    print("round-7 additions:")
+    import tempfile
+
+    from arrow_udf_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_persisted_topk,
+    )
+    from arrow_udf_spark.operators.sketch import (
+        bloom_tuning_gate,
+        join_size_gate,
+        kmv_error_gate,
+    )
+    from arrow_udf_spark.operators.text import bpe_pair_counts
+
+    idx = tempfile.mkdtemp(prefix="stress_ivf_") + "/index"
+
+    def persisted():
+        ivf_build_index(emb, cents, idx)
+        return ivf_persisted_topk(spark, idx, q, cents, k=5, n_probe=2)
+
+    run("ivf_build+persisted_topk", persisted)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    big = reduce(
+        lambda a, b: a.unionByName(b), [li for _ in range(rep)]
+    ).repartition(32)
+    pt = spark.read.parquet(f"{sf}/part.parquet").where("p_size <= 5")
+    run(
+        f"bloom_tuning_gate({rep}x lineitem)",
+        lambda: bloom_tuning_gate(big, pt, "l_partkey", "p_partkey",
+                                  m_list=(512, 65536)),
+    )
+    run(f"kmv_error_gate({rep}x lineitem)",
+        lambda: kmv_error_gate(big, "l_partkey"))
+    run(f"bpe_pair_counts({rep}x docs)", lambda: bpe_pair_counts(docs))
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    bigev = reduce(
+        lambda a, b: a.unionByName(b), [ev for _ in range(rep)]
+    ).repartition(32)
+    run(f"join_size_gate({rep}x events self)",
+        lambda: join_size_gate(bigev, "user_id", bigev, "user_id"))
+
     spark.stop()
     print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
