@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "range_join", "resample_ffill", "time_bucket_rollup"]
+__all__ = ["asof_join", "asof_join_forward", "sessionize", "range_join", "resample_ffill", "time_bucket_rollup"]
 
 
 def asof_join(
@@ -378,3 +378,61 @@ def time_bucket_rollup(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def asof_join_forward(
+    left,
+    right,
+    on: str,
+    by,
+    right_cols=None,
+    suffix: str = "_r",
+):
+    """Forward as-of join: for each left row, attach the EARLIEST right
+    row with ``right[on] >= left[on]`` (inclusive), matching on ``by`` —
+    the "next quote / next restock after the event" direction
+    :func:`asof_join` cannot express.
+
+    Same single-shuffle union strategy, mirrored: one window
+    ``partitionBy(by).orderBy(on ASC, tag DESC)`` (left rows sort before
+    right rows at equal timestamps, so an equal-timestamp right row is
+    inside the forward frame = inclusive semantics) with a
+    ``first(col, ignorenulls=True)`` over ``[current, unbounded
+    following]`` pulling the nearest future right values back.  Exactly
+    one shuffle on ``by``; no range explosion.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_cols
+    }
+
+    lt = left.withColumn("__tag", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(
+            out_names[c], F.lit(None).cast(right.schema[c].dataType)
+        )
+    rt = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+    left_cols = [c for c in left.columns]
+    unioned = lt.select(
+        *left_cols, "__tag", *[out_names[c] for c in right_cols]
+    ).unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for c in right_cols:
+        unioned = unioned.withColumn(
+            out_names[c], F.first(out_names[c], ignorenulls=True).over(w)
+        )
+    return unioned.where(F.col("__tag") == 1).drop("__tag")

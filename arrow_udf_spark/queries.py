@@ -910,6 +910,57 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
+@query(
+    "dedup_ensemble",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_aggregate(list_transform({_DD_TOKS}, t -> md5('0:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('1:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('2:' || t)), 'min'),
+              list_aggregate(list_transform({_DD_TOKS}, t -> md5('3:' || t)), 'min')
+             ] AS s
+      FROM documents WHERE doc_id < 100
+    ), bands AS (
+      SELECT doc_id, 0 AS band, s[1] || '|' || s[2] AS bval FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, s[3] || '|' || s[4] AS bval FROM sig
+    ),
+    lshp AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+    ),
+    sh AS (SELECT * FROM ({_simhash_oracle()}) WHERE doc_id < 100),
+    shp AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    )
+    SELECT l.a, l.b, shp.dist
+    FROM lshp l JOIN shp USING (a, b)
+    """,
+)
+def q_dedup_ensemble(spark, sf):
+    """Precision-first ensemble dedup: a pair is flagged only when BOTH
+    families agree — minhash-LSH (token-set similarity) AND simhash
+    hamming <= 3 (weighted-profile similarity).  Ensembling is what
+    production dedup actually ships (each family alone has
+    characteristic false positives: LSH on short docs, simhash on
+    near-anagrams); the intersection is an equi-join of two already
+    bucket-confined pair streams, so the composition adds no new
+    quadratic surface."""
+    from .operators.dedup import lsh_candidate_pairs, simhash_hamming_pairs
+
+    d = t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    lp = lsh_candidate_pairs(
+        d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
+    )
+    sp = simhash_hamming_pairs(d)
+    return lp.join(sp, ["a", "b"]).select("a", "b", "dist")
+
+
 @query("simhash", _simhash_oracle())
 def q_simhash(spark, sf):
     # with_simhash materializes the per-token hash array in its own
@@ -1890,6 +1941,45 @@ def q_asof_join(spark, sf):
         .agg(F.max("o_totalprice").alias("day_price"))
     )
     out = asof_join(ev, orders, on="d", by="user_id", right_cols=["day_price"])
+    return out.select("event_id", "day_price")
+
+
+@query(
+    "asof_join_forward",
+    """
+    SELECT e.event_id, p.day_price AS day_price
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate,
+               max(o_totalprice) AS day_price
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ) p ON e.user_id = p.o_custkey AND CAST(e.ts AS DATE) <= p.o_orderdate
+    """,
+)
+def q_asof_join_forward(spark, sf):
+    """The forward direction asof_join cannot express: each event picks
+    the user's NEXT order-day price at-or-after the event (the
+    "next restock / next quote" lookup).  Same one-shuffle union-window
+    plan, mirrored frame; the oracle is DuckDB's native forward ASOF
+    (the <= comparison flips the direction)."""
+    from arrow_udf_spark.operators.temporal import asof_join_forward
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("us DIV 86400000000").alias("d"),
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.datediff("o_orderdate", F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.max("o_totalprice").alias("day_price"))
+    )
+    out = asof_join_forward(
+        ev, orders, on="d", by="user_id", right_cols=["day_price"]
+    )
     return out.select("event_id", "day_price")
 
 
@@ -6284,6 +6374,8 @@ _GATE_PRIORITY = [
     "time_bucket_rollup",  # new r7: continuous-aggregate cascade
     "bigram_surprisal",  # new r7: smoothed contextual LM quality proxy
     "join_size_est",  # new r7: CMS inner-product join-size planning
+    "asof_join_forward",  # new r7: next-event direction as-of
+    "dedup_ensemble",  # new r7: LSH AND simhash agreement pairs
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (1) --
