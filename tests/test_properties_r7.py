@@ -143,3 +143,122 @@ def test_skew_profile_ppm_integer_exact(spark):
     )
     rows = {r["key"]: r["ppm"] for r in skew_profile(df, "k").collect()}
     assert rows == {"x": 7 * 1_000_000 // 9, "y": 2 * 1_000_000 // 9}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_asof_forward_vs_referee(spark, lefts, rights):
+    """asof_join_forward must pick, per left row, the right row with the
+    SMALLEST on >= left.on for the same key (inclusive), judged by a
+    Python referee over hypothesis data.  Right side deduplicated per
+    (key, on) keeping max v (the operator's uniqueness precondition)."""
+    from arrow_udf_spark.operators.temporal import asof_join_forward
+
+    rd = {}
+    for k, on, v in rights:
+        rd[(k, on)] = max(rd.get((k, on), -1), v)
+    rrows = [(k, on, v) for (k, on), v in sorted(rd.items())]
+    ldf = spark.createDataFrame(
+        [(i, k, on) for i, (k, on) in enumerate(lefts)],
+        "lid: long, k: long, t: long",
+    )
+    rdf = spark.createDataFrame(rrows, "k: long, t: long, v: long")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join_forward(
+            ldf, rdf, on="t", by="k", right_cols=["v"]
+        ).collect()
+    }
+    for i, (k, on) in enumerate(lefts):
+        cand = [(ron, v) for (rk, ron), v in rd.items() if rk == k and ron >= on]
+        exp = min(cand)[1] if cand else None
+        assert got[i] == exp, (i, k, on, got[i], exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1, max_size=40,
+    )
+)
+def test_rollup_cascade_equals_direct(spark, rows):
+    """Every coarse level of time_bucket_rollup (computed from the finer
+    level's partials) must equal a direct aggregation of the raw rows —
+    the decomposability property, checked by a Python referee over
+    hypothesis timestamps."""
+    import datetime
+    from collections import defaultdict
+
+    from arrow_udf_spark.operators.temporal import time_bucket_rollup
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (base + datetime.timedelta(hours=h * 7, minutes=h), float(v) / 100)
+        for h, v in rows
+    ]
+    df = spark.createDataFrame(data, "ts: timestamp, value: double")
+    got = {
+        (r["level"], r["bucket"]): (r["n_events"], r["total_cents"])
+        for r in time_bucket_rollup(df).collect()
+    }
+    import math
+
+    def trunc(ts, level):
+        if level == "hour":
+            return ts.replace(minute=0, second=0, microsecond=0)
+        if level == "day":
+            return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+
+    for level in ("hour", "day", "month"):
+        ref = defaultdict(lambda: [0, 0])
+        for ts, v in data:
+            b = trunc(ts, level).strftime("%Y-%m-%d %H:%M:%S")
+            ref[b][0] += 1
+            ref[b][1] += math.floor(v * 100)
+        assert {
+            k: tuple(v) for k, v in ref.items()
+        } == {b: got[(level, b)] for (lv, b) in got if lv == level}, level
+
+
+def test_dedup_ensemble_subset_of_both(spark):
+    """The ensemble is exactly the intersection: every flagged pair is in
+    BOTH input pair streams, and every pair in both streams is flagged."""
+    from arrow_udf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        simhash_hamming_pairs,
+    )
+    from arrow_udf_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where("doc_id < 100")
+    )
+    lp = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(
+            d, "doc_id", "text", k=4, band_size=2, max_bucket=100_000
+        ).collect()
+    }
+    sp = {
+        (r["a"], r["b"]): r["dist"]
+        for r in simhash_hamming_pairs(d).collect()
+    }
+    ens = {
+        (r["a"], r["b"]): r["dist"]
+        for r in QUERIES["dedup_ensemble"](spark, sf).collect()
+    }
+    assert set(ens) == lp & set(sp)
+    for pair, dist in ens.items():
+        assert sp[pair] == dist
