@@ -6358,7 +6358,7 @@ _GATE_PRIORITY = [
     # --record), which the staleness test accepts in place of a driver
     # row — the window rotates, the replica covers the rest.
     # ------------------------------------------------------------------
-    # -- 1. new / changed in r7 (7) --
+    # -- 1. new / changed in r7 (17 new + 2 changed) --
     "ivf_persisted_topk",  # new r7: persisted cell-partitioned ANN index
     "ivf_append_topk",  # new r7: incremental append == full build
     "kmv_error_gate",  # new r7: KMV est vs exact at k=16/64/256
@@ -6378,7 +6378,7 @@ _GATE_PRIORITY = [
     "dedup_ensemble",  # new r7: LSH AND simhash agreement pairs
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
-    # -- 2. r1-stale (1) --
+    # -- 2. r1-stale (missed the r6 window by one slot) --
     "set_ops",
     # -- 3a. remote family (7) --
     "remote_gcd",
