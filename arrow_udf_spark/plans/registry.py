@@ -236,6 +236,18 @@ class Registry:
         "cast", "coalesce", "abs", "round", "floor", "ceil", "ceiling",
         "nullif", "greatest", "least", "if", "ifnull", "nvl", "sign",
     }
+    #: deterministic scalar functions allowed inside EXPRESSION group
+    #: keys (GROUP BY pmod(x, 10)) — a whitelist like
+    #: _SCALAR_PASSTHROUGH: an unknown call could be nondeterministic
+    #: (rand()) or an aggregate, either of which breaks the U/B split
+    _GRP_FUNCS = {
+        "cast", "coalesce", "abs", "round", "floor", "ceil", "ceiling",
+        "nullif", "greatest", "least", "if", "ifnull", "nvl", "sign",
+        "pmod", "mod", "date_trunc", "date_format", "to_date", "year",
+        "month", "day", "hour", "minute", "second", "substr",
+        "substring", "concat", "lower", "upper", "trim", "length",
+        "element_at", "split_part",
+    }
     #: bare words that signal a shape the call rewriter must NOT hoist
     #: aggregates across.  ``SELECT`` is the load-bearing one: a scalar
     #: subquery ``(SELECT max(y) FROM u)`` opens a new scope whose
@@ -330,8 +342,27 @@ class Registry:
         if not m:
             return None
         grp_items = _split_top_level(m.group("grp")) if m.group("grp") else []
-        if not all(self._PLAIN_COL.match(g) for g in grp_items):
-            return None
+        plain_keys = all(self._PLAIN_COL.match(g) for g in grp_items)
+        if not plain_keys:
+            # EXPRESSION group keys (GROUP BY pmod(x, 10), date_trunc
+            # ('day', ts), ...): provable when every expression is built
+            # from columns/literals and whitelisted deterministic scalar
+            # functions — each key is aliased __g{i} through the U/B
+            # subqueries, and a select item that textually matches a key
+            # expression resolves to that alias.  Anything unprovable
+            # still falls back to single-phase.
+            for g in grp_items:
+                if not self._PLAIN_COL.match(g) and not self._safe_group_expr(g):
+                    return None
+        g_names = (
+            grp_items if plain_keys
+            else [f"__g{i}" for i in range(len(grp_items))]
+        )
+
+        def _norm(e: str) -> str:
+            return re.sub(r"\s+", "", e).lower()
+
+        grp_norm = {_norm(g): i for i, g in enumerate(grp_items)}
         sel_items = _split_top_level(m.group("sel"))
         inner_aggs: list[str] = []  # partial exprs inside U's salted agg
         u_cols: list[str] = []  # merge exprs projected by U as __u{i}
@@ -352,6 +383,15 @@ class Registry:
             )
             expr_src = gm.group("e") if gm else item
             alias = gm.group("alias") if gm else None
+            gi = grp_norm.get(_norm(expr_src))
+            if gi is not None:
+                # the select item IS a group key (possibly aliased)
+                if alias is None:
+                    if not self._PLAIN_COL.match(item):
+                        return None  # expression key needs an alias
+                    alias = item
+                outer_items.append(f"{g_names[gi]} AS {alias}")
+                continue
             if alias is None:
                 am = self._AGG_ITEM.match(item)
                 if am is None:
@@ -420,19 +460,27 @@ class Registry:
                 limit_sql = f" LIMIT {limit}"
         if not u_cols:
             return None  # no registered-UDAF call — nothing to protect
-        grp = ", ".join(grp_items)
+        grp = ", ".join(grp_items)  # raw key expressions (GROUP BY text)
+        # inner/U projections carry the keys under their stable names:
+        # identical to the raw text for plain keys, `expr AS __g{i}` for
+        # expression keys
+        grp_sel = ", ".join(
+            g if plain_keys else f"{g} AS {g_names[i]}"
+            for i, g in enumerate(grp_items)
+        )
+        gnames = ", ".join(g_names)
         where = f" WHERE {m.group('where')}" if m.group("where") else ""
         src = f"(SELECT * FROM {m.group('frm')}{where})"
         inner = (
-            f"SELECT {grp}{', ' if grp else ''}{', '.join(inner_aggs)} "
+            f"SELECT {grp_sel}{', ' if grp_sel else ''}{', '.join(inner_aggs)} "
             f"FROM (SELECT *, spark_partition_id() AS __aus_salt "
             f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )
         u = (
-            f"SELECT {grp}{', ' if grp else ''}{', '.join(u_cols)} "
+            f"SELECT {gnames}{', ' if gnames else ''}{', '.join(u_cols)} "
             f"FROM ({inner}) __aus_partials"
-            + (f" GROUP BY {grp}" if grp else "")
+            + (f" GROUP BY {gnames}" if gnames else "")
         )
         from_sql = f"({u}) __aus_u"
         if b_cols:
@@ -444,8 +492,8 @@ class Registry:
             )
             if grp_items:
                 conds = " AND ".join(
-                    f"__aus_u.{g} <=> __aus_b.__bg{i}"
-                    for i, g in enumerate(grp_items)
+                    f"__aus_u.{g_names[i]} <=> __aus_b.__bg{i}"
+                    for i in range(len(grp_items))
                 )
                 from_sql += f" JOIN ({b}) __aus_b ON {conds}"
             else:
@@ -454,6 +502,50 @@ class Registry:
             f"SELECT {', '.join(outer_items)} FROM {from_sql}"
             f"{having_sql}{order_sql}{limit_sql}"
         )
+
+    def _safe_group_expr(self, expr: str) -> bool:
+        """True when a GROUP BY expression is provably safe to alias
+        through the U/B split: balanced parens, single-quoted literals
+        only (no escapes), every call a whitelisted deterministic scalar
+        (_GRP_FUNCS), no scope-opening bare words.  Anything else —
+        unknown functions (could be rand() or an aggregate), double
+        quotes, backslashes, subqueries — returns False and the caller
+        falls back to single-phase."""
+        if '"' in expr or "\\" in expr:
+            return False
+        s = re.sub(r"'[^']*'", "''", expr)
+        if s.replace("''", "").count("'"):
+            return False  # unbalanced quote
+        depth = 0
+        i, n = 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+                i += 1
+                continue
+            if ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+                i += 1
+                continue
+            mm = re.match(r"[A-Za-z_]\w*", s[i:])
+            if mm:
+                w = mm.group(0)
+                j = i + len(w)
+                k = j
+                while k < n and s[k].isspace():
+                    k += 1
+                if k < n and s[k] == "(":
+                    if w.lower() not in self._GRP_FUNCS:
+                        return False
+                elif w.lower() in self._UNSAFE_BARE_WORDS:
+                    return False
+                i = j
+                continue
+            i += 1
+        return depth == 0
 
     @staticmethod
     def _split_tail(tail: str) -> Optional[tuple]:

@@ -567,6 +567,42 @@ def q_sql_agg_bare_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_expr_key_two_phase",
+    """
+    SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q_sql_agg_expr_key_two_phase(spark, sf):
+    """EXPRESSION group keys through the scale-safe SQL front door (the
+    round-7 widening of the two-phase surface): ``GROUP BY
+    pmod(l_orderkey, 7)`` is provably deterministic (whitelisted scalar
+    over a column), so the registry aliases it ``__g0`` through the
+    salted U subquery, the native B subquery, and their null-safe join —
+    no single-phase fallback, no analyzer magic.  HAVING on the select
+    alias and ORDER BY ride along.  Unknown functions in a key still
+    fall back loudly (unit-tested)."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_exprkey_sql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT pmod(l_orderkey, 7) AS bucket,
+               CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_exprkey_sql GROUP BY pmod(l_orderkey, 7)
+        ORDER BY bucket
+        """,
+    )
+
+
+@query(
     "sql_agg_having_two_phase",
     """
     SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -6376,6 +6412,7 @@ _GATE_PRIORITY = [
     "join_size_est",  # new r7: CMS inner-product join-size planning
     "asof_join_forward",  # new r7: next-event direction as-of
     "dedup_ensemble",  # new r7: LSH AND simhash agreement pairs
+    "sql_agg_expr_key_two_phase",  # new r7: expression GROUP BY keys
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (missed the r6 window by one slot) --

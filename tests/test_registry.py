@@ -369,3 +369,49 @@ def test_register_sql_strict_refuses_single_phase(spark):
             "SELECT g, strict_sum(x) AS s FROM strict_t GROUP BY g "
             "HAVING s > (SELECT max(id) FROM range(1))",
         )
+
+
+def test_two_phase_expression_group_keys(spark):
+    """GROUP BY expressions (pmod, date_trunc, arithmetic over columns)
+    now ride the salted two-phase rewrite: each key is aliased __g{i}
+    through the U/B split and select items matching the key expression
+    resolve to the alias.  Unknown functions in a key still fall back."""
+    r = Registry()
+    r._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
+    used = {"sum_udaf"}
+    ok = r._rewrite_two_phase(
+        "SELECT pmod(x, 7) AS b, sum_udaf(y) AS s, COUNT(*) AS c "
+        "FROM t GROUP BY pmod(x, 7)",
+        used,
+    )
+    assert ok is not None
+    assert "pmod(x, 7) AS __g0" in ok and "__aus_u.__g0 <=> __aus_b.__bg0" in ok
+    assert "__g0 AS b" in ok
+    # quoted literal inside the key expression
+    ok2 = r._rewrite_two_phase(
+        "SELECT date_trunc('DAY', ts) AS d, sum_udaf(v) AS s "
+        "FROM t GROUP BY date_trunc('DAY', ts)",
+        used,
+    )
+    assert ok2 is not None and "__g0 AS d" in ok2
+    # expression key without a select alias is unprovable
+    assert r._rewrite_two_phase(
+        "SELECT pmod(x, 7), sum_udaf(y) AS s FROM t GROUP BY pmod(x, 7)",
+        used,
+    ) is None
+    # unknown function in the key -> fallback
+    assert r._rewrite_two_phase(
+        "SELECT hash(x) AS b, sum_udaf(y) AS s FROM t GROUP BY hash(x)",
+        used,
+    ) is None
+    # subquery smuggled into a key -> fallback
+    assert r._rewrite_two_phase(
+        "SELECT cast((SELECT max(z) FROM u) AS INT) AS b, sum_udaf(y) AS s "
+        "FROM t GROUP BY cast((SELECT max(z) FROM u) AS INT)",
+        used,
+    ) is None
+    # plain-column keys keep their existing (un-aliased) rewrite shape
+    ok3 = r._rewrite_two_phase(
+        "SELECT g, sum_udaf(y) AS s FROM t GROUP BY g", used
+    )
+    assert ok3 is not None and "__g0" not in ok3
