@@ -32,7 +32,9 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_numpy",
     "ivf_build_index",
+    "ivf_current",
     "ivf_persisted_topk",
+    "ivf_publish",
     "ivf_topk",
     "lsh_bands",
     "lsh_topk",
@@ -309,6 +311,34 @@ def ivf_build_index(
     indexed.repartition("cell").write.mode(mode).partitionBy(
         "cell"
     ).parquet(path)
+
+
+def ivf_publish(root: str, version_dir: str) -> None:
+    """Atomically flip the LIVE pointer of a persisted IVF index to
+    ``version_dir`` (blue/green): readers resolve ``root/_CURRENT`` to a
+    version directory, a re-train writes its index under a NEW version
+    and publishes with one pointer write — in-flight queries keep
+    reading the old version's files, nothing is ever rewritten in
+    place, and rollback is re-publishing the previous version.  The
+    pointer write is tmp-file + ``os.replace`` (atomic on POSIX; on an
+    object store this maps to the manifest-pointer swap every table
+    format uses)."""
+    import os
+    import tempfile
+
+    os.makedirs(root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._current_")
+    with os.fdopen(fd, "w") as f:
+        f.write(version_dir)
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def ivf_current(root: str) -> str:
+    """Resolve the live version directory of a published IVF index."""
+    import os
+
+    with open(os.path.join(root, "_CURRENT")) as f:
+        return f.read().strip()
 
 
 def ivf_persisted_topk(

@@ -6036,6 +6036,97 @@ def q_ivf_append_topk(spark, sf):
     )
 
 
+@query("ivf_retrain_swap_topk", _IVF_MULTIPROBE_ORACLE)
+def q_ivf_retrain_swap_topk(spark, sf):
+    """The index LIFECYCLE's missing verb — re-train + atomic blue/green
+    swap: a v1 index (k=4, one Lloyd round) is built and published, then
+    a re-train (k=8, two rounds — the multiprobe trajectory) writes a v2
+    index under a NEW version directory and flips the ``_CURRENT``
+    pointer in one atomic rename.  Serving always resolves the pointer:
+    queries in flight keep reading v1's files, nothing is rewritten in
+    place, rollback is re-publishing v1.  The gate serves AFTER the swap
+    and must hash-match the v2 (multiprobe) oracle — proving the flip
+    changed the answers to exactly the re-trained index's."""
+    import tempfile
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import (
+        ivf_build_index,
+        ivf_current,
+        ivf_persisted_topk,
+        ivf_publish,
+    )
+
+    e = t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="aus_ivf_bg_")
+    cents_v1 = kmeans_fit(e, k=4, iters=1)
+    ivf_build_index(e, cents_v1, root + "/v1")
+    ivf_publish(root, root + "/v1")
+    # re-train and swap
+    cents_v2 = kmeans_fit(e, k=8, iters=2)
+    ivf_build_index(e, cents_v2, root + "/v2")
+    ivf_publish(root, root + "/v2")
+    return ivf_persisted_topk(
+        spark,
+        ivf_current(root),
+        e.where(F.col("vec_id") < 5),
+        cents_v2,
+        k=5,
+        n_probe=2,
+    )
+
+
+@query("streaming_ivf_append_topk", _IVF_MULTIPROBE_ORACLE)
+def q_streaming_ivf_append_topk(spark, sf):
+    """STREAMING index maintenance: half the vectors batch-build the
+    index, the other half ARRIVE AS A STREAM and append through
+    ``foreachBatch`` (each micro-batch is one frozen-centroid assignment
+    pass + an append write into its cell directories — the
+    ivf_build_index(mode=append) path on live data).  After the stream
+    drains, serving must answer exactly like a single full build (the
+    multiprobe oracle) — the daily-embedding-delivery shape of a
+    production ANN index, gated end-to-end."""
+    import tempfile
+    import uuid
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import ivf_build_index, ivf_persisted_topk
+
+    e = t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2)
+    root = tempfile.mkdtemp(prefix="aus_ivf_stream_")
+    path = root + "/index"
+    ivf_build_index(e.where(F.col("vec_id") % 2 == 0), cents, path)
+
+    odd = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    src = root + "/incoming"
+    odd.repartitionByRange(3, "vec_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def append_batch(batch_df, batch_id):
+        ivf_build_index(batch_df, cents, path, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .queryName(f"ivfapp_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if len(q.recentProgress) < 2:
+        raise RuntimeError(
+            f"expected multi-batch replay, got {len(q.recentProgress)}"
+        )
+    return ivf_persisted_topk(
+        spark, path, e.where(F.col("vec_id") < 5), cents, k=5, n_probe=2
+    )
+
+
 @query(
     "knn_label_vote",
     """
@@ -6413,6 +6504,8 @@ _GATE_PRIORITY = [
     "asof_join_forward",  # new r7: next-event direction as-of
     "dedup_ensemble",  # new r7: LSH AND simhash agreement pairs
     "sql_agg_expr_key_two_phase",  # new r7: expression GROUP BY keys
+    "ivf_retrain_swap_topk",  # new r7: blue/green index re-train + flip
+    "streaming_ivf_append_topk",  # new r7: foreachBatch index appends
     "corpus_divergence",  # changed r7: DECIMAL(38,0) tv_num (no int64 wrap)
     "count_min_freq",  # changed r7: truth side filters '' like the sketch
     # -- 2. r1-stale (missed the r6 window by one slot) --
