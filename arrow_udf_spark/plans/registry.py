@@ -260,6 +260,23 @@ class Registry:
         "union", "intersect", "except", "join", "on", "exists", "with",
         "over", "lateral", "values", "qualify",
     }
+    #: window functions the select-item rewriter may pass through with an
+    #: ``OVER (...)`` clause.  Built-in aggregates (_BUILTIN_AGGS) are also
+    #: legal as window functions (``SUM(...) OVER ()`` share-of-total).
+    #: Registered UDAFs are NOT: a pandas GROUPED_AGG over window frames is
+    #: exactly the every-row-to-one-worker trap the rewrite exists to avoid.
+    _WINDOW_FUNCS = {
+        "rank", "dense_rank", "row_number", "ntile", "percent_rank",
+        "cume_dist", "lag", "lead", "first_value", "last_value",
+        "nth_value",
+    }
+    #: bare words legal inside an ``OVER (...)`` specification (frame and
+    #: ordering keywords); anything else bare must be a column reference
+    _OVER_BARE_WORDS = {
+        "partition", "by", "order", "asc", "desc", "nulls", "first",
+        "last", "rows", "range", "groups", "between", "unbounded",
+        "preceding", "following", "current", "row", "and",
+    }
 
     def sql(self, spark: "SparkSession", query: str) -> "DataFrame":
         """Run SQL with bare aggregate names made scale-safe by default.
@@ -546,6 +563,81 @@ class Registry:
                 continue
             i += 1
         return depth == 0
+
+    @staticmethod
+    def _match_paren(s: str, i: int) -> Optional[int]:
+        """Index of the ``)`` matching the ``(`` at ``s[i]``, skipping
+        quoted strings; None when unbalanced."""
+        depth, quote = 0, None
+        n = len(s)
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return None
+
+    @classmethod
+    def _split_with(cls, query: str) -> Optional[tuple[str, str]]:
+        """Split a leading ``WITH name [(cols)] AS (body), ...`` block off
+        ``query``.  Returns ``(prefix, main)`` — prefix ``""`` when there
+        is no CTE block — or None when the block is malformed or
+        RECURSIVE (caller falls back to single-phase).
+
+        The rewrite only restructures the MAIN block; CTE bodies are
+        passed to Spark verbatim, which is sound because Spark scopes a
+        query's CTEs over every subquery of the following SELECT — the
+        U/B subqueries the rewrite builds still resolve the CTE names."""
+        s = query.strip()
+        if not re.match(r"(?is)^WITH\s", s):
+            return "", query
+        if re.match(r"(?is)^WITH\s+RECURSIVE\b", s):
+            return None
+        i = len("WITH")
+        n = len(s)
+        while True:
+            while i < n and s[i].isspace():
+                i += 1
+            mm = re.match(r"[A-Za-z_]\w*", s[i:])
+            if not mm:
+                return None
+            i += mm.end()
+            while i < n and s[i].isspace():
+                i += 1
+            if i < n and s[i] == "(":  # optional column alias list
+                j = cls._match_paren(s, i)
+                if j is None:
+                    return None
+                i = j + 1
+                while i < n and s[i].isspace():
+                    i += 1
+            ma = re.match(r"(?is)^AS\s*\(", s[i:])
+            if not ma:
+                return None
+            i += ma.end() - 1  # at the body's '('
+            j = cls._match_paren(s, i)
+            if j is None:
+                return None
+            i = j + 1
+            while i < n and s[i].isspace():
+                i += 1
+            if i < n and s[i] == ",":
+                i += 1
+                continue
+            break
+        prefix, main = s[:i], s[i:]
+        if not re.match(r"(?is)^SELECT\b", main.strip()):
+            return None
+        return prefix, main
 
     @staticmethod
     def _split_tail(tail: str) -> Optional[tuple]:
