@@ -198,7 +198,13 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
             "rank",
             "key",
             "cnt",
-            F.expr("CAST(cnt * 1000000 DIV __total AS BIGINT)").alias("ppm"),
+            # DECIMAL numerator: cnt*1e6 in non-ANSI BIGINT wraps silently
+            # past ~9.2e12 rows per key (the source_token_tv overflow class,
+            # ADVICE r7); the quotient is <= 1e6 so the OUTPUT stays BIGINT
+            F.expr(
+                "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                " DIV __total AS BIGINT)"
+            ).alias("ppm"),
         )
     )
 
@@ -680,8 +686,21 @@ def join_size_gate(
         ca.alias("a")
         .join(cb.alias("b"), ["r", "cell"])
         .groupBy("r")
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
-        .agg(F.min("ip").cast("bigint").alias("join_size_est"))
+        # DECIMAL product: cnt*cnt in non-ANSI BIGINT wraps silently at
+        # extreme skew (~3e9 rows on one key), breaking est >= exact
+        .agg(
+            F.sum(
+                F.col("a.cnt").cast("decimal(19,0)")
+                * F.col("b.cnt").cast("decimal(19,0)")
+            ).alias("ip")
+        )
+        # disjoint sketches -> empty join -> min(ip) is NULL; the true
+        # inner product of all-zero overlap is 0, keeping est >= exact
+        .agg(
+            F.coalesce(F.min("ip"), F.lit(0))
+            .cast("bigint")
+            .alias("join_size_est")
+        )
     )
     ka = (
         a.where(F.col(a_key).isNotNull())

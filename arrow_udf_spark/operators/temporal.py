@@ -31,6 +31,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "asof_join_forward", "sessionize", "range_join", "resample_ffill", "time_bucket_rollup"]
 
@@ -396,10 +397,18 @@ def asof_join_forward(
     Same single-shuffle union strategy, mirrored: one window
     ``partitionBy(by).orderBy(on ASC, tag DESC)`` (left rows sort before
     right rows at equal timestamps, so an equal-timestamp right row is
-    inside the forward frame = inclusive semantics) with a
-    ``first(col, ignorenulls=True)`` over ``[current, unbounded
-    following]`` pulling the nearest future right values back.  Exactly
+    inside the forward frame = inclusive semantics) with ONE
+    ``first(struct(right_cols), ignorenulls=True)`` over ``[current,
+    unbounded following]`` pulling the nearest future right row back.
+    Filling a single struct (not each column independently) guarantees
+    all attached values come from the SAME right row, and a matched
+    right row whose value is legitimately NULL is attached as NULL —
+    not skipped in favor of a later row's value (ADVICE r7).  Exactly
     one shuffle on ``by``; no range explosion.
+
+    Contract (matching :func:`asof_join`): ``right`` must be unique per
+    ``(by, on)`` — with ties the first by union order wins,
+    nondeterministically.  Left rows with no future right row get NULLs.
     """
     from pyspark.sql import Window
 
@@ -410,29 +419,42 @@ def asof_join_forward(
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
 
-    lt = left.withColumn("__tag", F.lit(1))
-    for c in right_cols:
-        lt = lt.withColumn(
-            out_names[c], F.lit(None).cast(right.schema[c].dataType)
-        )
+    struct_t = T.StructType(
+        [
+            T.StructField(out_names[c], right.schema[c].dataType)
+            for c in right_cols
+        ]
+    )
+    lt = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__rvals", F.lit(None).cast(struct_t)
+    )
     rt = right.select(
         *by,
         F.col(on).alias(on),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in right_cols]
+        ).alias("__rvals"),
     )
     left_cols = [c for c in left.columns]
-    unioned = lt.select(
-        *left_cols, "__tag", *[out_names[c] for c in right_cols]
-    ).unionByName(rt, allowMissingColumns=True)
+    unioned = lt.select(*left_cols, "__tag", "__rvals").unionByName(
+        rt, allowMissingColumns=True
+    )
 
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("__tag").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    for c in right_cols:
-        unioned = unioned.withColumn(
-            out_names[c], F.first(out_names[c], ignorenulls=True).over(w)
+    # the struct is non-null for every right row even when its fields are
+    # NULL, so ignorenulls skips only left rows — one fill, one right row
+    unioned = unioned.withColumn(
+        "__rvals", F.first("__rvals", ignorenulls=True).over(w)
+    )
+    return (
+        unioned.where(F.col("__tag") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__rvals.{out_names[c]}") for c in right_cols],
         )
-    return unioned.where(F.col("__tag") == 1).drop("__tag")
+    )

@@ -493,9 +493,12 @@ def source_token_tv(
     where the products reach ~1e26) it runs in DECIMAL(19,0)x(19,0) ->
     (38,0), which keeps every term exact to 38 digits and fails loudly
     beyond — Spark's non-ANSI long multiply would wrap SILENTLY and
-    break the exactness guarantee (ADVICE r6, low).  Either path emits
-    ``tv_num`` as DECIMAL(38,0), so the result schema (and the oracle)
-    never depends on the data.
+    break the exactness guarantee (ADVICE r6, low).  The fitting path
+    emits ``tv_num`` as BIGINT (the natural exact type when the bound
+    proves it fits); only the beyond-int64 path emits DECIMAL(38,0) —
+    documented as driver-incompatible-by-design, since renderers
+    disagree on how to print a decimal integer (pandas floats it,
+    Spark keeps ``Decimal``) even when the VALUES are bit-identical.
 
     Scale: per-source token counts are vocabulary-sized (one map-side
     combined aggregate over the corpus); the pivot is one shuffle keyed
@@ -541,9 +544,10 @@ def source_token_tv(
         )
         # coalesce: an empty token stream (all-empty docs) must read as
         # zero divergence, not NULL
+        out_t = "bigint" if fits_long else "decimal(38,0)"
         aggs.append(
             F.coalesce(F.sum(diff), F.lit(0))
-            .cast("decimal(38,0)")
+            .cast(out_t)
             .alias(f"__tv_{a}__{b}")
         )
     one = piv.agg(*aggs)

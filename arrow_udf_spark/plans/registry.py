@@ -293,9 +293,13 @@ class Registry:
         ``AggregateFunction.agg``.
 
         Queries that don't call a registered aggregate run unchanged.
-        Shapes the rewriter can't prove safe (expression group keys,
-        aggregates nested in arithmetic, sub-selects in the select list)
-        fall back to the single-phase form with the registration warning.
+        Provable shapes include expression group keys (GROUP BY
+        pmod(x, 10)), a leading non-RECURSIVE CTE block (rewritten main
+        block, CTE bodies verbatim — refused if a CTE body itself calls a
+        UDAF), and window functions over the grouped result (rank() OVER
+        (ORDER BY sum_udaf(v))).  Anything unprovable falls back to the
+        single-phase form with the registration warning (or raises under
+        ``register_sql(strict=True)``).
         """
         agg_names = {
             n
@@ -355,7 +359,19 @@ class Registry:
         to resolve aggregates above the merge.  B's group keys are
         renamed ``__bg{i}`` so every original name stays unambiguous.
         """
-        m = self._GROUPBY_SHAPE.match(query)
+        sw = self._split_with(query)
+        if sw is None:
+            return None  # malformed / RECURSIVE CTE block — fall back
+        cte_prefix, main = sw
+        if cte_prefix and any(
+            re.search(rf"(?i)\b{re.escape(n)}\s*\(", cte_prefix)
+            for n in used
+        ):
+            # a UDAF call INSIDE a CTE body would stay single-phase no
+            # matter how we rewrite the main block — refuse rather than
+            # silently leave the trap in the prefix
+            return None
+        m = self._GROUPBY_SHAPE.match(main)
         if not m:
             return None
         grp_items = _split_top_level(m.group("grp")) if m.group("grp") else []
@@ -377,7 +393,26 @@ class Registry:
         )
 
         def _norm(e: str) -> str:
-            return re.sub(r"\s+", "", e).lower()
+            # normalize case/whitespace OUTSIDE quoted literals only:
+            # date_format(ts,'MM') and date_format(ts,'mm') are DIFFERENT
+            # expressions, and lowercasing inside '...' would silently
+            # project the wrong one as the group key where Spark's own
+            # analyzer rejects the query (ADVICE r7)
+            out = []
+            quote = None
+            for ch in e:
+                if quote:
+                    out.append(ch)
+                    if ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                    out.append(ch)
+                elif ch.isspace():
+                    continue
+                else:
+                    out.append(ch.lower())
+            return "".join(out)
 
         grp_norm = {_norm(g): i for i, g in enumerate(grp_items)}
         sel_items = _split_top_level(m.group("sel"))
@@ -387,6 +422,110 @@ class Registry:
         memo: dict = {}  # lowercased call -> replacement token
         outer_items: list[str] = []
         grp_set = {g.lower() for g in grp_items}
+
+        def _rw_spec_expr(e: str) -> Optional[str]:
+            # a window-spec / window-arg expression above the merge can
+            # only be a group key (plain or aliased expression key) or an
+            # aggregate call (rewritten to its __u/__b column) — anything
+            # else does not exist in the outer scope
+            gi2 = grp_norm.get(_norm(e))
+            if gi2 is not None:
+                return g_names[gi2]
+            es = e.strip()
+            if self._PLAIN_COL.match(es) and es.lower() in grp_set:
+                return es
+            rw = self._rewrite_agg_calls(
+                e, used, inner_aggs, u_cols, b_cols, memo
+            )
+            if rw is None or rw == e:
+                return None
+            return rw
+
+        def _rw_win(expr_src: str) -> Optional[tuple]:
+            """Rewrite a ``head(args) OVER (spec)`` select item: window
+            functions evaluate over the GROUPED result, so the call stays
+            in the outer query verbatim while every aggregate inside its
+            args / PARTITION BY / ORDER BY is replaced by its merged
+            column (``SUM(sum_udaf(v)) OVER ()`` share-of-total,
+            ``rank() OVER (ORDER BY sum_udaf(v) DESC)``).  Registered
+            UDAFs as the window HEAD are refused — a GROUPED_AGG pandas
+            UDF over window frames is exactly the every-row-to-one-worker
+            trap this rewrite exists to avoid.  Returns
+            ``(rewritten, default_alias)`` or None."""
+            hm = re.match(r"(?is)^\s*([A-Za-z_]\w*)\s*\(", expr_src)
+            if not hm:
+                return None
+            head = hm.group(1)
+            i0 = hm.end() - 1
+            j0 = self._match_paren(expr_src, i0)
+            if j0 is None:
+                return None
+            args = expr_src[i0 + 1 : j0]
+            rest = expr_src[j0 + 1 :]
+            om = re.match(r"(?is)^\s*OVER\s*\(", rest)
+            if not om:
+                return None
+            k0 = om.end() - 1
+            k1 = self._match_paren(rest, k0)
+            if k1 is None or rest[k1 + 1 :].strip():
+                return None
+            spec = rest[k0 + 1 : k1]
+            hl = head.lower()
+            if hl in used:
+                return None
+            if hl not in self._WINDOW_FUNCS and hl not in self._BUILTIN_AGGS:
+                return None
+            args_rw = ""
+            if args.strip():
+                gia = grp_norm.get(_norm(args))
+                if gia is not None:
+                    args_rw = g_names[gia]
+                else:
+                    args_rw = self._rewrite_agg_calls(
+                        args, used, inner_aggs, u_cols, b_cols, memo
+                    )
+                    if args_rw is None:
+                        return None
+            sm = re.match(
+                r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<pb>.*?))?"
+                r"(?:\s*ORDER\s+BY\s+(?P<ob>.*?))?"
+                r"(?:\s*(?P<frame>(?:ROWS|RANGE|GROUPS)\b[^()'\"]*))?\s*$",
+                spec,
+            )
+            if not sm:
+                return None
+            parts = []
+            if sm.group("pb"):
+                its = []
+                for it2 in _split_top_level(sm.group("pb")):
+                    r2 = _rw_spec_expr(it2)
+                    if r2 is None:
+                        return None
+                    its.append(r2)
+                parts.append("PARTITION BY " + ", ".join(its))
+            if sm.group("ob"):
+                its = []
+                for it2 in _split_top_level(sm.group("ob")):
+                    sm2 = re.match(
+                        r"(?is)^(?P<e>.*?)(?P<suffix>\s+(?:ASC|DESC)"
+                        r"(?:\s+NULLS\s+(?:FIRST|LAST))?|"
+                        r"\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+                        it2,
+                    )
+                    r2 = _rw_spec_expr(sm2.group("e"))
+                    if r2 is None:
+                        return None
+                    its.append(r2 + (sm2.group("suffix") or ""))
+                parts.append("ORDER BY " + ", ".join(its))
+            frame = sm.group("frame")
+            if frame:
+                toks = re.findall(r"[A-Za-z_]\w*", frame)
+                if any(
+                    tk.lower() not in self._OVER_BARE_WORDS for tk in toks
+                ):
+                    return None
+                parts.append(" ".join(frame.split()))
+            return f"{head}({args_rw}) OVER ({' '.join(parts)})", hl
         for item in sel_items:
             if self._PLAIN_COL.match(item) and item.lower() in grp_set:
                 outer_items.append(item)
@@ -408,6 +547,12 @@ class Registry:
                         return None  # expression key needs an alias
                     alias = item
                 outer_items.append(f"{g_names[gi]} AS {alias}")
+                continue
+            if re.search(r"(?i)\bOVER\b", expr_src):
+                wrw = _rw_win(expr_src)
+                if wrw is None:
+                    return None
+                outer_items.append(f"{wrw[0]} AS {alias or wrw[1]}")
                 continue
             if alias is None:
                 am = self._AGG_ITEM.match(item)
@@ -515,8 +660,12 @@ class Registry:
                 from_sql += f" JOIN ({b}) __aus_b ON {conds}"
             else:
                 from_sql += f" CROSS JOIN ({b}) __aus_b"  # both single-row
+        # the CTE prefix rides verbatim above the rewritten main block:
+        # Spark scopes a query's CTEs over every subquery of the following
+        # SELECT, so the U/B subqueries still resolve the CTE names
+        pre = f"{cte_prefix} " if cte_prefix else ""
         return (
-            f"SELECT {', '.join(outer_items)} FROM {from_sql}"
+            f"{pre}SELECT {', '.join(outer_items)} FROM {from_sql}"
             f"{having_sql}{order_sql}{limit_sql}"
         )
 
