@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "bpe_pair_counts",          # char-pair counts (BPE hot loop)
     "wav_frame_energy",         # PCM frame energy via mapInPandas
     "ann_pipeline_e2e",         # embed UDF -> train -> persist -> serve
+    # new in r8:
+    "sql_agg_window_two_phase", # window fns over the two-phase SQL rewrite
+    "png_pixels",               # full PNG decode (zlib + 5-filter recon)
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
@@ -154,6 +157,7 @@ def main() -> None:
     # column-prune the operator under test).
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     best: dict[str, float] = {}
+    raw: dict[str, list] = {n: [] for n in names}  # per-pass raw seconds
     failed: set = set()
     for order in _pass_orders(names):
         for name in order:
@@ -165,6 +169,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 dt = time.perf_counter() - t0
+                raw[name].append(round(dt, 3))
                 if name not in best or dt < best[name]:
                     best[name] = dt
             except Exception as e:  # noqa: BLE001 — isolation is the point
@@ -186,6 +191,43 @@ def main() -> None:
         sys.stderr.write(f"  {name}: {timings[name]}s ({n} rows)\n")
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    # FULL artifact (VERDICT r7 ask #4): the stdout line has been
+    # truncated by log capture before (BENCH_r07.json recovered only 35
+    # of 48 queries), so the complete per-query best-of-REPS dict plus
+    # the per-pass raw times is ALSO written as a repo-root file the
+    # driver snapshots — round-over-round cohort comparison must never
+    # depend on scraping a (possibly truncated) stdout tail.
+    full = {
+        "metric": "arrow_udf_spark headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "raw_pass_secs": raw,
+        "failed": sorted(failed),
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "reps": REPS,
+        "order_protocol": "interleaved passes: catalog / reversed / seed-7",
+        "materialization": "noop write (full evaluation of every column)",
+        "baseline_note": (
+            "BENCH_r01 used count()-materialization (pruned the operator "
+            "under test for projection queries); r2+ use noop writes. "
+            "r5 changed warm-up to noop-writing every table (~15% faster "
+            "totals). Cohort grew r5/r6/r7/r8 — always compare the "
+            "shared-query cohort, not the raw total. From r7 reps run as "
+            "interleaved passes in deterministic orders; best-of-3 per "
+            "query unchanged. See docstring."
+        ),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # ONE compact stdout line (the driver contract); the heavyweight
+    # fields live in BENCH_FULL.json so this line stays short enough to
+    # survive any log truncation
     print(
         json.dumps(
             {
@@ -195,30 +237,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": REPS,
-                "baseline_note": (
-                    "BENCH_r01 used count()-materialization, which pruned the "
-                    "operator under test for projection-shaped queries; r2+ "
-                    "use noop writes (full evaluation). COMPARABILITY BREAKS: "
-                    "(a) r5 changed the warm-up from one lineitem count() to "
-                    "noop-writing every parquet table (page cache + JIT warm, "
-                    "self-measured ~15% faster totals) — r5+ totals are not "
-                    "directly comparable to r3/r4; compare r6 vs r5's "
-                    "best-of-3 shared cohort. (b) r5 added "
-                    "kmeans_train_assign + funnel_conversion; r6 adds "
-                    "decontaminate, dup_span_flags, lsh_topk, inverted_index, "
-                    "bm25_topk, ivf_trained_topk, ivf_multiprobe_topk, "
-                    "simhash_hamming_pairs, minhash_jaccard_est; r7 adds "
-                    "ivf_persisted_topk, kmv_error_gate, bloom_prejoin, "
-                    "skew_profile, bpe_pair_counts, wav_frame_energy, ann_pipeline_e2e — "
-                    "always "
-                    "compare the shared-query cohort, not the raw total. "
-                    "(c) From r7 the reps run as interleaved passes in "
-                    "different deterministic orders (catalog / reversed / "
-                    "seed-7 shuffle) instead of 3 back-to-back runs per "
-                    "query, so later queries no longer systematically "
-                    "inherit a warmer JVM than earlier ones; best-of-3 per "
-                    "query is unchanged. See docstring."
-                ),
+                "full_artifact": "BENCH_FULL.json",
             }
         )
     )
