@@ -393,6 +393,53 @@ def shared_shingle_flags(
     )
 
 
+def dup_span_cascade(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lengths: tuple = (5, 10, 20),
+) -> DataFrame:
+    """Longest-shared-span approximation via a multi-length shingle
+    cascade (RefinedWeb/Gopher-style exact-substring dedup without a
+    suffix array): a document pair sharing a verbatim 20-token run shares
+    every shorter run inside it, so tiers escalate 5 → 10 → 20 and each
+    tier beyond the first runs ONLY over documents already flagged at the
+    previous one — sound pruning by pigeonhole (both members of an
+    n-gram-sharing pair are always flagged at every shorter tier).
+
+    Per-doc output (one row per doc flagged at the base tier):
+    ``n_spans_{n}`` distinct shared n-gram digests per tier (0 = clean at
+    that tier) and ``max_shared_len``, the longest tier with any shared
+    span — the dedup decision variable (drop/keep thresholds like "shares
+    a 20-gram verbatim" read it directly).
+
+    Scale: each tier is :func:`shared_shingle_flags` — digest-only
+    shuffles, two-phase counts, no cross-doc pair materialization.  On a
+    mostly-clean 100 TB corpus the base tier touches everything once and
+    the expensive long-gram explodes touch only the suspicious subset
+    (typically a few percent), which is the point of the cascade.
+    """
+    lengths = tuple(sorted(lengths))
+    cand = df.select(id_col, text_col)
+    tiers = []
+    for n in lengths:
+        counts = shared_shingle_flags(
+            cand, text_col, id_col, n=n
+        ).withColumnRenamed("n_dup_spans", f"n_spans_{n}")
+        tiers.append((n, counts))
+        # next tier's candidates: docs flagged at this tier (keep text)
+        cand = cand.join(counts.select(id_col), id_col)
+    out = tiers[0][1]
+    for n, c in tiers[1:]:
+        out = out.join(c, id_col, "left").withColumn(
+            f"n_spans_{n}", F.coalesce(F.col(f"n_spans_{n}"), F.lit(0))
+        )
+    msl = F.lit(lengths[0])
+    for n in lengths[1:]:
+        msl = F.when(F.col(f"n_spans_{n}") > 0, F.lit(n)).otherwise(msl)
+    return out.withColumn("max_shared_len", msl.cast("int"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two arrays (distinct-element semantics)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -1324,6 +1324,63 @@ def q_dup_span_flags(spark, sf):
 
 
 @query(
+    "dup_span_cascade",
+    # oracle computes the three tiers INDEPENDENTLY (no cascade); the
+    # Spark side prunes tiers 10/20 to docs flagged at the prior tier —
+    # equal outputs by the pigeonhole soundness the operator documents
+    f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(
+                 range(1, greatest(len(toks) - 4, 0) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS h
+      FROM toks),
+    sh10 AS (
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(
+                 range(1, greatest(len(toks) - 9, 0) + 1),
+                 i -> array_to_string(toks[i:i+9], ' ')))) AS h
+      FROM toks),
+    sh20 AS (
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(
+                 range(1, greatest(len(toks) - 19, 0) + 1),
+                 i -> array_to_string(toks[i:i+19], ' ')))) AS h
+      FROM toks),
+    d5 AS (SELECT h FROM sh5 GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    d10 AS (SELECT h FROM sh10 GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    d20 AS (SELECT h FROM sh20 GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    n5 AS (SELECT doc_id, COUNT(DISTINCT s.h) AS n FROM sh5 s
+           JOIN d5 USING (h) GROUP BY doc_id),
+    n10 AS (SELECT doc_id, COUNT(DISTINCT s.h) AS n FROM sh10 s
+            JOIN d10 USING (h) GROUP BY doc_id),
+    n20 AS (SELECT doc_id, COUNT(DISTINCT s.h) AS n FROM sh20 s
+            JOIN d20 USING (h) GROUP BY doc_id)
+    SELECT n5.doc_id,
+           CAST(n5.n AS BIGINT) AS n_spans_5,
+           CAST(COALESCE(n10.n, 0) AS BIGINT) AS n_spans_10,
+           CAST(COALESCE(n20.n, 0) AS BIGINT) AS n_spans_20,
+           CAST(CASE WHEN COALESCE(n20.n, 0) > 0 THEN 20
+                     WHEN COALESCE(n10.n, 0) > 0 THEN 10
+                     ELSE 5 END AS INT) AS max_shared_len
+    FROM n5 LEFT JOIN n10 ON n5.doc_id = n10.doc_id
+            LEFT JOIN n20 ON n5.doc_id = n20.doc_id
+    """,
+)
+def q_dup_span_cascade(spark, sf):
+    """Longest-shared-span dedup approximation (VERDICT r7 ask #7): the
+    5/10/20-gram cascade where each longer tier runs only over documents
+    flagged at the shorter one — RefinedWeb/Gopher exact-substring
+    semantics ("shares >= N tokens verbatim") without a suffix array,
+    digest-only shuffles throughout.  ``max_shared_len`` is the dedup
+    decision variable."""
+    from .operators.dedup import dup_span_cascade
+
+    return dup_span_cascade(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT l.vec_id AS a, r.vec_id AS b,

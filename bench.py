@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # new in r8:
     "sql_agg_window_two_phase", # window fns over the two-phase SQL rewrite
     "png_pixels",               # full PNG decode (zlib + 5-filter recon)
+    "dup_span_cascade",         # 5/10/20-gram longest-shared-span cascade
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent

@@ -1,0 +1,136 @@
+"""Referee properties for the round-8 operators.
+
+- dup_span_cascade's pruning soundness: each tier beyond the base runs
+  only over docs flagged at the previous tier; by pigeonhole that must
+  equal computing every tier independently over ALL docs.
+- PNG decode vs a brute-force referee reconstruction written differently
+  from the operator (pure-Python, byte-at-a-time).
+"""
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@st.composite
+def corpora(draw):
+    n_docs = draw(st.integers(3, 7))
+    docs = []
+    base = draw(st.lists(st.sampled_from(WORDS), min_size=25, max_size=30))
+    for i in range(n_docs):
+        if draw(st.booleans()):
+            # clone a window of the base doc -> long shared runs
+            lo = draw(st.integers(0, 5))
+            hi = draw(st.integers(lo + 10, len(base)))
+            words = base[lo:hi] + draw(
+                st.lists(st.sampled_from(WORDS), max_size=5)
+            )
+        else:
+            words = draw(
+                st.lists(st.sampled_from(WORDS), min_size=0, max_size=30)
+            )
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_cascade_equals_independent_tiers(spark, docs):
+    from pyspark.sql import functions as F
+
+    from arrow_udf_spark.operators.dedup import (
+        dup_span_cascade,
+        shared_shingle_flags,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_spans_5, r.n_spans_10, r.n_spans_20, r.max_shared_len)
+        for r in dup_span_cascade(df).collect()
+    }
+    # referee: every tier over ALL docs, no pruning
+    tiers = {}
+    for n in (5, 10, 20):
+        tiers[n] = {
+            r.doc_id: r.n_dup_spans
+            for r in shared_shingle_flags(df, n=n).collect()
+        }
+    exp = {}
+    for did, n5 in tiers[5].items():
+        n10 = tiers[10].get(did, 0)
+        n20 = tiers[20].get(did, 0)
+        msl = 20 if n20 else (10 if n10 else 5)
+        exp[did] = (n5, n10, n20, msl)
+    assert got == exp
+    # pigeonhole invariants the cascade relies on
+    for did, (n5, n10, n20, _) in exp.items():
+        if n20:
+            assert n10 and n5
+        if n10:
+            assert n5
+
+
+def _referee_decode(payload):
+    """Byte-at-a-time PNG reconstruction, independent of decode_png's
+    numpy row math."""
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat = 8, b""
+    w = h = ch = None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            ch = {2: 3, 6: 4}[data[9]]
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + clen
+    flat = zlib.decompress(idat)
+    stride = w * ch
+    out = []
+    prev = [0] * stride
+    p = 0
+    for _y in range(h):
+        ft = flat[p]
+        row = list(flat[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        rec = [0] * stride
+        for i in range(stride):
+            a = rec[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            rec[i] = (row[i] + pred) % 256
+        out.append(rec)
+        prev = rec
+    return w, h, ch, out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(max_size=40))
+def test_png_decode_vs_referee(text):
+    from arrow_udf_spark.operators.multimodal import decode_png, synth_png
+
+    payload = synth_png(text)
+    w, h, ch, raw = decode_png(payload)
+    rw, rh, rch, rrows = _referee_decode(payload)
+    assert (w, h, ch) == (rw, rh, rch)
+    assert [list(map(int, row)) for row in raw] == rrows
