@@ -144,7 +144,7 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type -> channel count (greyscale, RGB, palette, grey+alpha,
-#: RGBA); full decode supports 2 and 6 only, header parse reports all
+#: RGBA); full decode supports all but palette (3), which needs PLTE
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -559,7 +559,8 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 def encode_png(
     width: int, height: int, pixels: bytes, channels: int = 3
 ) -> bytes:
-    """Encode raw 8-bit RGB/RGBA bytes as a real non-interlaced PNG.
+    """Encode raw 8-bit grey/grey+alpha/RGB/RGBA bytes as a real
+    non-interlaced PNG.
 
     The scanline filter type CYCLES ``y % 5`` (None/Sub/Up/Average/Paeth)
     so any decode of the output exercises every reconstruction path —
@@ -570,8 +571,10 @@ def encode_png(
 
     import numpy as np
 
-    if channels not in (3, 4):
-        raise NotImplementedError("encode_png supports RGB/RGBA only")
+    if channels not in (1, 2, 3, 4):
+        raise NotImplementedError(
+            "encode_png supports grey/grey+alpha/RGB/RGBA only"
+        )
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width * channels
     ).astype(np.int32)
@@ -603,9 +606,8 @@ def encode_png(
             filt = row - pred
         out.append(ftype)
         out += (filt % 256).astype(np.uint8).tobytes()
-    ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0
-    )
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -615,7 +617,8 @@ def encode_png(
 
 
 def decode_png(payload: bytes):
-    """Fully decode a non-interlaced 8-bit RGB/RGBA PNG with stdlib zlib:
+    """Fully decode a non-interlaced 8-bit grey/grey+alpha/RGB/RGBA PNG
+    with stdlib zlib:
     walk the chunks (CRC-verified), inflate the concatenated IDATs, then
     reconstruct each scanline through the filter spec's inverse
     (None/Sub/Up/Average/Paeth — Sub/Average/Paeth are inherently
@@ -625,7 +628,7 @@ def decode_png(payload: bytes):
 
     Palette / 16-bit / interlaced PNGs raise ``NotImplementedError`` —
     honest descopes; the formats a training-data pipeline synthesizes or
-    screenshots are covered by RGB/RGBA."""
+    screenshots are covered by the four supported color types."""
     import zlib
 
     import numpy as np
@@ -652,11 +655,12 @@ def decode_png(payload: bytes):
         pos += 12 + clen
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color not in (2, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace}: only "
-            "non-interlaced 8-bit RGB/RGBA are decodable without a codec "
-            "library here"
+            "non-interlaced 8-bit grey/grey+alpha/RGB/RGBA decode without "
+            "a codec library here (palette needs PLTE indirection, 16-bit "
+            "and Adam7 change the scanline math)"
         )
     channels = _PNG_CHANNELS[color]
     bpp = channels

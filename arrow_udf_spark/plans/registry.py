@@ -452,6 +452,28 @@ class Registry:
             UDF over window frames is exactly the every-row-to-one-worker
             trap this rewrite exists to avoid.  Returns
             ``(rewritten, default_alias)`` or None."""
+            # CAST-wrapped window (CAST(rank() OVER (...) AS BIGINT)):
+            # unwrap, rewrite the inner window, re-wrap
+            cm = re.match(r"(?is)^\s*CAST\s*\(", expr_src)
+            if cm:
+                ci = cm.end() - 1
+                cj = self._match_paren(expr_src, ci)
+                if cj is not None and not expr_src[cj + 1 :].strip():
+                    inner = expr_src[ci + 1 : cj]
+                    am2 = re.match(
+                        r"(?is)^(?P<e>.+)\s+AS\s+"
+                        r"(?P<t>\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?)\s*$",
+                        inner,
+                    )
+                    if am2 is None:
+                        return None
+                    sub = _rw_win(am2.group("e"))
+                    if sub is None:
+                        return None
+                    return (
+                        f"CAST({sub[0]} AS {am2.group('t')})",
+                        sub[1],
+                    )
             hm = re.match(r"(?is)^\s*([A-Za-z_]\w*)\s*\(", expr_src)
             if not hm:
                 return None

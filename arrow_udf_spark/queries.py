@@ -630,22 +630,63 @@ def q_sql_agg_window_two_phase(spark, sf):
 
     GLOBAL.register_sql(spark)
     t(spark, sf, "lineitem").createOrReplaceTempView("li_winsql")
-    out = GLOBAL.sql(
+    # rank() is INT in Spark, BIGINT in DuckDB — the CAST-wrapped window
+    # item (also a rewritable shape) pins the wire type in the SQL itself
+    return GLOBAL.sql(
         spark,
         """
         SELECT l_returnflag,
                CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT)
                    AS sum_qty,
-               rank() OVER (ORDER BY sum_udaf(CAST(l_quantity AS BIGINT))
-                            DESC) AS rnk,
+               CAST(rank() OVER (ORDER BY sum_udaf(CAST(l_quantity
+                    AS BIGINT)) DESC) AS BIGINT) AS rnk,
                SUM(SUM(CAST(l_quantity AS BIGINT))) OVER () AS total
         FROM li_winsql GROUP BY l_returnflag
         ORDER BY l_returnflag
         """,
     )
-    # rank() is INT in Spark, BIGINT in DuckDB — pin the wire type (the
-    # rewriter keeps CAST-free window items; the cast is gate plumbing)
-    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@query(
+    "sql_agg_cte_two_phase",
+    """
+    WITH pricey AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_extendedprice > 2000
+    )
+    SELECT l_returnflag,
+           CAST(SUM(q) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pricey GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sql_agg_cte_two_phase(spark, sf):
+    """CTE blocks through the scale-safe SQL front door (the r8 widening
+    with window functions): a leading non-RECURSIVE ``WITH`` prefix rides
+    verbatim above the rewritten main block — Spark scopes a query's CTEs
+    over every subquery of the following SELECT, so the salted U and
+    native B subqueries resolve the CTE names unchanged.  A UDAF call
+    INSIDE a CTE body is refused (it would silently stay single-phase),
+    as is RECURSIVE; both unit-tested in tests/test_advice_r8.py."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_ctesql")
+    return GLOBAL.sql(
+        spark,
+        """
+        WITH pricey AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+          FROM li_ctesql WHERE l_extendedprice > 2000
+        )
+        SELECT l_returnflag,
+               CAST(sum_udaf(q) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pricey GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )
 
 
 @query(
@@ -6650,224 +6691,80 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-7 ordering.  The driver gates the first ~50 entries; priority
-    # (VERDICT r6 ask #1 — rotate the window onto the 71 queries whose
-    # latest driver row is r4-or-older, stalest families first):
-    #   1. new-in-r7 (persisted-IVF ANN, KMV error gate) and the two
-    #      queries whose code/oracle changed this round
-    #      (corpus_divergence tv_num -> DECIMAL(38,0); count_min_freq
-    #      truth-side empty-token filter) — changed queries must re-prove;
-    #   2. set_ops (r1 driver row — missed the r6 window by one slot);
-    #   3. the stale families VERDICT named: remote corpus (the A19/A20
-    #      interop proof should not age), streaming, the UDAF/decimal
-    #      corpus, then pipeline_e2e / dup_clusters / kmv_*;
-    #   4. the rest of the r3-stale tail (TPC-H q1/q3/q6/q17/q18, text);
-    #   5. remaining slots from the r4-stale cohort: the temporal family
-    #      and the env-probe corpus (view/http/timeout/interval).
-    # Queries the 50-slot window cannot fit get fresh evidence from the
-    # LOCAL_VERIFY_r{N}.json replica artifact (tools/oracle_check.py
-    # --record), which the staleness test accepts in place of a driver
-    # row — the window rotates, the replica covers the rest.
+    # Round-8 ordering.  The driver gates the first ~50 entries
+    # (VERDICT r7 ask #2 — rotate the window onto the 43 queries whose
+    # latest driver row is r4-or-older, after the new/changed head):
+    #   1. new-in-r8 (window-SQL rewrite, PNG real decode, shingle
+    #      cascade) and the four queries whose code changed this round
+    #      (corpus_divergence tv_num BIGINT; skew_profile/join_size_est
+    #      DECIMAL internals; asof_join_forward struct fill) — changed
+    #      queries must re-prove;
+    #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
+    #      text, upsert, wav) — oldest evidence in the catalog;
+    #   3. the 33 r4-stale queries.
+    # That is 9 + 10 + 33 = 52 entries; everything else has a green
+    # driver row from r5-r7, and the full catalog additionally gets
+    # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
+    # artifacts (tools/oracle_check.py --record), which the staleness
+    # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new / changed in r7 (17 new + 2 changed) --
-    "ivf_persisted_topk",  # new r7: persisted cell-partitioned ANN index
-    "ivf_append_topk",  # new r7: incremental append == full build
-    "kmv_error_gate",  # new r7: KMV est vs exact at k=16/64/256
-    "bloom_prejoin",  # new r7: broadcast-bitmap pre-join prune gate
-    "streaming_kmv_distinct",  # new r7: bounded sketch state on a stream
-    "skew_profile",  # new r7: exact heavy-key diagnostic, integer ppm
-    "bpe_pair_counts",  # new r7: BPE pair-frequency hot loop
-    "wav_frame_energy",  # new r7: per-frame PCM energy, real decode
-    "quantized_dot_recall",  # new r7: int8 serving recall vs exact dot
-    "streaming_count_min",  # new r7: native streaming-agg CMS, d*w state
-    "ann_pipeline_e2e",  # new r7: embed UDF -> train -> persist -> serve
-    "streaming_bloom",  # new r7: bit_or-accumulated filter on a stream
-    "time_bucket_rollup",  # new r7: continuous-aggregate cascade
-    "bigram_surprisal",  # new r7: smoothed contextual LM quality proxy
-    "join_size_est",  # new r7: CMS inner-product join-size planning
-    "asof_join_forward",  # new r7: next-event direction as-of
-    "dedup_ensemble",  # new r7: LSH AND simhash agreement pairs
-    "sql_agg_expr_key_two_phase",  # new r7: expression GROUP BY keys
-    "ivf_retrain_swap_topk",  # new r7: blue/green index re-train + flip
-    "streaming_ivf_append_topk",  # new r7: foreachBatch index appends
-    "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-fitting
-    # path (driver pandas-hash renders DECIMAL as float; values were already
-    # bit-identical in r7) — DECIMAL(38,0) only beyond int64, by design
-    "count_min_freq",  # changed r7: truth side filters '' like the sketch
-    # -- 2. r1-stale (missed the r6 window by one slot) --
-    "set_ops",
-    # -- 3a. remote family (7) --
-    "remote_gcd",
-    "remote_series_udtf",
-    "remote_ref_gcd",
-    "remote_ref_series_udtf",
-    "remote_ref_decimal_add",
-    "remote_ref_json_access",
-    "remote_ref_tcp_info",
-    # -- 3b. streaming family (3) --
-    "streaming_window_agg",
-    "streaming_dedup_digests",
-    "streaming_enrich_join",
-    # -- 3c. UDAF / decimal / error corpus (10) --
-    "sum_udaf",
-    "retract_udaf",
-    "sum_udaf_two_phase_sql",
-    "count_udaf",
-    "kmv_udaf",
-    "decimal_add_fn",
-    "decimal_native_math",
-    "float_to_decimal_fn",
-    "div_error",
-    "error_text_corpus",
-    # -- 3d. pipeline / dedup / sketch (5) --
-    "pipeline_e2e",
-    "dup_clusters",
-    "kmv_distinct",
-    "lsh_join_new_vs_ref",
-    "quantize_int8",
-    # -- 4. rest of the r3-stale tail (12) --
-    "redact_pii",
-    "rollup_agg",
-    "temporal_roundtrip",
-    "tfidf_topterms",
+    # -- 1. new in r8 (5) + changed in r8 (4) --
+    "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
+    "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
+    "png_meta",  # new r8: real PNG IHDR decode (zlib container)
+    "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
+    "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
+    "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
+    # fitting path (driver pandas-hash renders DECIMAL as float; values
+    # were bit-identical in r7) — DECIMAL(38,0) only beyond int64
+    "skew_profile",  # changed r8: DECIMAL ppm numerator (no int64 wrap)
+    "join_size_est",  # changed r8: DECIMAL products + est=0 on disjoint
+    "asof_join_forward",  # changed r8: single-struct fill (same-row vals)
+    # -- 2. r3-stale (10) --
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
     "tpch_q17",
     "tpch_q18",
+    "temporal_roundtrip",
+    "tfidf_topterms",
     "unigram_surprisal",
     "upsert_latest",
     "wav_roundtrip",
-    # -- 5. r4-stale picks to fill the window (8) --
-    "asof_join",
-    "sessionize",
-    "range_join_count",
-    "resample_ffill",
+    # -- 3. r4-stale (33) --
     "view_roundtrip",
-    "http_fetch_corpus",
     "timeout_error_corpus",
-    "interval_add_fn",
-    # -- remainder: the other r4-stale queries, then the r5/r6-fresh
-    #    catalog (replica artifact covers everything past the window) --
-    "embedding_mean_pool",
-    "expr_breadth",
-    "fingerprint",
+    "http_fetch_corpus",
+    "series_udtf",
+    "asof_join",
     "simhash",
+    "fingerprint",
     "minhash_signature",
+    "sessionize",
+    "resample_ffill",
+    "range_join_count",
+    "audio_chunks",
+    "expr_breadth",
+    "interval_add_fn",
+    "uint64_widening",
+    "map_fn",
+    "return_all_fn",
+    "array_identity_fn",
+    "struct_to_json_fn",
+    "json_concat_fn",
+    "gcd3_fn",
+    "binary_fns",
+    "split_words_udtf",
+    "embedding_mean_pool",
     "percentiles",
     "pivot_agg",
     "salted_join_agg",
     "semi_anti_join",
-    "series_udtf",
     "set_ops_full",
     "skew_agg",
-    "split_words_udtf",
     "stats_aggs",
     "string_agg_nations",
-    "struct_to_json_fn",
-    "uint64_widening",
     "value_histogram",
-    "array_identity_fn",
-    "audio_chunks",
-    "binary_fns",
-    "gcd3_fn",
-    "json_concat_fn",
-    "map_fn",
-    "return_all_fn",
-    # r5/r6-fresh from here (prior-round head, unchanged order)
-    "sql_agg_having_two_phase",
-    "lsh_recall_at_k",
-    "ivf_multiprobe_topk",
-    "simhash_hamming_pairs",
-    "minhash_jaccard_est",
-    "knn_label_vote",
-    "sampled_quantiles",
-    "event_transitions",
-    "pagerank_docs",
-    "streaming_transitions",
-    "decontaminate",
-    "ngram_jaccard_pairs",
-    "dup_span_flags",
-    "kmeans_train_assign",
-    "ivf_trained_topk",
-    "lsh_topk",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "embedding_near_dup",
-    "hash_sample",
-    "split_assign",
-    "corpus_mixture",
-    "pack_sequences",
-    "negative_pairs",
-    "normalize_text",
-    "source_quota",
-    "token_count_bpe",
-    "chunk_documents",
-    "repetition_ratio",
-    "vocab_topk",
-    "lang_id",
-    "sample_frames",
-    "identity_roundtrip",
-    "jsonb_access_fn",
-    "quality_score",
-    "token_count",
-    "cube_agg",
-    "grouping_sets",
-    "window_functions",
-    "global_topk",
-    "tpch_q19",
-    "window_topk_orders",
-    "join_with_udf",
-    "sql_agg_bare_two_phase",
-    "decimal_wide_add",
-    "streaming_retract_sliding",
-    "streaming_interval_join",
-    "streaming_session_window",
-    "image_resize",
-    "streaming_running_udaf",
-    "inverted_index",
-    "funnel_conversion",
-    "bm25_topk",
-    "retention_cohorts",
-    "dedup_keep_best",
-    "rolling_7d_sum",
-    "kmv_source_similarity",
-    "anomaly_zscore",
-    "quality_percentile",
-    "gcd",
-    "neg",
-    "option_add",
-    "many_args",
-    "fib_fn",
-    "constants_fn",
-    "gcd_async",
-    "datetime_fn",
-    "length_fn",
-    "substring_fn",
-    "to_string_fn",
-    "split_fn",
-    "array_sum_fn",
-    "array_access_fn",
-    "key_value_fn",
-    "to_json_fn",
-    "max2_concat2",
-    "hex_to_dec_fn",
-    "extract_tcp_info_fn",
-    "text_embedding_fn",
-    "key_values_udtf",
-    "json_array_elements_udtf",
-    "weighted_avg_udaf",
-    "dedup_exact",
-    "lsh_candidate_pairs",
-    "cosine_topk_bruteforce",
-    "cosine_topk_numpy",
-    "ivf_topk",
-    "image_meta",
 ]
 
 

@@ -59,10 +59,15 @@ def test_every_filter_type_appears():
     assert ftypes == {0, 1, 2, 3, 4}
 
 
-def test_rgb_roundtrip():
-    arr = (np.arange(11 * 9 * 3) * 37 % 256).astype(np.uint8)
-    w, h, ch, raw = decode_png(encode_png(11, 9, arr.tobytes(), channels=3))
-    assert (w, h, ch) == (11, 9, 3)
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_all_color_types_roundtrip(channels):
+    # grey(0) / grey+alpha(4) / RGB(2) / RGBA(6): the filter math is
+    # bytes-per-pixel generic, so every supported color type round-trips
+    arr = (np.arange(11 * 9 * channels) * 37 % 256).astype(np.uint8)
+    w, h, ch, raw = decode_png(
+        encode_png(11, 9, arr.tobytes(), channels=channels)
+    )
+    assert (w, h, ch) == (11, 9, channels)
     assert (raw.flatten() == arr).all()
 
 
