@@ -670,30 +670,46 @@ def decode_png(payload: bytes):
         raise ValueError("PNG scanline payload length mismatch")
     raw = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
+    zero_px = np.zeros(bpp, dtype=np.int32)
     for y in range(h):
         line = flat[y * (stride + 1) : (y + 1) * (stride + 1)]
         ftype = line[0]
         out = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
+        # the x-recurrences run per PIXEL on bpp-lane vectors (or as one
+        # cumsum for Sub), not per byte — decode cost is what makes this
+        # path a real operator at corpus scale, not a demo
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub: sequential in x
-            for i in range(bpp, stride):
-                out[i] = (out[i] + out[i - bpp]) % 256
+        elif ftype == 1:  # Sub: raw[x] = filt[x] + raw[x-1] per lane —
+            # exactly a per-lane prefix sum mod 256, fully vectorized
+            out = out.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
         elif ftype == 2:  # Up: vectorized
             out = (out + prev) % 256
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = out[i - bpp] if i >= bpp else 0
-                out[i] = (out[i] + (left + prev[i]) // 2) % 256
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = out[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[i] = (out[i] + pred) % 256
+        elif ftype == 3:  # Average: floor-div breaks the prefix-sum trick;
+            # w pixel iterations of bpp-vector math
+            o2, p2 = out.reshape(w, bpp), prev.reshape(w, bpp)
+            left = zero_px
+            for x in range(w):
+                o2[x] = (o2[x] + (left + p2[x]) // 2) % 256
+                left = o2[x]
+        elif ftype == 4:  # Paeth: data-dependent predictor, per pixel
+            o2, p2 = out.reshape(w, bpp), prev.reshape(w, bpp)
+            left = zero_px
+            ul = zero_px
+            for x in range(w):
+                b_ = p2[x]
+                p = left + b_ - ul
+                pa = np.abs(p - left)
+                pb = np.abs(p - b_)
+                pc = np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, b_, ul),
+                )
+                o2[x] = (o2[x] + pred) % 256
+                left = o2[x]
+                ul = b_
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         raw[y] = out.astype(np.uint8)
@@ -750,12 +766,12 @@ def png_pipeline(
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = synth_png(r[text_col])
+            # zip, not iterrows: per-row Series construction costs more
+            # than the decode itself at corpus batch sizes
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                payload = synth_png(text)
                 w, h, ch, raw = decode_png(payload)
-                rows.append(
-                    (r[id_col], w, h, ch, int(raw.astype("int64").sum()))
-                )
+                rows.append((did, w, h, ch, int(raw.astype("int64").sum())))
             yield pd.DataFrame(
                 rows, columns=[id_col, "w", "h", "channels", "checksum"]
             )

@@ -1786,7 +1786,9 @@ def q_png_meta(spark, sf):
     def mk_png(texts):
         return texts.map(synth_png)
 
-    d = t(spark, sf, "documents").withColumn("payload", mk_png("text"))
+    d = t(spark, sf, "documents", spread=True).withColumn(
+        "payload", mk_png("text")
+    )
     out = decode_image_meta(
         d, "payload", passthrough=["doc_id"], real_decode=True
     )
@@ -1833,7 +1835,10 @@ def q_png_pixels(spark, sf):
     shuffle, no driver state."""
     from .operators.multimodal import png_pipeline
 
-    return png_pipeline(t(spark, sf, "documents"))
+    # spread: the fixture's single-row-group file scans as ONE task, which
+    # serializes the per-row decode; one round-robin exchange spreads the
+    # CPU-dominated map across every core (never fires on a real corpus)
+    return png_pipeline(t(spark, sf, "documents", spread=True))
 
 
 @query(

@@ -171,8 +171,11 @@ def test_source_token_tv_decimal_numerator(spark):
         "source: string, text: string",
     )
     out = source_token_tv(df, ["s1", "s2"])
-    assert dict(out.dtypes)["tv_num"] == "decimal(38,0)"
+    # r8: the provably-int64-fitting path emits BIGINT (2*N_A*N_B < 2^63
+    # here) — the overflow guarantee lives in the internal DECIMAL
+    # cross-multiplication and the beyond-int64 output branch
+    assert dict(out.dtypes)["tv_num"] == "bigint"
     r = out.collect()[0]
     # N_A=3, N_B=4; token a: |2*4 - 1*3| = 5; token b: |1*4 - 3*3| = 5
-    assert r["tv_num"] == Decimal(10)
+    assert r["tv_num"] == 10
     assert (r["n_a"], r["n_b"]) == (3, 4)

@@ -466,3 +466,58 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_window_sql_agg_two_phase_plan(spark, sf_dir):
+    """r8: a window function through Registry.sql rides ABOVE the merge —
+    the plan carries the salted partial/merge pair, a Window node, and the
+    window's ORDER BY references the merged column (O(groups) rows), never
+    a GROUPED_AGG pandas UDF inside a window frame."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["sql_agg_window_two_phase"](spark, sf_dir))
+    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "__aus_salt" in p
+    assert "Window" in p
+    # no bare single-phase UDAF node anywhere
+    import re
+
+    assert not re.search(r"sum_udaf(?!__)", p)
+
+
+def test_cte_sql_agg_two_phase_plan(spark, sf_dir):
+    """r8: a WITH prefix through Registry.sql still compiles to the salted
+    two-phase shape (the CTE resolves across the U/B subqueries), with the
+    CTE's WHERE pushed into the scan."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["sql_agg_cte_two_phase"](spark, sf_dir))
+    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "__aus_salt" in p
+    # the CTE body's filter reached the parquet scan (pushdown through
+    # the rewrite + CTE inlining)
+    assert "PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice" in p
+
+
+def test_png_pipeline_single_map_stage(spark, sf_dir):
+    """r8: png_pixels is one mapInPandas over the scan — no KEYED shuffle
+    anywhere (the embarrassing-parallel contract).  The only exchange the
+    plan may carry is the adaptive round-robin spread that fans the
+    1-task fixture scan across cores; a real corpus scan never pays it."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["png_pixels"](spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_dup_span_cascade_digest_only_shuffles(spark, sf_dir):
+    """r8: the cascade's shuffles carry md5 digests / doc ids, never gram
+    text — and no cartesian anywhere (pair-free by construction)."""
+    from arrow_udf_spark.queries import QUERIES
+
+    p = _plan(QUERIES["dup_span_cascade"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("md5") >= 3  # one digest per tier

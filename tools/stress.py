@@ -179,6 +179,16 @@ def main() -> int:
     run(f"join_size_gate({rep}x events self)",
         lambda: join_size_gate(bigev, "user_id", bigev, "user_id"))
 
+    print("round-8 additions:")
+    from arrow_udf_spark.operators.dedup import dup_span_cascade
+    from arrow_udf_spark.operators.multimodal import png_pipeline
+
+    # every doc has 10 exact copies — the adversarial shape for the
+    # cascade: EVERYTHING is flagged at tier 5, so the 10/20-gram tiers
+    # get zero pruning benefit and run over the whole corpus (worst case)
+    run(f"dup_span_cascade({rep}x docs)", lambda: dup_span_cascade(docs))
+    run(f"png_pipeline({rep}x docs)", lambda: png_pipeline(docs))
+
     spark.stop()
     print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
