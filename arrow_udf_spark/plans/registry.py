@@ -296,9 +296,12 @@ class Registry:
         Provable shapes include expression group keys (GROUP BY
         pmod(x, 10)), a leading non-RECURSIVE CTE block (rewritten main
         block, CTE bodies verbatim — refused if a CTE body itself calls a
-        UDAF), and window functions over the grouped result (rank() OVER
-        (ORDER BY sum_udaf(v))).  Anything unprovable falls back to the
-        single-phase form with the registration warning (or raises under
+        UDAF), window functions over the grouped result (rank() OVER
+        (ORDER BY sum_udaf(v)), CAST-wrapped too), and top-level set
+        operations (each UNION/INTERSECT/EXCEPT arm rewrites
+        independently; the trailing ORDER BY/LIMIT binds to the union).
+        Anything unprovable falls back to the single-phase form with the
+        registration warning (or raises under
         ``register_sql(strict=True)``).
         """
         agg_names = {
@@ -371,6 +374,40 @@ class Registry:
             # matter how we rewrite the main block — refuse rather than
             # silently leave the trap in the prefix
             return None
+        blocks = self._split_set_ops(main)
+        if blocks is None:
+            return None
+        if len(blocks) > 1:
+            # set operations between aggregate blocks: each block rewrites
+            # INDEPENDENTLY (fresh partial/merge columns per block — the
+            # scopes share nothing), blocks without a UDAF call pass
+            # verbatim, and a trailing ORDER BY/LIMIT belongs to the UNION
+            # per the grammar, so it is stripped off the last block and
+            # re-appended after reassembly (plain output columns only —
+            # anything fancier refuses)
+            last_i = len(blocks) - 1
+            st = self._strip_union_tail(blocks[last_i][0])
+            if st is None:
+                return None
+            blocks[last_i] = (st[0], blocks[last_i][1])
+            union_tail = st[1]
+            parts = []
+            for blk, op in blocks:
+                if not any(
+                    re.search(rf"(?i)\b{re.escape(n)}\s*\(", blk)
+                    for n in used
+                ):
+                    rb = blk.strip()  # no UDAF — verbatim
+                else:
+                    rb = self._rewrite_two_phase(blk, used)
+                    if rb is None:
+                        return None
+                parts.append((rb, op))
+            out_sql = parts[0][0]
+            for rb, op in parts[1:]:
+                out_sql += f" {op} {rb}"
+            pre = f"{cte_prefix} " if cte_prefix else ""
+            return f"{pre}{out_sql}{union_tail}"
         m = self._GROUPBY_SHAPE.match(main)
         if not m:
             return None
@@ -809,6 +846,98 @@ class Registry:
         if not re.match(r"(?is)^SELECT\b", main.strip()):
             return None
         return prefix, main
+
+    _SET_OP = re.compile(
+        r"(?is)^(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\b"
+    )
+
+    @classmethod
+    def _split_set_ops(cls, main: str) -> Optional[list]:
+        """Split ``main`` into top-level set-operation blocks:
+        ``[(block_sql, op_before), ...]`` with ``op_before == ""`` for the
+        first block.  Set operators are matched at paren depth 0 outside
+        quoted literals only; a single-block query returns one entry.
+        Returns None when a block is empty (malformed)."""
+        blocks = []
+        depth, quote = 0, None
+        start, cur_op = 0, ""
+        i, n = 0, len(main)
+        while i < n:
+            ch = main[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch.isalpha():
+                prev = main[i - 1] if i > 0 else " "
+                if not (prev.isalnum() or prev == "_"):
+                    m = cls._SET_OP.match(main[i:])
+                    if m:
+                        blk = main[start:i].strip()
+                        if not blk:
+                            return None
+                        blocks.append((blk, cur_op))
+                        cur_op = " ".join(m.group(0).split()).upper()
+                        i += m.end()
+                        start = i
+                        continue
+            i += 1
+        blk = main[start:].strip()
+        if not blk:
+            return None
+        blocks.append((blk, cur_op))
+        return blocks
+
+    @staticmethod
+    def _strip_union_tail(blk: str) -> Optional[tuple]:
+        """Strip a trailing union-level ``ORDER BY ... LIMIT n`` off the
+        LAST set-op block (the grammar binds it to the whole union, so
+        leaving it inside the block's rewrite would order the block, not
+        the union).  Provable shapes only: ORDER BY plain output columns
+        with optional ASC/DESC/NULLS FIRST|LAST, LIMIT integer.  Returns
+        ``(block_without_tail, tail_sql)`` or None (→ fall back)."""
+        depth, quote = 0, None
+        first = None
+        for i, ch in enumerate(blk):
+            if quote:
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch.isalpha() and first is None:
+                prev = blk[i - 1] if i > 0 else " "
+                if not (prev.isalnum() or prev == "_"):
+                    if re.match(r"(?is)(ORDER\s+BY|LIMIT)\b", blk[i:]):
+                        first = i
+        if first is None:
+            return blk, ""
+        tail = blk[first:]
+        tm = re.match(
+            r"(?is)^(?:ORDER\s+BY\s+(?P<ob>.+?))?\s*"
+            r"(?:LIMIT\s+(?P<n>\d+))?\s*;?\s*$",
+            tail,
+        )
+        if not tm or (tm.group("ob") is None and tm.group("n") is None):
+            return None
+        if tm.group("ob") is not None:
+            for it in tm.group("ob").split(","):
+                if not re.match(
+                    r"(?is)^\s*[A-Za-z_]\w*"
+                    r"(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?\s*$",
+                    it,
+                ):
+                    return None  # expression/positional order key — refuse
+        return blk[:first].rstrip(), " " + " ".join(tail.split())
 
     @staticmethod
     def _split_tail(tail: str) -> Optional[tuple]:

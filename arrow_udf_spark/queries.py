@@ -690,6 +690,49 @@ def q_sql_agg_cte_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_union_two_phase",
+    """
+    SELECT l_returnflag AS g,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+    FROM lineitem WHERE l_extendedprice > 2000 GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_linestatus AS g,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+    FROM lineitem WHERE l_extendedprice <= 2000 GROUP BY l_linestatus
+    ORDER BY g, s
+    """,
+)
+def q_sql_agg_union_two_phase(spark, sf):
+    """SET OPERATIONS through the scale-safe SQL front door (the r8
+    widening closing the last multi-block residual): each UNION ALL arm
+    rewrites to its own salted two-phase composition independently (the
+    scopes share nothing — fresh partial/merge columns per block; arms
+    with no UDAF call pass verbatim), and the trailing ORDER BY binds to
+    the UNION per the grammar, stripped off the last block and
+    re-appended above the reassembly.  Unprovable arms (DISTINCT args)
+    or expression-valued union-level order keys refuse the whole query.
+    INTERSECT/EXCEPT ride the same split (unit-tested)."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_unionsql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT l_returnflag AS g,
+               CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        FROM li_unionsql WHERE l_extendedprice > 2000 GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_linestatus AS g,
+               CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        FROM li_unionsql WHERE l_extendedprice <= 2000
+        GROUP BY l_linestatus
+        ORDER BY g, s
+        """,
+    )
+
+
+@query(
     "sql_agg_having_two_phase",
     """
     SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -6707,15 +6750,16 @@ _GATE_PRIORITY = [
     #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries.
-    # That is 9 + 10 + 33 = 52 entries; everything else has a green
+    # That is 10 + 10 + 33 = 53 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
     # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (5) + changed in r8 (4) --
+    # -- 1. new in r8 (6) + changed in r8 (4) --
     "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
     "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
+    "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
     "png_meta",  # new r8: real PNG IHDR decode (zlib container)
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span

@@ -284,3 +284,114 @@ def test_asof_forward_basic_semantics_hold(spark):
     # inclusive forward: ts=5 matches the ts=5 right row; ts=9 has no
     # future right row -> NULL; v@4 has no future row -> NULL
     assert rows == {("u", 1): 50, ("u", 5): 50, ("u", 9): None, ("v", 4): None}
+
+
+# -- 7. set operations between aggregate blocks (r8 widening) --------------
+
+
+def test_union_all_both_blocks_rewritten():
+    r = _reg()
+    q = (
+        "SELECT g, sum_udaf(v) AS s FROM a GROUP BY g "
+        "UNION ALL SELECT g, sum_udaf(v) AS s FROM b GROUP BY g"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None
+    assert ok.count("sum_udaf__partial") == 2  # independent per-block pairs
+    assert " UNION ALL " in ok
+
+
+def test_union_mixed_blocks_verbatim_passthrough():
+    r = _reg()
+    # second block calls no UDAF — passes through verbatim
+    q = (
+        "SELECT g, sum_udaf(v) AS s FROM a GROUP BY g "
+        "UNION SELECT g, SUM(v) AS s FROM b GROUP BY g"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None
+    assert ok.count("sum_udaf__partial") == 1
+    assert "SELECT g, SUM(v) AS s FROM b GROUP BY g" in ok
+
+
+def test_union_level_order_by_limit_preserved():
+    r = _reg()
+    q = (
+        "SELECT g, sum_udaf(v) AS s FROM a GROUP BY g "
+        "UNION ALL SELECT g, sum_udaf(v) AS s FROM b GROUP BY g "
+        "ORDER BY s DESC LIMIT 5"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None
+    # the tail binds to the UNION, not the last block
+    assert ok.endswith("ORDER BY s DESC LIMIT 5")
+    assert ok.count("sum_udaf__partial") == 2
+
+
+def test_union_expression_order_key_refused():
+    r = _reg()
+    q = (
+        "SELECT g, sum_udaf(v) AS s FROM a GROUP BY g "
+        "UNION ALL SELECT g, sum_udaf(v) AS s FROM b GROUP BY g "
+        "ORDER BY s + 1"
+    )
+    assert r._rewrite_two_phase(q, {"sum_udaf"}) is None
+
+
+def test_intersect_and_except_supported():
+    r = _reg()
+    for op in ("INTERSECT", "EXCEPT ALL"):
+        q = (
+            f"SELECT g, sum_udaf(v) AS s FROM a GROUP BY g {op} "
+            "SELECT g, sum_udaf(v) AS s FROM b GROUP BY g"
+        )
+        ok = r._rewrite_two_phase(q, {"sum_udaf"})
+        assert ok is not None and f" {op} " in ok
+
+
+def test_union_inside_subquery_not_split():
+    r = _reg()
+    # a set op INSIDE parens belongs to the FROM subquery, not the top level
+    q = (
+        "SELECT g, sum_udaf(v) AS s "
+        "FROM (SELECT g, v FROM a UNION ALL SELECT g, v FROM b) "
+        "GROUP BY g"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None
+    assert ok.count("sum_udaf__partial") == 1
+
+
+def test_union_unrewritable_block_refuses_whole_query():
+    r = _reg()
+    # DISTINCT arg in block 2 is unprovable -> the WHOLE query falls back
+    q = (
+        "SELECT g, sum_udaf(v) AS s FROM a GROUP BY g "
+        "UNION ALL SELECT g, sum_udaf(DISTINCT v) AS s FROM b GROUP BY g"
+    )
+    assert r._rewrite_two_phase(q, {"sum_udaf"}) is None
+
+
+def test_union_end_to_end(spark):
+    import arrow_udf_spark.functions.corpus  # noqa: F401
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 7)], ["g", "v"]
+    ).createOrReplaceTempView("u_e2e_1")
+    spark.createDataFrame(
+        [("a", 10), ("c", 4)], ["g", "v"]
+    ).createOrReplaceTempView("u_e2e_2")
+    rows = GLOBAL.sql(
+        spark,
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM u_e2e_1 GROUP BY g "
+        "UNION ALL "
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM u_e2e_2 GROUP BY g "
+        "ORDER BY g, s",
+    ).collect()
+    assert [(r.g, r.s) for r in rows] == [
+        ("a", 3), ("a", 10), ("b", 7), ("c", 4)
+    ]
