@@ -134,3 +134,69 @@ def test_png_decode_vs_referee(text):
     rw, rh, rch, rrows = _referee_decode(payload)
     assert (w, h, ch) == (rw, rh, rch)
     assert [list(map(int, row)) for row in raw] == rrows
+
+
+@st.composite
+def grouped_rows(draw):
+    n = draw(st.integers(2, 12))
+    return [
+        (
+            draw(st.sampled_from(["a", "b", "c"])),
+            draw(st.integers(-50, 50)),
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(grouped_rows(), grouped_rows())
+def test_setop_and_window_rewrites_vs_native_referee(spark, rows1, rows2):
+    """The r8 rewriter widenings against Spark's own native aggregation:
+    sum_udaf == SUM for bigint args, so the two-phase rewritten UNION /
+    CTE / window queries must return exactly what the native single-pass
+    SQL returns on the same data."""
+    import arrow_udf_spark.functions.corpus  # noqa: F401 (registers)
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.createDataFrame(rows1, ["g", "v"]).createOrReplaceTempView("pr8_a")
+    spark.createDataFrame(rows2, ["g", "v"]).createOrReplaceTempView("pr8_b")
+
+    def both(udaf_sql, native_sql):
+        got = sorted(map(tuple, GLOBAL.sql(spark, udaf_sql).collect()))
+        exp = sorted(map(tuple, spark.sql(native_sql).collect()))
+        assert got == exp, f"\n{udaf_sql}\ngot={got}\nexp={exp}"
+
+    # UNION ALL of two rewritten arms + union-level tail
+    both(
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_a GROUP BY g UNION ALL "
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_b GROUP BY g ORDER BY g, s LIMIT 5",
+        "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_a GROUP BY g UNION ALL "
+        "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_b GROUP BY g ORDER BY g, s LIMIT 5",
+    )
+    # CTE + window over the grouped result
+    both(
+        "WITH f AS (SELECT * FROM pr8_a WHERE v > 0) "
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s, "
+        "rank() OVER (ORDER BY sum_udaf(CAST(v AS BIGINT)) DESC) AS r "
+        "FROM f GROUP BY g",
+        "WITH f AS (SELECT * FROM pr8_a WHERE v > 0) "
+        "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s, "
+        "rank() OVER (ORDER BY SUM(CAST(v AS BIGINT)) DESC) AS r "
+        "FROM f GROUP BY g",
+    )
+    # INTERSECT of rewritten arms (duplicate-collapsing set semantics)
+    both(
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_a GROUP BY g INTERSECT "
+        "SELECT g, CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_b GROUP BY g",
+        "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_a GROUP BY g INTERSECT "
+        "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM pr8_b GROUP BY g",
+    )
