@@ -299,7 +299,12 @@ class Registry:
         UDAF), window functions over the grouped result (rank() OVER
         (ORDER BY sum_udaf(v)), CAST-wrapped too), and top-level set
         operations (each UNION/INTERSECT/EXCEPT arm rewrites
-        independently; the trailing ORDER BY/LIMIT binds to the union).
+        independently; the trailing ORDER BY/LIMIT binds to the union),
+        and multi-grouping clauses (GROUP BY ROLLUP/CUBE/GROUPING SETS
+        over plain columns — the salted inner aggregates at the finest
+        granularity, U re-aggregates the partials under the original
+        clause, and a grouping_id() join keeps data-NULL groups distinct
+        from super-aggregate rows).
         Anything unprovable falls back to the single-phase form with the
         registration warning (or raises under
         ``register_sql(strict=True)``).
@@ -412,7 +417,46 @@ class Registry:
         if not m:
             return None
         grp_items = _split_top_level(m.group("grp")) if m.group("grp") else []
+        # multi-grouping clauses (GROUP BY ROLLUP(a, b) / CUBE(a, b) /
+        # GROUPING SETS ((a, b), (a), ())): the clause text passes to the
+        # U and B subqueries VERBATIM, the salted inner aggregates at the
+        # FINEST granularity (every mentioned column — each grouping set
+        # is a subset, so merging finest states into any set's groups is
+        # exact by merge associativity), and both sides project
+        # grouping_id() so the join can tell a data-NULL group from a
+        # super-aggregate row.  Plain columns only; anything else refuses.
+        multi_clause = None
+        if len(grp_items) == 1:
+            mg = re.match(
+                r"(?is)^(?:ROLLUP|CUBE)\s*\((?P<cols>[^()]*)\)$"
+                r"|^GROUPING\s+SETS\s*\((?P<sets>.*)\)$",
+                grp_items[0],
+            )
+            if mg:
+                cols: list[str] = []
+                if mg.group("cols") is not None:
+                    raw = _split_top_level(mg.group("cols"))
+                else:
+                    raw = []
+                    for s_ in _split_top_level(mg.group("sets")):
+                        s_ = s_.strip()
+                        if not (s_.startswith("(") and s_.endswith(")")):
+                            return None
+                        raw.extend(
+                            c for c in _split_top_level(s_[1:-1]) if c
+                        )
+                for c in raw:
+                    if not self._PLAIN_COL.match(c):
+                        return None  # expressions inside the sets — refuse
+                    if c.lower() not in {x.lower() for x in cols}:
+                        cols.append(c)
+                if not cols:
+                    return None
+                multi_clause = grp_items[0]
+                grp_items = cols  # the finest keys drive everything else
         plain_keys = all(self._PLAIN_COL.match(g) for g in grp_items)
+        if multi_clause is not None and not plain_keys:
+            return None
         if not plain_keys:
             # EXPRESSION group keys (GROUP BY pmod(x, 10), date_trunc
             # ('day', ts), ...): provable when every expression is built
@@ -607,6 +651,12 @@ class Registry:
                     alias = item
                 outer_items.append(f"{g_names[gi]} AS {alias}")
                 continue
+            if multi_clause is not None and re.match(
+                r"(?is)^\s*grouping_id\s*\(\s*\)\s*$", expr_src
+            ):
+                # already projected by U for the join — reuse it
+                outer_items.append(f"__gid AS {alias or 'grouping_id'}")
+                continue
             if re.search(r"(?i)\bOVER\b", expr_src):
                 wrw = _rw_win(expr_src)
                 if wrw is None:
@@ -698,24 +748,36 @@ class Registry:
             f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )
+        # multi-grouping: U re-aggregates the finest partial states under
+        # the ORIGINAL rollup/cube/sets clause (merge associativity makes
+        # that exact); grouping_id() disambiguates data-NULL keys from
+        # super-aggregate rows in the U/B join
+        u_grp = multi_clause if multi_clause is not None else gnames
+        u_gid = ", grouping_id() AS __gid" if multi_clause is not None else ""
         u = (
-            f"SELECT {gnames}{', ' if gnames else ''}{', '.join(u_cols)} "
+            f"SELECT {gnames}{u_gid}{', ' if gnames else ''}"
+            f"{', '.join(u_cols)} "
             f"FROM ({inner}) __aus_partials"
-            + (f" GROUP BY {gnames}" if gnames else "")
+            + (f" GROUP BY {u_grp}" if u_grp else "")
         )
         from_sql = f"({u}) __aus_u"
         if b_cols:
             bg = [f"{g} AS __bg{i}" for i, g in enumerate(grp_items)]
+            if multi_clause is not None:
+                bg.append("grouping_id() AS __bgid")
+            b_grp = multi_clause if multi_clause is not None else grp
             b = (
                 f"SELECT {', '.join(bg + b_cols) if bg else ', '.join(b_cols)} "
                 f"FROM {src} __aus_bsrc"
-                + (f" GROUP BY {grp}" if grp else "")
+                + (f" GROUP BY {b_grp}" if b_grp else "")
             )
             if grp_items:
                 conds = " AND ".join(
                     f"__aus_u.{g_names[i]} <=> __aus_b.__bg{i}"
                     for i in range(len(grp_items))
                 )
+                if multi_clause is not None:
+                    conds += " AND __aus_u.__gid = __aus_b.__bgid"
                 from_sql += f" JOIN ({b}) __aus_b ON {conds}"
             else:
                 from_sql += f" CROSS JOIN ({b}) __aus_b"  # both single-row

@@ -733,6 +733,45 @@ def q_sql_agg_union_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_rollup_two_phase",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def q_sql_agg_rollup_two_phase(spark, sf):
+    """MULTI-GROUPING clauses through the scale-safe SQL front door (the
+    r8 widening after set ops): ``GROUP BY ROLLUP/CUBE/GROUPING SETS``
+    rides the two-phase rewrite — the salted inner aggregates at the
+    FINEST granularity, U re-aggregates the partial states under the
+    ORIGINAL clause (exact by merge associativity: every grouping set is
+    a subset of the finest keys), and both U and B project
+    ``grouping_id()`` so their join tells a data-NULL group from a
+    super-aggregate row — the classic rollup-join ambiguity, resolved
+    structurally.  Expression members refuse (plain columns only)."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_rollupsql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid,
+               CAST(sum_udaf(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_rollupsql GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+        """,
+    )
+
+
+@query(
     "sql_agg_having_two_phase",
     """
     SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -6750,16 +6789,17 @@ _GATE_PRIORITY = [
     #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries.
-    # That is 10 + 10 + 33 = 53 entries; everything else has a green
+    # That is 11 + 10 + 33 = 54 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
     # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (6) + changed in r8 (4) --
+    # -- 1. new in r8 (7) + changed in r8 (4) --
     "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
     "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
     "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
+    "sql_agg_rollup_two_phase",  # new r8: ROLLUP/CUBE/SETS, gid-joined
     "png_meta",  # new r8: real PNG IHDR decode (zlib container)
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # new in r8:
     "sql_agg_window_two_phase", # window fns over the two-phase SQL rewrite
     "sql_agg_union_two_phase",  # set-op arms through the two-phase rewrite
+    "sql_agg_rollup_two_phase", # ROLLUP partial-merge with grouping_id join
     "png_pixels",               # full PNG decode (zlib + 5-filter recon)
     "dup_span_cascade",         # 5/10/20-gram longest-shared-span cascade
 ]

@@ -395,3 +395,74 @@ def test_union_end_to_end(spark):
     assert [(r.g, r.s) for r in rows] == [
         ("a", 3), ("a", 10), ("b", 7), ("c", 4)
     ]
+
+
+# -- 8. multi-grouping clauses (ROLLUP / CUBE / GROUPING SETS, r8) ---------
+
+
+def test_rollup_rewritten_with_grouping_id_join():
+    r = _reg()
+    q = (
+        "SELECT a, b, sum_udaf(v) AS s, COUNT(*) AS c "
+        "FROM t GROUP BY ROLLUP(a, b)"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None
+    # inner aggregates at the finest granularity, salted
+    assert "GROUP BY a, b, __aus_salt" in ok
+    # U and B re-aggregate under the ORIGINAL clause
+    assert ok.count("GROUP BY ROLLUP(a, b)") == 2
+    # the join disambiguates data-NULL keys from super-aggregate rows
+    assert "grouping_id() AS __gid" in ok
+    assert "__aus_u.__gid = __aus_b.__bgid" in ok
+
+
+def test_grouping_sets_and_cube_rewritten():
+    r = _reg()
+    for clause in ("CUBE(a, b)", "GROUPING SETS ((a, b), (a), ())"):
+        q = f"SELECT a, b, sum_udaf(v) AS s FROM t GROUP BY {clause}"
+        ok = r._rewrite_two_phase(q, {"sum_udaf"})
+        assert ok is not None, clause
+        assert f"GROUP BY {clause}" in ok
+
+
+def test_grouping_id_select_item_reuses_gid():
+    r = _reg()
+    q = (
+        "SELECT a, grouping_id() AS gid, sum_udaf(v) AS s "
+        "FROM t GROUP BY ROLLUP(a)"
+    )
+    ok = r._rewrite_two_phase(q, {"sum_udaf"})
+    assert ok is not None and "__gid AS gid" in ok
+
+
+def test_rollup_expression_member_refused():
+    r = _reg()
+    q = (
+        "SELECT pmod(x, 2) AS p, sum_udaf(v) AS s "
+        "FROM t GROUP BY ROLLUP(pmod(x, 2))"
+    )
+    assert r._rewrite_two_phase(q, {"sum_udaf"}) is None
+
+
+def test_rollup_end_to_end(spark):
+    import arrow_udf_spark.functions.corpus  # noqa: F401
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), (None, "x", 8)],
+        ["a", "b", "v"],
+    ).createOrReplaceTempView("ru_e2e")
+    q_u = (
+        "SELECT a, b, grouping_id() AS gid, "
+        "CAST(sum_udaf(CAST(v AS BIGINT)) AS BIGINT) AS s "
+        "FROM ru_e2e GROUP BY ROLLUP(a, b)"
+    )
+    q_n = q_u.replace("sum_udaf(", "SUM(")
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(map(tuple, GLOBAL.sql(spark, q_u).collect()), key=key)
+    exp = sorted(map(tuple, spark.sql(q_n).collect()), key=key)
+    # the data-NULL group (None, 'x') and the super-aggregate rows carry
+    # distinct gids — the exact ambiguity the __gid join resolves
+    assert got == exp
