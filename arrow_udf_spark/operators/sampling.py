@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "pack_sequences", "negative_pairs", "split_assign"]
+__all__ = ["hash_sample", "pack_sequences", "negative_pairs", "split_assign", "temperature_mix"]
 
 
 def hash_sample(
@@ -186,3 +186,62 @@ def split_assign(
         F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
     )
     return df.withColumn(out, expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-LM
+    sampling step (sample sources proportional to ``n_s^alpha`` instead
+    of ``n_s``, so high-resource sources stop drowning the tail):
+    each doc of source ``s`` survives iff its md5 fraction falls under
+
+        ``q_s = (n_min / n_s) ** (1 - alpha)``
+
+    where ``n_min`` is the smallest source's size — the rarest source
+    keeps everything (q = 1) and larger sources downsample toward
+    ``n_s^alpha``-proportional volumes.  ``alpha = 1`` is a no-op
+    (natural proportions); ``alpha = 0`` equalizes every source to
+    ``n_min`` in expectation.
+
+    Cross-engine bit-exactness (the whole point of doing this by hash
+    instead of RNG): counts are exact integers, ``n_min / n_s`` is one
+    correctly-rounded IEEE division, and the md5 fraction is a dyadic
+    rational ``md5int32 / 2^32``.  For the default ``alpha = 0.5`` the
+    predicate ``frac < sqrt(r)`` is evaluated as ``frac * frac < r`` —
+    one correctly-rounded multiply, NO sqrt/pow at all, so the survivor
+    set is provably identical in every IEEE-754 engine (general ``pow``
+    can differ by an ulp across libms; that path is kept for other
+    alphas and documented as ulp-sensitive at the threshold boundary).
+    SUM(doc_id) checksums the survivor set in integers.
+
+    Scale: one map-side-combined count aggregate (|sources| rows), a
+    broadcast join of the per-source thresholds, and one scan-side
+    filter — no shuffle of the documents themselves, no RNG state, and
+    re-runs/retries/repartitioning cannot change the sample.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__ns"))
+    n_min = counts.agg(F.min("__ns").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__ns").cast("double")
+    q = counts.crossJoin(F.broadcast(n_min)).select(source_col, ratio.alias("__q"))
+    frac = (
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    if abs(alpha - 0.5) < 1e-12:
+        pred = (frac * frac) < F.col("__q")  # frac < sqrt(q), sqrt-free
+    else:
+        pred = frac < F.pow(F.col("__q"), F.lit(1.0 - alpha))
+    return df.join(F.broadcast(q), source_col).where(pred).drop("__q")

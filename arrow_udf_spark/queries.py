@@ -2731,6 +2731,77 @@ def q_hash_sample(spark, sf):
 
 
 @query(
+    "temperature_mix",
+    # alpha=0.5: accept iff frac^2 < n_min/n_s — one IEEE multiply and one
+    # division, NO sqrt/pow, so both engines compute the identical
+    # survivor set; the gate checks integer counts + doc_id checksums.
+    # Grouped by LANG (en is ~3.4x fr in the fixture) so the downsample
+    # predicate actually fires — the `source` column is balanced and
+    # would degenerate to q=1 for every group, gating nothing.
+    """
+    WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+    q AS (SELECT lang,
+                 (SELECT MIN(ns) FROM n) * 1.0 / ns AS r,
+                 ns
+          FROM n),
+    sel AS (
+      SELECT d.doc_id, d.lang
+      FROM (SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) / 4294967296.0 AS f
+            FROM documents) d
+      JOIN q USING (lang)
+      WHERE d.f * d.f < q.r
+    )
+    SELECT q.lang,
+           CAST(q.ns AS BIGINT) AS n_docs,
+           CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_sel,
+           CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum
+    FROM q LEFT JOIN (
+      SELECT lang, COUNT(*) AS n_sel, SUM(doc_id) AS id_sum
+      FROM sel GROUP BY lang
+    ) s USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_temperature_mix(spark, sf):
+    """Temperature-based source rebalancing (the multilingual-LM mixture
+    step: sample sources ~ n^alpha so high-resource sources stop
+    drowning the tail).  alpha=0.5: each doc survives iff its md5
+    fraction falls under sqrt(n_min/n_s), evaluated SQRT-FREE as
+    ``frac^2 < n_min/n_s`` — provably the identical survivor set in any
+    IEEE-754 engine (general pow differs by ulps across libms).  The
+    gate pins per-lang doc counts, survivor counts, and the integer
+    doc_id checksum of the exact survivor set; grouping is by ``lang``
+    (skewed en >> fr in the fixture) so the predicate really downsamples
+    rather than degenerating to q=1 everywhere.  One count aggregate +
+    one broadcast threshold join + a scan-side filter; documents never
+    shuffle."""
+    from .operators.sampling import temperature_mix
+
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sel = (
+        temperature_mix(d, source_col="lang", alpha=0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    return (
+        counts.join(sel, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_sel"), F.lit(0)).cast("long").alias("n_sel"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "vocab_topk",
     """
     SELECT word, n FROM (
@@ -6789,17 +6860,18 @@ _GATE_PRIORITY = [
     #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries.
-    # That is 11 + 10 + 33 = 54 entries; everything else has a green
+    # That is 12 + 10 + 33 = 55 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
     # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (7) + changed in r8 (4) --
+    # -- 1. new in r8 (8) + changed in r8 (4) --
     "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
     "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
     "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
     "sql_agg_rollup_two_phase",  # new r8: ROLLUP/CUBE/SETS, gid-joined
+    "temperature_mix",  # new r8: n^alpha source rebalance, sqrt-free
     "png_meta",  # new r8: real PNG IHDR decode (zlib container)
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span

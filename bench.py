@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "sql_agg_rollup_two_phase", # ROLLUP partial-merge with grouping_id join
     "png_pixels",               # full PNG decode (zlib + 5-filter recon)
     "dup_span_cascade",         # 5/10/20-gram longest-shared-span cascade
+    "temperature_mix",          # n^alpha source rebalance, broadcast gate
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent

@@ -40,3 +40,43 @@ def test_dup_clusters_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_temperature_mix_invariants(spark):
+    """r8: alpha=0.5 source rebalancing — the rarest source keeps
+    everything, larger sources downsample toward sqrt-proportional
+    volumes, and the survivor set is a deterministic function of ids."""
+    from arrow_udf_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "tiny") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    sel = temperature_mix(df).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in sel}
+    # tiny: q = 1 -> all 25 survive, exactly
+    assert got["tiny"] == 25
+    # big: q = sqrt(25/400) = 0.25 -> ~100 expected; binomial 3-sigma
+    assert 60 <= got["big"] <= 145, got
+    # mid: q = sqrt(25/100) = 0.5 -> ~50 expected
+    assert 30 <= got["mid"] <= 72, got
+    # determinism: a second run selects the identical set
+    a = sorted(
+        r.doc_id for r in temperature_mix(df).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id for r in temperature_mix(df).select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_alpha_one_noop(spark):
+    from arrow_udf_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    # alpha=1 -> q=1 for every source -> identity
+    assert temperature_mix(df, alpha=1.0).count() == 3

@@ -66,6 +66,10 @@ WHITELIST = {
         "corpus total is a broadcast 1-row crossJoin onto the top-k "
         "rows (ppm denominator) — the alternative, a global window over "
         "O(distinct keys), is the worse shape at scale",
+    ("temperature_mix", "cartesian"):
+        "the global n_min is a broadcast 1-row crossJoin onto the "
+        "|sources|-row count table (threshold computation) — documents "
+        "themselves never cross anything",
 }
 
 #: queries whose construction runs a live stream or spawns a subprocess
