@@ -501,6 +501,50 @@ def embedding_near_dup(
     )
 
 
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    cluster the corpus into coarse cells (k-means; caller supplies the
+    assignment in ``cell_col``), then inside each cell drop every item
+    that has an above-threshold cosine neighbor with a smaller id.
+    Returns ``(id, cell, kept)`` with ``kept`` as 0/1.
+
+    This is the ONE-PASS parallel variant of the paper's greedy scan:
+    keeper = "no above-threshold neighbor with smaller id", decided
+    independently per item.  Where the sequential greedy would re-admit
+    an item whose only close neighbor was itself dropped, this variant
+    still prunes it — it can over-prune a similarity chain, never
+    under-prune — and in exchange the whole decision is a single
+    cell-confined self-join + anti-join, no iteration, no driver state.
+
+    Scale: the pair space is cell-confined, so cost is
+    ``sum(|cell|^2)`` — k is the control knob (SemDeDup uses
+    k ≈ N/1000-ish so cells stay bounded); both joins shuffle on the
+    cell key only.  Similarity is rounded to 6 dp before the threshold
+    compare so the survivor set is stable across IEEE summation
+    orders."""
+    pairs = embedding_near_dup(df, id_col, vec_col, cell_col, threshold)
+    dropped = pairs.select(F.col("b").alias("__drop_id")).distinct()
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(cell_col).alias("cell")
+    )
+    return (
+        base.join(dropped, base.id == F.col("__drop_id"), "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("__drop_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def dup_clusters(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
 ) -> DataFrame:

@@ -18,7 +18,9 @@ Decode status by format:
   decode exercises every reconstruction path, and encoder/decoder share
   nothing but the spec (filtering is vectorized subtraction over RAW
   neighbors; unfiltering is the inverse sequential reconstruction).
-  Palette/16-bit/interlaced PNGs raise ``NotImplementedError``.
+  Opaque PALETTE (color type 3) decodes too — unfilter at bpp=1, then
+  PLTE-expand to RGB.  16-bit/interlaced/tRNS-translucent PNGs raise
+  ``NotImplementedError``.
 - **Lossy codecs (JPEG/MP3/H.264 …)**: STUBBED — this container has no
   codec libraries; ``decode_image_meta(real_decode=True)`` parses
   PPM/BMP/PNG payloads for real and raises ``NotImplementedError`` for
@@ -144,7 +146,7 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type -> channel count (greyscale, RGB, palette, grey+alpha,
-#: RGBA); full decode supports all but palette (3), which needs PLTE
+#: RGBA); palette (3) is 1 byte/pixel on the wire and expands to RGB
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -557,10 +559,19 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    width: int, height: int, pixels: bytes, channels: int = 3
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    palette: bytes | None = None,
 ) -> bytes:
     """Encode raw 8-bit grey/grey+alpha/RGB/RGBA bytes as a real
     non-interlaced PNG.
+
+    With ``palette`` (a flat RGB byte string, ≤256 triples), ``pixels``
+    are 1-byte palette INDICES instead (``channels`` must be 1) and the
+    output is a color-type-3 PNG carrying a PLTE chunk — the indexed
+    form screenshots and charts ship in.
 
     The scanline filter type CYCLES ``y % 5`` (None/Sub/Up/Average/Paeth)
     so any decode of the output exercises every reconstruction path —
@@ -571,7 +582,12 @@ def encode_png(
 
     import numpy as np
 
-    if channels not in (1, 2, 3, 4):
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNGs carry 1-byte indices")
+        if len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("PLTE must be 1..256 RGB triples")
+    elif channels not in (1, 2, 3, 4):
         raise NotImplementedError(
             "encode_png supports grey/grey+alpha/RGB/RGBA only"
         )
@@ -606,29 +622,34 @@ def encode_png(
             filt = row - pred
         out.append(ftype)
         out += (filt % 256).astype(np.uint8).tobytes()
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    color_type = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", palette)
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        body
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes):
-    """Fully decode a non-interlaced 8-bit grey/grey+alpha/RGB/RGBA PNG
-    with stdlib zlib:
+    """Fully decode a non-interlaced 8-bit grey/grey+alpha/RGB/RGBA or
+    PALETTE (color type 3, opaque) PNG with stdlib zlib:
     walk the chunks (CRC-verified), inflate the concatenated IDATs, then
     reconstruct each scanline through the filter spec's inverse
     (None/Sub/Up/Average/Paeth — Sub/Average/Paeth are inherently
     sequential in x, the natural inverse of the encoder's vectorized
-    forward filtering).  Returns ``(width, height, channels, raw)`` with
-    ``raw`` an (h, w*channels) uint8 array.
+    forward filtering).  Palette scanlines unfilter at bpp=1 over the
+    index bytes, THEN expand through the PLTE lookup to RGB — the spec's
+    order (filtering always precedes palette indirection).  Returns
+    ``(width, height, channels, raw)`` with ``raw`` an (h, w*channels)
+    uint8 array; palette images come back as channels=3 RGB.
 
-    Palette / 16-bit / interlaced PNGs raise ``NotImplementedError`` —
-    honest descopes; the formats a training-data pipeline synthesizes or
-    screenshots are covered by the four supported color types."""
+    16-bit / interlaced / tRNS-translucent-palette PNGs raise
+    ``NotImplementedError`` — honest descopes; the formats a
+    training-data pipeline synthesizes or screenshots are covered."""
     import zlib
 
     import numpy as np
@@ -638,6 +659,7 @@ def decode_png(payload: bytes):
     pos = 8
     w = h = color = depth = interlace = None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -648,6 +670,10 @@ def decode_png(payload: bytes):
         if tag == b"IHDR":
             w, h = struct.unpack_from(">II", data, 0)
             depth, color, _comp, _filt, interlace = data[8:13]
+        elif tag == b"PLTE":
+            plte = bytes(data)
+        elif tag == b"tRNS":
+            trns = bytes(data)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -655,14 +681,24 @@ def decode_png(payload: bytes):
         pos += 12 + clen
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace}: only "
-            "non-interlaced 8-bit grey/grey+alpha/RGB/RGBA decode without "
-            "a codec library here (palette needs PLTE indirection, 16-bit "
-            "and Adam7 change the scanline math)"
+            "non-interlaced 8-bit grey/grey+alpha/RGB/RGBA/palette decode "
+            "without a codec library here (16-bit and Adam7 change the "
+            "scanline math)"
         )
-    channels = _PNG_CHANNELS[color]
+    if color == 3:
+        if plte is None or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        if trns is not None:
+            raise NotImplementedError(
+                "translucent palette (tRNS) PNGs are out of scope — "
+                "opaque PLTE expands to RGB, alpha indirection does not"
+            )
+        channels = 1  # index bytes; PLTE expansion happens after unfilter
+    else:
+        channels = _PNG_CHANNELS[color]
     bpp = channels
     stride = w * channels
     flat = zlib.decompress(bytes(idat))
@@ -714,6 +750,12 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {ftype}")
         raw[y] = out.astype(np.uint8)
         prev = out
+    if color == 3:
+        # PLTE indirection: out-of-range indices are a spec violation
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(raw.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        return w, h, 3, pal[raw].reshape(h, w * 3)
     return w, h, channels, raw
 
 
@@ -741,8 +783,47 @@ def synth_png(text: str) -> bytes:
     return encode_png(w, h, arr.astype(np.uint8).tobytes(), channels=4)
 
 
+def synth_png_pal(text: str) -> bytes:
+    """Deterministic synthetic PALETTE PNG (color type 3): dims, the
+    256-entry PLTE, and every index derive from md5(text) in closed form
+    so a SQL oracle predicts each expanded RGB pixel without decoding:
+
+    - ``s = md5[6]``, ``w = md5[7] % 16 + 8``, ``h = md5[8] % 16 + 8``
+      (digest bytes disjoint from synth_png's 3/4/5)
+    - ``plte[i][c] = (11·i + 17·c + s) mod 256``, c in 0..2
+    - ``index(x, y) = (3·x + 5·y + s) mod 256``
+    - so ``pixel(x, y, c) = (11·((3x+5y+s) mod 256) + 17c + s) mod 256``
+    """
+    import hashlib
+
+    import numpy as np
+
+    dig = hashlib.md5(text.encode()).digest()
+    s, w, h = dig[6], dig[7] % 16 + 8, dig[8] % 16 + 8
+    plte = (
+        11 * np.arange(256, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+        + s
+    ) % 256
+    idx = (
+        3 * np.arange(w, dtype=np.int64)[None, :]
+        + 5 * np.arange(h, dtype=np.int64)[:, None]
+        + s
+    ) % 256
+    return encode_png(
+        w,
+        h,
+        idx.astype(np.uint8).tobytes(),
+        channels=1,
+        palette=plte.astype(np.uint8).tobytes(),
+    )
+
+
 def png_pipeline(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    synth=synth_png,
 ) -> DataFrame:
     """Real PNG plumbing over ``mapInPandas``: synthesize a genuine RGBA
     PNG per row (filter type cycling through all five per scanline), then
@@ -769,7 +850,7 @@ def png_pipeline(
             # zip, not iterrows: per-row Series construction costs more
             # than the decode itself at corpus batch sizes
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                payload = synth_png(text)
+                payload = synth(text)
                 w, h, ch, raw = decode_png(payload)
                 rows.append((did, w, h, ch, int(raw.astype("int64").sum())))
             yield pd.DataFrame(

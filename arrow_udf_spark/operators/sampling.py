@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "pack_sequences", "negative_pairs", "split_assign", "temperature_mix"]
+__all__ = [
+    "hash_sample",
+    "pack_sequences",
+    "negative_pairs",
+    "split_assign",
+    "temperature_mix",
+    "dsir_logweights",
+]
 
 
 def hash_sample(
@@ -245,3 +252,90 @@ def temperature_mix(
     else:
         pred = frac < F.pow(F.col("__q"), F.lit(1.0 - alpha))
     return df.join(F.broadcast(q), source_col).where(pred).drop("__q")
+
+
+def _bigram_buckets(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """(id, b): one row per word bigram, hashed into ``buckets`` feature
+    buckets — ONE tokenization per scan (posexplode feeds a per-doc lag
+    window, the bigram_surprisal shape; nothing re-inlines under the
+    Generate)."""
+    from .text import token_hash, tokens
+
+    tokp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    wl = Window.partitionBy("id").orderBy("pos")
+    return (
+        tokp.withColumn("prev", F.lag("t").over(wl))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "id",
+            (
+                token_hash(F.concat(F.col("prev"), F.lit(" "), F.col("t")))
+                % buckets
+            ).alias("b"),
+        )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) — data selection via importance resampling
+    over HASHED n-gram features: score every raw document by how much
+    more likely its word bigrams are under the target corpus's bucket
+    distribution than under the raw corpus's own,
+
+        ``logw(doc) = sum over bigrams g of
+            ln( p_target[h(g)] / p_raw[h(g)] )``
+
+    with add-1-smoothed bucket probabilities ``p[b] = (cnt_b + 1) /
+    (total + buckets)``.  High-weight docs look like the target (the
+    quality corpus); resampling by these weights is the DSIR selection
+    step.  Returns ``(id, n_bigrams, logw)``, docs with ≥1 bigram.
+
+    Cross-engine determinism: each term is ONE ln of ONE double ratio
+    whose numerator/denominator are products of exact-integer-valued
+    doubles (counts < 2^26 keep the products < 2^53, exact — and beyond
+    that double multiply degrades gracefully instead of wrapping like
+    BIGINT would, the ADVICE-r7 overflow class); the per-doc sum rounds
+    half-up to 6 dp, the bigram_surprisal discipline the gate has proven
+    at three scales.
+
+    Scale: both bucket tables are ``buckets`` rows (broadcast); corpus
+    totals are two O(1) driver scalars; the only data-sized shuffles are
+    the bucket count aggregates (map-side combined to ≤``buckets`` rows
+    per partition) and the per-doc weight sum.  Production would raise
+    ``buckets`` to 10k+ (the paper's setting) — still broadcast-sized."""
+    raw_b = _bigram_buckets(df, text_col, id_col, buckets)
+    tgt_b = _bigram_buckets(target, text_col, id_col, buckets)
+    cr = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    t_raw = raw_b.count()  # O(1) driver scalars, data-size independent
+    t_tgt = tgt_b.count()
+    term = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+            * F.lit(float(t_raw + buckets))
+        )
+        / (
+            (F.col("cr") + F.lit(1)).cast("double")
+            * F.lit(float(t_tgt + buckets))
+        )
+    )
+    probs = cr.join(ct, "b", "left").select("b", term.alias("term"))
+    return (
+        raw_b.join(F.broadcast(probs), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("logw"),
+        )
+    )

@@ -304,7 +304,10 @@ class Registry:
         over plain columns — the salted inner aggregates at the finest
         granularity, U re-aggregates the partials under the original
         clause, and a grouping_id() join keeps data-NULL groups distinct
-        from super-aggregate rows).
+        from super-aggregate rows), and top-level PIVOT over a named
+        projection (expanded to the GROUP BY + CASE form — which native
+        Spark cannot even run with a pandas UDAF head,
+        UNSUPPORTED_FEATURE.PANDAS_UDAF_IN_PIVOT).
         Anything unprovable falls back to the single-phase form with the
         registration warning (or raises under
         ``register_sql(strict=True)``).
@@ -413,6 +416,24 @@ class Registry:
                 out_sql += f" {op} {rb}"
             pre = f"{cte_prefix} " if cte_prefix else ""
             return f"{pre}{out_sql}{union_tail}"
+        if self._has_top_level_kw(main, "PIVOT"):
+            # PIVOT with a UDAF head: expand to the GROUP BY + CASE form
+            # (exactly Spark's own ResolvePivot expansion for null-ignoring
+            # aggregates), then rewrite the expansion two-phase.  Anything
+            # outside the provable shape refuses rather than mangles.
+            expanded = self._expand_pivot(main, used)
+            if expanded is None:
+                return None
+            core, outer_items, tail = expanded
+            rb = self._rewrite_two_phase(core, used)
+            if rb is None:
+                return None
+            # the outermost projection applies the PUBLIC pivot column
+            # names (possibly backticked literals) — the core rewrites
+            # under plain internal aliases the select-item parser accepts
+            pre = f"{cte_prefix} " if cte_prefix else ""
+            sql = f"SELECT {outer_items} FROM ({rb}) __aus_pvt"
+            return f"{pre}{sql} {tail}" if tail else f"{pre}{sql}"
         m = self._GROUPBY_SHAPE.match(main)
         if not m:
             return None
@@ -908,6 +929,185 @@ class Registry:
         if not re.match(r"(?is)^SELECT\b", main.strip()):
             return None
         return prefix, main
+
+    @staticmethod
+    def _has_top_level_kw(s: str, kw: str) -> bool:
+        """True when ``kw`` appears at paren depth 0 outside quoted
+        literals — a PIVOT buried in a FROM subquery must NOT trigger the
+        top-level expansion (the subquery is opaque to the rewrite)."""
+        depth, quote = 0, None
+        pat = re.compile(rf"(?i)^{kw}\b")
+        for i, ch in enumerate(s):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and pat.match(s[i : i + len(kw) + 1]):
+                if i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"):
+                    return True
+        return False
+
+    @classmethod
+    def _expand_pivot(
+        cls, main: str, used: set[str]
+    ) -> Optional[tuple[str, str, str]]:
+        """Expand a provable top-level ``PIVOT`` into its GROUP BY + CASE
+        equivalent — the same rewrite Spark's analyzer (ResolvePivot)
+        applies internally for aggregates that ignore NULL inputs, which
+        every registered UDAF does (accumulate skips nulls, the SQL
+        aggregate contract).  Provable shape, everything else refuses:
+
+        ``SELECT * FROM (<inner select over plain output names>)
+        [AS alias] PIVOT (<one agg call of one plain column> FOR
+        <plain column> IN (<literals, each optionally AS alias>))
+        [ORDER BY ... / LIMIT ...]``
+
+        The implicit group keys are the inner select's output columns
+        minus the pivot column and the aggregated column — textually
+        decidable BECAUSE the source is required to be a projection with
+        explicit names.  Output column order (group keys, then one column
+        per IN value, in IN order) and names (value alias, else the
+        literal's text) match Spark's native PIVOT output — which is the
+        only reference point, since native Spark refuses pandas UDAFs in
+        PIVOT outright (UNSUPPORTED_FEATURE.PANDAS_UDAF_IN_PIVOT): this
+        expansion is what makes a UDAF pivot runnable at all.
+
+        Returns ``(core, outer_items, tail)``: ``core`` is the GROUP BY
+        query under internal ``__pc{i}`` aliases (the caller rewrites it
+        two-phase), ``outer_items`` the final projection applying the
+        public (possibly backticked) names, ``tail`` the ORDER BY/LIMIT
+        to re-append outermost.
+        """
+        m = re.match(r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s*\(", main)
+        if m is None or m.group("sel").strip() != "*":
+            return None  # implicit keys are only decidable under SELECT *
+        open_i = main.rindex("(", 0, m.end())
+        close_i = cls._match_paren(main, open_i)
+        if close_i is None:
+            return None
+        inner = main[open_i + 1 : close_i].strip()
+        rest = main[close_i + 1 :]
+        pm = re.match(
+            r"(?is)^\s*(?:AS\s+(?!PIVOT\b)\w+\s*|(?!PIVOT\b)(?!AS\b)\w+\s+)?"
+            r"PIVOT\s*\(",
+            rest,
+        )
+        if pm is None:
+            return None
+        p_open = rest.index("(", pm.end() - 1)
+        p_close = cls._match_paren(rest, p_open)
+        if p_close is None:
+            return None
+        spec = rest[p_open + 1 : p_close].strip()
+        tail = rest[p_close + 1 :].strip()
+        if tail and not re.match(r"(?is)^(ORDER\s+BY|LIMIT)\b", tail):
+            return None  # WHERE-after-pivot etc. — out of the shape
+        sm = re.match(
+            r"(?is)^(?P<agg>[A-Za-z_]\w*)\s*\(\s*(?P<arg>[A-Za-z_]\w*)\s*\)"
+            r"\s*(?:AS\s+\w+\s*)?FOR\s+(?P<pcol>[A-Za-z_]\w*)\s+IN\s*\(",
+            spec,
+        )
+        if sm is None:
+            return None  # multiple aggs / expression args — refuse
+        v_open = spec.index("(", sm.end() - 1)
+        v_close = cls._match_paren(spec, v_open)
+        if v_close is None or spec[v_close + 1 :].strip():
+            return None
+        agg, arg, pcol = sm.group("agg"), sm.group("arg"), sm.group("pcol")
+        values: list[tuple[str, str]] = []  # (literal, output name)
+        for item in _split_top_level(spec[v_open + 1 : v_close]):
+            vm = re.match(
+                r"(?is)^(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+                r"\s*(?:AS\s+(?P<alias>\w+))?$",
+                item.strip(),
+            )
+            if vm is None:
+                return None  # non-literal pivot value — refuse
+            lit = vm.group("lit")
+            name = vm.group("alias") or (
+                lit[1:-1].replace("''", "'") if lit.startswith("'") else lit
+            )
+            if not name:
+                return None
+            values.append((lit, name))
+        if not values:
+            return None
+        # inner output names: scan to the inner select's top-level FROM
+        im = re.match(r"(?is)^SELECT\s+(?P<rest>.*)$", inner)
+        if im is None:
+            return None
+        body = im.group("rest")
+        depth, quote, from_at = 0, None, None
+        for i, ch in enumerate(body):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and body[i : i + 4].upper() == "FROM"
+                and (i == 0 or body[i - 1].isspace())
+                and (i + 4 == len(body) or body[i + 4].isspace())
+            ):
+                from_at = i
+                break
+        if from_at is None:
+            return None
+        out_names: list[str] = []
+        for item in _split_top_level(body[:from_at]):
+            am = re.match(
+                r"(?is)^.*\sAS\s+(?P<n>[A-Za-z_]\w*)\s*$", item
+            ) or re.match(r"(?is)^(?P<n>[A-Za-z_]\w*)\s*$", item)
+            if am is None:
+                return None  # unnamed expression / star — keys undecidable
+            out_names.append(am.group("n"))
+        low = {n.lower() for n in out_names}
+        if pcol.lower() not in low or arg.lower() not in low:
+            return None
+        groups = [
+            n
+            for n in out_names
+            if n.lower() not in (pcol.lower(), arg.lower())
+        ]
+        if not groups:
+            return None  # global pivot: no GROUP BY to ride the rewrite
+        # the CASE filters live in an inner projection (__pv{i}) so the
+        # aggregate calls take PLAIN columns, and the aggregate outputs
+        # get internal __pc{i} aliases — both shapes the recursive
+        # two-phase rewrite proves (CASE directly inside the UDAF arg,
+        # or a backticked public alias, would refuse).  The caller wraps
+        # the rewritten core in one projection applying the public names.
+        items = ", ".join(groups)
+        outer = ", ".join(groups)
+        proj = ", ".join(groups + [pcol, arg])
+        for i, (lit, name) in enumerate(values):
+            if "`" in name:
+                return None
+            # backticks only for non-identifier names (numeric / spaced
+            # literals); identifiers pass through plain
+            quoted = (
+                name
+                if re.match(r"^[A-Za-z_]\w*$", name)
+                else f"`{name}`"
+            )
+            items += f", {agg}(__pv{i}) AS __pc{i}"
+            outer += f", __pc{i} AS {quoted}"
+            proj += f", CASE WHEN {pcol} = {lit} THEN {arg} END AS __pv{i}"
+        core = (
+            f"SELECT {items} FROM (SELECT {proj} FROM ({inner})) "
+            f"GROUP BY {', '.join(groups)}"
+        )
+        return core, outer, tail
 
     _SET_OP = re.compile(
         r"(?is)^(UNION|INTERSECT|EXCEPT)(\s+(ALL|DISTINCT))?\b"

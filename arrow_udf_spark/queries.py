@@ -772,6 +772,51 @@ def q_sql_agg_rollup_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_pivot_two_phase",
+    # oracle = the CASE expansion with native SUM; COALESCE 0 mirrors
+    # sum_udaf's reference contract (empty/all-null slice -> 0, not ANSI
+    # NULL — create_state()=0, reference tests/python.rs:670-745)
+    """
+    SELECT l_returnflag AS rf,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT)
+               AS open_q,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT)
+               AS filled_q
+    FROM lineitem GROUP BY l_returnflag ORDER BY rf
+    """,
+)
+def q_sql_agg_pivot_two_phase(spark, sf):
+    """PIVOT through the scale-safe SQL front door (the last r8 rewriter
+    widening; PIVOT was a named residual): the provable shape —
+    ``SELECT * FROM (projection) PIVOT (udaf(col) FOR col IN
+    (literals))`` — expands to the GROUP BY + CASE form (exactly Spark's
+    own ResolvePivot expansion for null-ignoring aggregates) and rides
+    the salted two-phase rewrite underneath.  Native Spark REFUSES
+    pandas UDAFs in PIVOT outright (UNSUPPORTED_FEATURE.
+    PANDAS_UDAF_IN_PIVOT), so this front door is the only way to run
+    one at all — and it runs partial+merge.  Output names/order match
+    native PIVOT; sum_udaf's empty-slice-is-0 contract is pinned in the
+    oracle's COALESCE."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_pvtsql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT * FROM (
+          SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM li_pvtsql
+        ) PIVOT (sum_udaf(q) FOR ls IN ('O' AS open_q, 'F' AS filled_q))
+        ORDER BY rf
+        """,
+    )
+
+
+@query(
     "sql_agg_having_two_phase",
     """
     SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1924,6 +1969,48 @@ def q_png_pixels(spark, sf):
 
 
 @query(
+    "png_palette_pixels",
+    # palette PNG full decode: the synthetic carries a 256-entry PLTE with
+    # plte[i][c] = (11i + 17c + s) % 256 and index(x,y) = (3x + 5y + s) % 256
+    # (s/w/h from md5 bytes 6/7/8), so the expanded RGB pixel is the
+    # composition (11*((3x+5y+s)%256) + 17c + s) % 256 — the oracle sums it
+    # in closed form; the Spark side must unfilter the 1-byte index
+    # scanlines AND apply the PLTE indirection to reproduce it.
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 15, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 17, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, s, w, h, unnest(range(0, w)) AS x FROM base),
+    pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, 3)) AS c FROM pxy)
+    SELECT doc_id, CAST(MIN(w) AS INT) AS w, CAST(MIN(h) AS INT) AS h,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM((11 * ((3 * x + 5 * y + s) % 256) + 17 * c + s) % 256)
+                AS BIGINT) AS checksum
+    FROM pxyc GROUP BY doc_id
+    """,
+)
+def q_png_palette_pixels(spark, sf):
+    """PALETTE PNG decode gate (closes the r8 PLTE residual): synthesize
+    a color-type-3 PNG per doc (1-byte index scanlines, filter cycling,
+    256-entry PLTE), decode it for real — chunk walk, CRC, inflate,
+    bpp=1 unfilter, then the PLTE→RGB indirection — and checksum the
+    EXPANDED pixels.  A decoder that skips the indirection (or indexes
+    the palette before unfiltering, the spec-order trap) breaks the
+    closed-form oracle.  Same embarrassingly-parallel scan shape as
+    ``png_pixels``."""
+    from .operators.multimodal import png_pipeline, synth_png_pal
+
+    return png_pipeline(
+        t(spark, sf, "documents", spread=True), synth=synth_png_pal
+    )
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
@@ -2798,6 +2885,70 @@ def q_temperature_mix(spark, sf):
             F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "dsir_weights",
+    # DSIR importance weights over 64 hashed-bigram buckets; target = the
+    # en slice, raw = the whole corpus.  Each term is ONE ln of ONE double
+    # ratio of exact-integer products; the per-doc sum rounds half-up to
+    # 6 dp (the bigram_surprisal discipline).
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {{toks}} AS ts FROM documents),
+    rawg AS (
+      SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+             i -> ts[i-1] || ' ' || ts[i])) AS g
+      FROM toks WHERE len(ts) >= 2
+    ),
+    rb AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM rawg),
+    tb AS (SELECT CAST(('0x' || substr(md5(r.g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM (SELECT t.doc_id, unnest(list_transform(
+                        range(2, len(t.ts) + 1),
+                        i -> t.ts[i-1] || ' ' || t.ts[i])) AS g
+                 FROM toks t WHERE t.lang = 'en' AND len(t.ts) >= 2) r),
+    cr AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM rb) AS tr,
+                   (SELECT COUNT(*) FROM tb) AS tt),
+    p AS (SELECT cr.b,
+                 ln((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                     * CAST(tot.tr + 64 AS DOUBLE))
+                    / (CAST(cr.cr + 1 AS DOUBLE)
+                       * CAST(tot.tt + 64 AS DOUBLE))) AS term
+          FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+    SELECT rb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           floor(SUM(p.term) * 1e6 + 0.5) / 1e6 AS logw
+    FROM rb JOIN p USING (b) GROUP BY rb.doc_id
+    """.format(toks="regexp_split_to_array(trim(text), '\\s+')"),
+)
+def q_dsir_weights(spark, sf):
+    """DSIR (Xie et al. 2023) — data selection via importance resampling:
+    score every document by the log-likelihood ratio of its hashed word
+    bigrams under the TARGET distribution (here: the corpus's en slice)
+    vs the RAW distribution — the hashed-n-gram proxy the paper selects
+    The-Pile-at-scale with.  High logw = looks like the target.  The
+    gate pins every doc's bigram count and 6-dp-rounded weight against
+    the same bucket model in SQL.
+
+    Scale: bucket tables are 64 rows (broadcast; paper uses 10k — still
+    broadcast-sized), totals are two O(1) driver scalars, and the only
+    data-sized shuffles are the map-side-combined bucket counts and the
+    per-doc weight sum.  One tokenization per scan (lag window over
+    posexplode — plan-linted)."""
+    from .operators.sampling import dsir_logweights
+
+    d = t(spark, sf, "documents")
+    out = dsir_logweights(
+        d, d.where(F.col("lang") == "en"), buckets=64
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "logw",
     )
 
 
@@ -6233,6 +6384,59 @@ def q_ivf_trained_topk(spark, sf):
     return ivf_topk(items, queries, k=5, cell_col="cluster")
 
 
+@query(
+    "semdedup_prune",
+    # SemDeDup: k-means cells (the proven 2-round Lloyd CTE trajectory),
+    # then inside each cell drop every vector with an above-threshold
+    # cosine neighbor of smaller id.  Threshold 0.3 because the synthetic
+    # embeddings max out near cosine 0.47 (same calibration note as
+    # embedding_near_dup); similarity rounds to 6 dp before the compare.
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                      AS cid, e AS c
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)),
+    a0 AS ({_KMEANS_ASSIGN_CTE.format(cents="c0")}),
+    c1 AS ({_KMEANS_MEANS_CTE.format(assign="a0")}),
+    a1 AS ({_KMEANS_ASSIGN_CTE.format(cents="c1")}),
+    c2 AS ({_KMEANS_MEANS_CTE.format(assign="a1")}),
+    a2 AS ({_KMEANS_ASSIGN_CTE.format(cents="c2")}),
+    it AS (SELECT a2.vec_id, a2.cid, v.e FROM a2 JOIN v USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT r.vec_id
+      FROM it l JOIN it r ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE round(list_cosine_similarity(l.e, r.e), 6) >= 0.3
+    )
+    SELECT it.vec_id, CAST(it.cid AS INT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM it LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def q_semdedup_prune(spark, sf):
+    """SemDeDup (Abbas et al. 2023) — semantic near-dup pruning, the
+    embedding-space complement of MinHash/SimHash: k-means clusters the
+    corpus into coarse cells (training cost amortized, O(k·dim) driver
+    state), then each cell prunes items with an above-threshold cosine
+    neighbor of smaller id.  One-pass parallel keep-rule (over-prunes
+    chains, never under-prunes — see ``semdedup_keep``); the pair space
+    is cell-confined so k is the scale knob.  The gate pins every
+    vector's (cluster, kept) verdict against the unrolled Lloyd
+    trajectory + threshold join in SQL."""
+    from .operators.clustering import kmeans_assign
+    from .operators.dedup import semdedup_keep
+
+    e = t(spark, sf, "embeddings")
+    assigned = kmeans_assign(e, k=8, iters=2)
+    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    out = semdedup_keep(items, "vec_id", "embedding", "cluster", threshold=0.3)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cluster"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
 _IVF_MULTIPROBE_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
@@ -6852,29 +7056,36 @@ _GATE_PRIORITY = [
     # Round-8 ordering.  The driver gates the first ~50 entries
     # (VERDICT r7 ask #2 — rotate the window onto the 43 queries whose
     # latest driver row is r4-or-older, after the new/changed head):
-    #   1. new-in-r8 (window-SQL rewrite, PNG real decode, shingle
-    #      cascade) and the four queries whose code changed this round
+    #   1. new-in-r8 (SQL-rewrite breadth incl. PIVOT, PNG real decode
+    #      incl. palette, shingle cascade, temperature_mix, SemDeDup)
+    #      and the four queries whose code changed this round
     #      (corpus_divergence tv_num BIGINT; skew_profile/join_size_est
     #      DECIMAL internals; asof_join_forward struct fill) — changed
     #      queries must re-prove;
     #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
     #      text, upsert, wav) — oldest evidence in the catalog;
-    #   3. the 33 r4-stale queries.
-    # That is 12 + 10 + 33 = 55 entries; everything else has a green
+    #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
+    #      the tail few keep their three-scale replica evidence).
+    # That is 16 + 10 + 33 = 59 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
     # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (8) + changed in r8 (4) --
+    # -- 1. new in r8 (12) + changed in r8 (4) --
     "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
     "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
     "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
     "sql_agg_rollup_two_phase",  # new r8: ROLLUP/CUBE/SETS, gid-joined
+    "sql_agg_pivot_two_phase",  # new r8: PIVOT -> CASE expansion, 2-phase
     "temperature_mix",  # new r8: n^alpha source rebalance, sqrt-free
     "png_meta",  # new r8: real PNG IHDR decode (zlib container)
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
+    "png_palette_pixels",  # new r8: PLTE indirection after bpp=1 unfilter
+    "semdedup_prune",  # new r8: SemDeDup — kmeans cells + cosine prune
+    "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
+    # (12 new + 4 changed below = 16 head entries)
     "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
     # fitting path (driver pandas-hash renders DECIMAL as float; values
     # were bit-identical in r7) — DECIMAL(38,0) only beyond int64

@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "png_pixels",               # full PNG decode (zlib + 5-filter recon)
     "dup_span_cascade",         # 5/10/20-gram longest-shared-span cascade
     "temperature_mix",          # n^alpha source rebalance, broadcast gate
+    "png_palette_pixels",       # palette PNG decode (PLTE indirection)
+    "semdedup_prune",           # SemDeDup: kmeans cells + cosine prune
+    "dsir_weights",             # DSIR hashed-bigram importance weights
+    "sql_agg_pivot_two_phase",  # PIVOT -> CASE expansion, salted 2-phase
 ]
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent

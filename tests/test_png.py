@@ -92,9 +92,24 @@ def test_not_png_rejected():
 
 
 def test_unsupported_shapes_refused():
-    # palette color type (3) must refuse, not mis-decode
+    # 16-bit depth must refuse, not mis-decode
+    p = bytearray(synth_png("deep"))
+    # IHDR data starts at offset 16; bit depth at 16+8=24
+    import struct, zlib
+
+    ihdr = bytearray(p[16:29])
+    ihdr[8] = 16
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    p[16:29] = ihdr
+    p[29:33] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(bytes(p))
+
+
+def test_palette_without_plte_rejected():
+    # flipping color type to 3 without shipping a PLTE is malformed,
+    # not merely unsupported — r8.5 decodes palette for real
     p = bytearray(synth_png("pal"))
-    # IHDR data starts at offset 16; color type at 16+9=25
     import struct, zlib
 
     ihdr = bytearray(p[16:29])
@@ -102,8 +117,69 @@ def test_unsupported_shapes_refused():
     crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
     p[16:29] = ihdr
     p[29:33] = struct.pack(">I", crc)
-    with pytest.raises(NotImplementedError, match="color=3"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(p))
+
+
+def _analytic_pal(text):
+    dig = hashlib.md5(text.encode()).digest()
+    s, w, h = dig[6], dig[7] % 16 + 8, dig[8] % 16 + 8
+    idx = (3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None] + s) % 256
+    exp = (11 * idx[:, :, None] + 17 * np.arange(3)[None, None, :] + s) % 256
+    return w, h, exp
+
+
+def test_palette_roundtrip_pixels_exact():
+    from arrow_udf_spark.operators.multimodal import synth_png_pal
+
+    for text in ["", "a", "palette world", "y" * 300]:
+        w, h, exp = _analytic_pal(text)
+        W, H, ch, raw = decode_png(synth_png_pal(text))
+        assert (W, H, ch) == (w, h, 3)
+        assert (raw.reshape(h, w, 3) == exp).all()
+
+
+def test_palette_encode_decode_arbitrary():
+    # indices that hit every PLTE slot, unfiltered through all 5 filters
+    pal = bytes((np.arange(256 * 3) * 29 % 256).astype(np.uint8))
+    idx = (np.arange(13 * 9) * 251 % 256).astype(np.uint8)
+    w, h, ch, raw = decode_png(
+        encode_png(13, 9, idx.tobytes(), channels=1, palette=pal)
+    )
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(256, 3)[
+        idx.reshape(9, 13)
+    ]
+    assert (w, h, ch) == (13, 9, 3)
+    assert (raw.reshape(9, 13, 3) == exp).all()
+
+
+def test_palette_trns_refused():
+    # translucent palette stays a documented descope: splice a tRNS
+    # chunk before IDAT and expect the loud refusal
+    import struct, zlib
+
+    from arrow_udf_spark.operators.multimodal import synth_png_pal
+
+    p = bytearray(synth_png_pal("trns"))
+    data = bytes([128])
+    chunk = (
+        struct.pack(">I", len(data))
+        + b"tRNS"
+        + data
+        + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+    )
+    at = p.find(b"IDAT") - 4
+    p[at:at] = chunk
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(bytes(p))
+
+
+def test_palette_index_out_of_range_rejected():
+    # 2-entry PLTE but an index of 5: spec violation, must not wrap
+    pal = bytes(range(6))
+    idx = bytes([0, 1, 5, 1] * 8 * 2)  # 8x8
+    with pytest.raises(ValueError, match="index out of PLTE"):
+        decode_png(encode_png(8, 8, idx, channels=1, palette=pal))
 
 
 def test_png_pipeline_spark(spark):

@@ -415,3 +415,106 @@ def test_two_phase_expression_group_keys(spark):
         "SELECT g, sum_udaf(y) AS s FROM t GROUP BY g", used
     )
     assert ok3 is not None and "__g0" not in ok3
+
+
+def test_pivot_expansion_rewrite():
+    """r8: PIVOT with a UDAF head expands to the GROUP BY + CASE form
+    (Spark's own ResolvePivot expansion for null-ignoring aggregates)
+    and then rides the salted two-phase rewrite.  Native Spark refuses
+    pandas UDAFs in PIVOT outright (UNSUPPORTED_FEATURE.
+    PANDAS_UDAF_IN_PIVOT), so the front door is the ONLY way to run
+    one — and it runs scale-safe."""
+    r = Registry()
+    r._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
+    used = {"sum_udaf"}
+    q = (
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a' AS ca, 'b' AS cb)) ORDER BY g"
+    )
+    ok = r._rewrite_two_phase(q, used)
+    assert ok is not None
+    assert "sum_udaf__partial" in ok and "sum_udaf__merge" in ok
+    assert "CASE WHEN k = 'a' THEN v END AS __pv0" in ok
+    assert "AS ca" in ok and "AS cb" in ok
+    # unaliased values name the column after the literal text
+    ok2 = r._rewrite_two_phase(
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a', 'b'))",
+        used,
+    )
+    assert ok2 is not None and "AS a" in ok2 and "AS b" in ok2
+    # numeric literal values get backticked output names
+    ok3 = r._rewrite_two_phase(
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN (1, 2))",
+        used,
+    )
+    assert ok3 is not None and "AS `1`" in ok3 and "AS `2`" in ok3
+
+
+def test_pivot_refusal_shapes():
+    """PIVOT shapes outside the provable grammar refuse (None) rather
+    than mangle: non-star outer select, non-literal values, expression
+    agg args, no remaining group keys, WHERE after the pivot."""
+    r = Registry()
+    r._agg_sql_names.setdefault("sum_udaf", "sum_udaf")
+    used = {"sum_udaf"}
+    bad = [
+        # outer select not *
+        "SELECT g FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a'))",
+        # non-literal pivot value
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN (upper('a') AS ca))",
+        # expression agg arg
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v + 1) FOR k IN ('a' AS ca))",
+        # all columns consumed -> no group keys
+        "SELECT * FROM (SELECT k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a' AS ca))",
+        # WHERE after the pivot clause
+        "SELECT * FROM (SELECT g, k, v FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a' AS ca)) WHERE g > 1",
+        # inner select with star: implicit keys undecidable
+        "SELECT * FROM (SELECT * FROM t) "
+        "PIVOT (sum_udaf(v) FOR k IN ('a' AS ca))",
+    ]
+    for q in bad:
+        assert r._rewrite_two_phase(q, used) is None, q
+    # PIVOT buried in a FROM subquery (no UDAF inside) must not trip the
+    # top-level expansion: the k-in-subquery shape is not top level
+    assert not r._has_top_level_kw(
+        "x FROM (SELECT * FROM t PIVOT (SUM(v) FOR k IN ('a'))) GROUP BY x",
+        "PIVOT",
+    )
+
+
+def test_pivot_matches_native_builtin(spark):
+    """Referee: the expanded two-phase UDAF pivot must be row-identical
+    to NATIVE Spark PIVOT with the built-in SUM (sum_udaf == SUM on
+    bigint) — column names, order, and values."""
+    from arrow_udf_spark import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5), (2, "c", 7), (1, "a", 3)],
+        ["g", "k", "v"],
+    )
+    df.createOrReplaceTempView("pvt_ref")
+    tpl = (
+        "SELECT * FROM (SELECT g, k, CAST(v AS BIGINT) AS v FROM pvt_ref) "
+        "PIVOT ({AGG}(v) FOR k IN ('a' AS ka, 'b' AS kb, 'z' AS kz)) "
+        "ORDER BY g"
+    )
+    ours = GLOBAL.sql(spark, tpl.format(AGG="sum_udaf"))
+    native = spark.sql(tpl.format(AGG="SUM"))
+    assert ours.columns == native.columns
+    # the 'z' slice is empty for every group: ANSI SUM yields NULL there,
+    # sum_udaf yields 0 by the reference's contract (create_state()=0,
+    # python.rs:670-745) — normalize that one documented difference
+    assert [tuple(r) for r in ours.collect()] == [
+        tuple(0 if v is None else v for v in r) for r in native.collect()
+    ]
+    # and the plan really is two-phase
+    plan = ours._jdf.queryExecution().executedPlan().toString()
+    assert "sum_udaf__partial" in plan and "sum_udaf__merge" in plan

@@ -80,3 +80,65 @@ def test_temperature_mix_alpha_one_noop(spark):
     )
     # alpha=1 -> q=1 for every source -> identity
     assert temperature_mix(df, alpha=1.0).count() == 3
+
+
+def test_semdedup_keep_rule(spark):
+    """r8: SemDeDup one-pass keep rule — an item is dropped iff some
+    smaller-id item in the SAME cell is within the cosine threshold."""
+    from arrow_udf_spark.operators.dedup import semdedup_keep
+
+    rows = [
+        # cell 0: 1 and 2 identical (2 drops), 3 orthogonal (kept)
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),
+        # cell 1: identical to id 1 but different cell -> kept (cell-confined)
+        (4, [1.0, 0.0], 1),
+        # chain at angles 0/25/50 deg: 5~6 and 6~7 are cos(25°)≈0.906
+        # (>= 0.9), 5~7 is cos(50°)≈0.643 (< 0.9) -> the one-pass rule
+        # drops BOTH 6 and 7 (7 via the already-dropped 6 — over-prune,
+        # the documented variant semantics)
+        (5, [1.0, 0.0], 2),
+        (6, [0.906308, 0.422618], 2),
+        (7, [0.642788, 0.766044], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "cell"])
+    got = {
+        r.id: r.kept
+        for r in semdedup_keep(
+            df, "vec_id", "embedding", "cell", threshold=0.9
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0, 7: 0}
+
+
+def test_dsir_logweights_discriminates(spark):
+    """r8: DSIR importance weights — docs whose bigrams match the target
+    corpus score higher than off-target docs; short docs (<2 tokens)
+    drop out; re-runs are bit-identical."""
+    from arrow_udf_spark.operators.sampling import dsir_logweights
+
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "the quick brown fox runs fast"),
+        (3, "uno dos tres cuatro cinco seis"),
+        (4, "single"),  # no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(10, "the quick brown fox sleeps")], ["doc_id", "text"]
+    )
+    got = {
+        r.id: (r.n_bigrams, r.logw)
+        for r in dsir_logweights(df, target, buckets=16).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 5 and got[3][0] == 5
+    # on-target docs outscore the off-target one
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+    # deterministic across runs
+    again = {
+        r.id: (r.n_bigrams, r.logw)
+        for r in dsir_logweights(df, target, buckets=16).collect()
+    }
+    assert got == again

@@ -189,6 +189,33 @@ def main() -> int:
     run(f"dup_span_cascade({rep}x docs)", lambda: dup_span_cascade(docs))
     run(f"png_pipeline({rep}x docs)", lambda: png_pipeline(docs))
 
+    # SemDeDup over replicated embeddings: every vector has `rep` exact
+    # copies, so every cell is maximally dup-heavy — the k knob (here
+    # k=32 for rep*5000 vectors) is what keeps the cell-confined pair
+    # space bounded; kept-count must be ~N/rep
+    from pyspark.sql import functions as SF
+
+    from arrow_udf_spark.operators.clustering import kmeans_assign
+    from arrow_udf_spark.operators.dedup import semdedup_keep
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bigemb = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.withColumn("vec_id", SF.col("vec_id") + SF.lit(i * 1_000_000))
+            for i in range(rep)
+        ],
+    ).repartition(32)
+
+    def semdedup_stress():
+        assigned = kmeans_assign(bigemb, k=32, iters=1)
+        items = bigemb.select("vec_id", "embedding").join(assigned, "vec_id")
+        return semdedup_keep(
+            items, "vec_id", "embedding", "cluster", threshold=0.999999
+        ).groupBy("kept").count()
+
+    run(f"semdedup_prune({rep}x embeddings, k=32)", semdedup_stress)
+
     spark.stop()
     print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
