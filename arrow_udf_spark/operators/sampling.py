@@ -255,17 +255,24 @@ def temperature_mix(
 
 
 def _bigram_buckets(
-    df: DataFrame, text_col: str, id_col: str, buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id, b): one row per word bigram, hashed into ``buckets`` feature
     buckets — ONE tokenization per scan (posexplode feeds a per-doc lag
     window, the bigram_surprisal shape; nothing re-inlines under the
-    Generate)."""
+    Generate).  ``toks_col`` lets pipeline callers share an
+    already-staged token array (the curation capstone tokenizes once for
+    quality AND bigrams — the plan-lint retokenize rule)."""
     from .text import token_hash, tokens
 
+    toks = F.col(toks_col) if toks_col else tokens(F.col(text_col))
     tokp = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+        F.posexplode(toks).alias("pos", "t"),
     )
     wl = Window.partitionBy("id").orderBy("pos")
     return (
@@ -287,6 +294,7 @@ def dsir_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 64,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023) — data selection via importance resampling
     over HASHED n-gram features: score every raw document by how much
@@ -314,8 +322,8 @@ def dsir_logweights(
     the bucket count aggregates (map-side combined to ≤``buckets`` rows
     per partition) and the per-doc weight sum.  Production would raise
     ``buckets`` to 10k+ (the paper's setting) — still broadcast-sized."""
-    raw_b = _bigram_buckets(df, text_col, id_col, buckets)
-    tgt_b = _bigram_buckets(target, text_col, id_col, buckets)
+    raw_b = _bigram_buckets(df, text_col, id_col, buckets, toks_col)
+    tgt_b = _bigram_buckets(target, text_col, id_col, buckets, toks_col)
     cr = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ct = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     t_raw = raw_b.count()  # O(1) driver scalars, data-size independent

@@ -3197,6 +3197,140 @@ def q_pipeline_e2e(spark, sf):
     return packed.select("doc_id", "source", "seq_id")
 
 
+#: shared quality-score expression (the q_quality_score oracle), reused by
+#: the curation capstone's CTE chain
+_QUALITY_EXPR = f"""floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+         + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / greatest(strlen(text), 1))
+         + 0.3 * least((CAST(len(list_filter({{toks}},
+               t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
+               / greatest(len({{toks}}), 1)) * 5, 1.0)) * 1000000 + 0.5)
+    / 1000000""".format(toks="regexp_split_to_array(trim(text), '\\s+')")
+
+
+@query(
+    "curation_pipeline_e2e",
+    # the round-8 curation capstone: every stage's oracle CTE chained —
+    # quality gate (6dp-rounded score >= 0.5) -> temperature mix by lang
+    # (sqrt-free alpha=0.5 md5 predicate) -> DSIR selection (64-bucket
+    # hashed-bigram log-likelihood ratio >= 0, target = the mix's en
+    # slice) -> exact dedup (min doc_id per md5(text)) -> per-lang
+    # 16384-char sequence packing.  All decisions are integer/6dp-rounded
+    # -> bit-stable across engines.
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, text, {_QUALITY_EXPR} AS q
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    n AS (SELECT lang, COUNT(*) AS ns FROM kept GROUP BY lang),
+    mq AS (SELECT lang, (SELECT MIN(ns) FROM n) * 1.0 / ns AS r FROM n),
+    mixed AS (
+      SELECT k.doc_id, k.lang, k.n_chars, k.text FROM (
+        SELECT *, CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) / 4294967296.0 AS f
+        FROM kept) k JOIN mq USING (lang)
+      WHERE k.f * k.f < mq.r
+    ),
+    toks AS (SELECT doc_id, lang,
+                    regexp_split_to_array(trim(text), '\\s+') AS ts
+             FROM mixed),
+    rawg AS (
+      SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+             i -> ts[i-1] || ' ' || ts[i])) AS g
+      FROM toks WHERE len(ts) >= 2
+    ),
+    rb AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM rawg),
+    tb AS (SELECT CAST(('0x' || substr(md5(r.g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM (SELECT t.doc_id, unnest(list_transform(
+                        range(2, len(t.ts) + 1),
+                        i -> t.ts[i-1] || ' ' || t.ts[i])) AS g
+                 FROM toks t WHERE t.lang = 'en' AND len(t.ts) >= 2) r),
+    cr AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM rb) AS tr,
+                   (SELECT COUNT(*) FROM tb) AS tt),
+    p AS (SELECT cr.b,
+                 ln((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                     * CAST(tot.tr + 64 AS DOUBLE))
+                    / (CAST(cr.cr + 1 AS DOUBLE)
+                       * CAST(tot.tt + 64 AS DOUBLE))) AS term
+          FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+    wts AS (SELECT rb.doc_id, floor(SUM(p.term) * 1e6 + 0.5) / 1e6 AS logw
+            FROM rb JOIN p USING (b) GROUP BY rb.doc_id),
+    sel AS (SELECT m.doc_id, m.lang, m.n_chars, m.text, w.logw
+            FROM mixed m JOIN wts w USING (doc_id) WHERE w.logw >= 0.0),
+    ded AS (SELECT doc_id, lang, n_chars, logw FROM (
+              SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              FROM sel) WHERE doc_id = keep_id)
+    SELECT doc_id, lang, logw,
+           CAST((SUM(CAST(n_chars AS BIGINT))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - 1) // 16384
+                AS BIGINT) AS seq_id
+    FROM ded
+    """,
+)
+def q_curation_pipeline_e2e(spark, sf):
+    """The round-8 CURATION capstone — the r8 operator set composed as
+    one pipeline, the data-curation twin of ``ann_pipeline_e2e``:
+    quality filter → ``temperature_mix`` (n^0.5 lang rebalance) →
+    ``dsir_logweights`` selection (keep docs that look like the en
+    target, logw ≥ 0) → exact dedup (min doc_id per content digest) →
+    ``pack_sequences`` into 16384-char training sequences per lang.
+
+    Every stage decision is integer or 6dp-rounded — the whole pipeline
+    is bit-stable across engines, and the gate pins each surviving
+    doc's (lang, logw, seq_id).  Scale: scan-side filters (quality,
+    mix predicate), broadcast joins (mix thresholds, DSIR buckets), one
+    digest window (dedup), one per-shard window (packing) — no stage
+    shuffles the corpus more than once.  The document is tokenized ONCE
+    (a staged ``__toks`` array feeds both the quality score and the
+    DSIR bigrams — the plan-lint retokenize rule; the array rides only
+    scan-side filters and broadcast joins, never an exchange)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import content_hash
+    from .operators.sampling import (
+        dsir_logweights,
+        pack_sequences,
+        temperature_mix,
+    )
+    from .operators.text import quality_score, tokens
+
+    d = t(spark, sf, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    kept = d.where(
+        quality_score(F.col("text"), F.col("n_chars"), toks=F.col("__toks"))
+        >= 0.5
+    )
+    mixed = temperature_mix(kept, source_col="lang", alpha=0.5)
+    w = dsir_logweights(
+        mixed, mixed.where(F.col("lang") == "en"), toks_col="__toks"
+    )
+    # the token array has served its purpose — drop it BEFORE any
+    # exchange (dedup digest window, packing shard window) so arrays
+    # never ride a shuffle
+    sel = mixed.join(
+        w.where(F.col("logw") >= 0.0), mixed.doc_id == F.col("id")
+    ).drop("id", "n_bigrams", "__toks")
+    keep = F.min("doc_id").over(Window.partitionBy(content_hash("text")))
+    ded = (
+        sel.withColumn("__keep", keep)
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    packed = pack_sequences(
+        ded, shard="lang", order="doc_id", tokens="n_chars", budget=16384
+    )
+    return packed.select(
+        "doc_id", "lang", "logw", F.col("seq_id").cast("long").alias("seq_id")
+    )
+
+
 @query(
     "return_all_fn",
     """
@@ -6384,14 +6518,13 @@ def q_ivf_trained_topk(spark, sf):
     return ivf_topk(items, queries, k=5, cell_col="cluster")
 
 
-@query(
-    "semdedup_prune",
-    # SemDeDup: k-means cells (the proven 2-round Lloyd CTE trajectory),
-    # then inside each cell drop every vector with an above-threshold
-    # cosine neighbor of smaller id.  Threshold 0.3 because the synthetic
-    # embeddings max out near cosine 0.47 (same calibration note as
-    # embedding_near_dup); similarity rounds to 6 dp before the compare.
-    f"""
+# SemDeDup: k-means cells (the proven 2-round Lloyd CTE trajectory), then
+# inside each cell drop every vector with an above-threshold cosine
+# neighbor of smaller id.  Threshold 0.3 because the synthetic embeddings
+# max out near cosine 0.47 (same calibration note as embedding_near_dup);
+# similarity rounds to 6 dp before the compare.  Shared by the Catalyst
+# and numpy forms — same verdicts by contract.
+_SEMDEDUP_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
@@ -6411,8 +6544,10 @@ def q_ivf_trained_topk(spark, sf):
     SELECT it.vec_id, CAST(it.cid AS INT) AS cluster,
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
     FROM it LEFT JOIN dropped d USING (vec_id)
-    """,
-)
+    """
+
+
+@query("semdedup_prune", _SEMDEDUP_ORACLE)
 def q_semdedup_prune(spark, sf):
     """SemDeDup (Abbas et al. 2023) — semantic near-dup pruning, the
     embedding-space complement of MinHash/SimHash: k-means clusters the
@@ -6430,6 +6565,35 @@ def q_semdedup_prune(spark, sf):
     assigned = kmeans_assign(e, k=8, iters=2)
     items = e.select("vec_id", "embedding").join(assigned, "vec_id")
     out = semdedup_keep(items, "vec_id", "embedding", "cluster", threshold=0.3)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cluster"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+@query("semdedup_prune_numpy", _SEMDEDUP_ORACLE)
+def q_semdedup_prune_numpy(spark, sf):
+    """The SCALE PATH for SemDeDup: same cells, same keep rule, same
+    oracle as ``semdedup_prune``, but the per-cell pair scoring is one
+    numpy matmul over the cell's normalized vectors (``applyInPandas``)
+    instead of per-pair Catalyst array folds — Spark's higher-order
+    array functions are interpreted (CodegenFallback), so the fold form
+    pays an interpreter visit per element per pair, while the matmul is
+    C-speed: ~10x faster on dup-heavy cells (PLANS.md stress row).
+    Memory contract: one |cell|^2 float64 matrix per task, so k must
+    bound cells — the same sum(|cell|^2) the fold form pays in time.
+    The dual gate (both forms against ONE oracle) pins the equivalence
+    every round."""
+    from .operators.clustering import kmeans_assign
+    from .operators.dedup import semdedup_keep_numpy
+
+    e = t(spark, sf, "embeddings")
+    assigned = kmeans_assign(e, k=8, iters=2)
+    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    out = semdedup_keep_numpy(
+        items, "vec_id", "embedding", "cluster", threshold=0.3
+    )
     return out.select(
         F.col("id").alias("vec_id"),
         F.col("cell").cast("int").alias("cluster"),
@@ -7066,7 +7230,7 @@ _GATE_PRIORITY = [
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
     #      the tail few keep their three-scale replica evidence).
-    # That is 16 + 10 + 33 = 59 entries; everything else has a green
+    # That is 18 + 10 + 33 = 61 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
@@ -7083,9 +7247,11 @@ _GATE_PRIORITY = [
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "png_palette_pixels",  # new r8: PLTE indirection after bpp=1 unfilter
     "semdedup_prune",  # new r8: SemDeDup — kmeans cells + cosine prune
+    "semdedup_prune_numpy",  # new r8: same oracle, per-cell matmul path
     "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
+    "curation_pipeline_e2e",  # new r8: quality->mix->DSIR->dedup->pack
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
-    # (12 new + 4 changed below = 16 head entries)
+    # (14 new + 4 changed below = 18 head entries)
     "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
     # fitting path (driver pandas-hash renders DECIMAL as float; values
     # were bit-identical in r7) — DECIMAL(38,0) only beyond int64

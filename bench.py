@@ -100,7 +100,9 @@ BENCH_QUERIES = [
     "temperature_mix",          # n^alpha source rebalance, broadcast gate
     "png_palette_pixels",       # palette PNG decode (PLTE indirection)
     "semdedup_prune",           # SemDeDup: kmeans cells + cosine prune
+    "semdedup_prune_numpy",     # same oracle, per-cell matmul scale path
     "dsir_weights",             # DSIR hashed-bigram importance weights
+    "curation_pipeline_e2e",    # r8 capstone: quality->mix->DSIR->pack
     "sql_agg_pivot_two_phase",  # PIVOT -> CASE expansion, salted 2-phase
 ]
 

@@ -142,3 +142,37 @@ def test_dsir_logweights_discriminates(spark):
         for r in dsir_logweights(df, target, buckets=16).collect()
     }
     assert got == again
+
+
+def test_semdedup_numpy_matches_catalyst(spark):
+    """r8: the numpy per-cell matmul path and the Catalyst fold path
+    produce IDENTICAL verdicts (same 6-dp decision value) — including on
+    near-threshold chains."""
+    from arrow_udf_spark.operators.dedup import (
+        semdedup_keep,
+        semdedup_keep_numpy,
+    )
+
+    import hashlib
+
+    rows = []
+    for i in range(120):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        vec = [((h[j] + i * j) % 256) / 255.0 + 0.01 for j in range(8)]
+        rows.append((i, vec, i % 4))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "cell"])
+    for th in (0.9, 0.99, 0.999):
+        a = {
+            r.id: r.kept
+            for r in semdedup_keep(
+                df, "vec_id", "embedding", "cell", threshold=th
+            ).collect()
+        }
+        b = {
+            r.id: r.kept
+            for r in semdedup_keep_numpy(
+                df, "vec_id", "embedding", "cell", threshold=th
+            ).collect()
+        }
+        assert a == b, th
+        assert 0 < sum(a.values()) <= 120

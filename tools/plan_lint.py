@@ -70,6 +70,16 @@ WHITELIST = {
         "the global n_min is a broadcast 1-row crossJoin onto the "
         "|sources|-row count table (threshold computation) — documents "
         "themselves never cross anything",
+    ("curation_pipeline_e2e", "cartesian"):
+        "temperature_mix's 1-row n_min crossJoin inside the capstone — "
+        "same contract shape as the standalone temperature_mix waiver",
+    ("curation_pipeline_e2e", "retokenize"):
+        "two tokenizations are IRREDUCIBLE here: the quality gate is a "
+        "pushed-down Filter (predicate pushdown inlines the token "
+        "expression into the filter no matter how it is staged — "
+        "quality_score's documented property) and the DSIR bigram "
+        "Generate consumes the staged __toks array once; no third "
+        "site exists, and neither can share with a filter",
 }
 
 #: queries whose construction runs a live stream or spawns a subprocess

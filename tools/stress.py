@@ -196,7 +196,10 @@ def main() -> int:
     from pyspark.sql import functions as SF
 
     from arrow_udf_spark.operators.clustering import kmeans_assign
-    from arrow_udf_spark.operators.dedup import semdedup_keep
+    from arrow_udf_spark.operators.dedup import (
+        semdedup_keep,
+        semdedup_keep_numpy,
+    )
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     bigemb = reduce(
@@ -207,14 +210,26 @@ def main() -> int:
         ],
     ).repartition(32)
 
-    def semdedup_stress():
-        assigned = kmeans_assign(bigemb, k=32, iters=1)
-        items = bigemb.select("vec_id", "embedding").join(assigned, "vec_id")
-        return semdedup_keep(
-            items, "vec_id", "embedding", "cluster", threshold=0.999999
-        ).groupBy("kept").count()
+    def semdedup_stress(impl):
+        def thunk():
+            assigned = kmeans_assign(bigemb, k=32, iters=1)
+            items = bigemb.select("vec_id", "embedding").join(
+                assigned, "vec_id"
+            )
+            return impl(
+                items, "vec_id", "embedding", "cluster", threshold=0.999999
+            ).groupBy("kept").count()
 
-    run(f"semdedup_prune({rep}x embeddings, k=32)", semdedup_stress)
+        return thunk
+
+    run(
+        f"semdedup_prune({rep}x embeddings, k=32)",
+        semdedup_stress(semdedup_keep),
+    )
+    run(
+        f"semdedup_prune_numpy({rep}x embeddings, k=32)",
+        semdedup_stress(semdedup_keep_numpy),
+    )
 
     spark.stop()
     print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
