@@ -347,3 +347,43 @@ def dsir_logweights(
             (F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("logw"),
         )
     )
+
+
+def dsir_term_table(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> dict[int, float]:
+    """Train the DSIR bucket model and return it as a plain
+    ``{bucket: ln-likelihood-ratio-term}`` dict — O(buckets) driver
+    state, the "trained curation model" a stateless STREAMING filter
+    applies per row (each incoming doc's weight is a fold over its
+    bigrams through this table; no aggregation state, append-mode
+    safe).  Buckets absent from the raw corpus get the fully-smoothed
+    term so unseen bigrams in later stream batches still score.
+
+    Term arithmetic is identical to :func:`dsir_logweights` (one ln of
+    one double ratio of exact-integer products)."""
+    import math
+
+    raw_b = _bigram_buckets(df, text_col, id_col, buckets)
+    tgt_b = _bigram_buckets(target, text_col, id_col, buckets)
+    cr = {
+        r["b"]: r["c"]
+        for r in raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    ct = {
+        r["b"]: r["c"]
+        for r in tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    t_raw = sum(cr.values())
+    t_tgt = sum(ct.values())
+    return {
+        b: math.log(
+            (float(ct.get(b, 0) + 1) * float(t_raw + buckets))
+            / (float(cr.get(b, 0) + 1) * float(t_tgt + buckets))
+        )
+        for b in range(buckets)
+    }

@@ -39,6 +39,7 @@ __all__ = [
     "lsh_topk",
     "quantize_int8",
     "quantized_dot_recall",
+    "rrf_fuse",
 ]
 
 
@@ -751,4 +752,50 @@ def quantize_int8(
 
     return df.withColumn(f"{out_col}_scale", s).withColumn(
         out_col, F.transform(x, _q)
+    )
+
+
+def rrf_fuse(
+    ranked: list,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-
+    search combiner: given N ranked lists ``(id, rank)`` (rank 1-based),
+    score every id by ``sum over lists of 1/(k_const + rank)`` (ids
+    absent from a list contribute 0) and return the top ``k`` by
+    ``(rrf desc, id asc)``.
+
+    Determinism: each term is ONE correctly-rounded double division of
+    exact integers and the sum has ≤N terms in a fixed join order — the
+    raw rrf is bit-identical across engines, so the output rank needs no
+    rounding tricks (the emitted score still rounds to 6 dp for the
+    wire).  Scale: the inputs are top-k lists (tiny by construction);
+    the fusion is a k-row full-outer join chain + one TakeOrdered."""
+    fused = None
+    for i, r in enumerate(ranked):
+        side = r.select(
+            F.col(id_col).alias("id"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k_const)) + F.col(rank_col).cast("double"))
+            ).alias(f"__t{i}"),
+        )
+        fused = side if fused is None else fused.join(side, "id", "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(F.col(f"__t{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    out = fused.select("id", score.alias("__rrf"))
+    w = Window.orderBy(F.col("__rrf").desc(), F.col("id").asc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "id",
+            F.col("rn").cast("int").alias("rank"),
+            (F.floor(F.col("__rrf") * 1e6 + F.lit(0.5)) / 1e6).alias("rrf"),
+        )
     )

@@ -1073,6 +1073,16 @@ def q_remote_gcd(spark, sf):
 _DD_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _DD_H32 = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
 
+#: shared quality-score expression (the q_quality_score oracle), reused by
+#: the curation capstone's CTE chain and the streaming curation filter
+_QUALITY_EXPR = """floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+         + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / greatest(strlen(text), 1))
+         + 0.3 * least((CAST(len(list_filter({toks},
+               t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
+               / greatest(len({toks}), 1)) * 5, 1.0)) * 1000000 + 0.5)
+    / 1000000""".format(toks="regexp_split_to_array(trim(text), '\\s+')")
+
 
 @query(
     "dedup_exact",
@@ -2660,6 +2670,151 @@ def q_streaming_dedup(spark, sf):
 
 
 @query(
+    "streaming_curation_filter",
+    # the batch curation selection (quality -> mix -> DSIR, the capstone's
+    # first three stages) as the oracle: the stream must admit EXACTLY the
+    # docs the batch pipeline selects
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, {_QUALITY_EXPR} AS q
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    n AS (SELECT lang, COUNT(*) AS ns FROM kept GROUP BY lang),
+    mq AS (SELECT lang, (SELECT MIN(ns) FROM n) * 1.0 / ns AS r FROM n),
+    mixed AS (
+      SELECT k.doc_id, k.lang, k.text FROM (
+        SELECT *, CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) / 4294967296.0 AS f
+        FROM kept) k JOIN mq USING (lang)
+      WHERE k.f * k.f < mq.r
+    ),
+    toks AS (SELECT doc_id, lang,
+                    regexp_split_to_array(trim(text), '\\s+') AS ts
+             FROM mixed),
+    rawg AS (
+      SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+             i -> ts[i-1] || ' ' || ts[i])) AS g
+      FROM toks WHERE len(ts) >= 2
+    ),
+    rb AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM rawg),
+    tb AS (SELECT CAST(('0x' || substr(md5(r.g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM (SELECT t.doc_id, unnest(list_transform(
+                        range(2, len(t.ts) + 1),
+                        i -> t.ts[i-1] || ' ' || t.ts[i])) AS g
+                 FROM toks t WHERE t.lang = 'en' AND len(t.ts) >= 2) r),
+    cr AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM rb) AS tr,
+                   (SELECT COUNT(*) FROM tb) AS tt),
+    p AS (SELECT cr.b,
+                 ln((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                     * CAST(tot.tr + 64 AS DOUBLE))
+                    / (CAST(cr.cr + 1 AS DOUBLE)
+                       * CAST(tot.tt + 64 AS DOUBLE))) AS term
+          FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+    wts AS (SELECT rb.doc_id, floor(SUM(p.term) * 1e6 + 0.5) / 1e6 AS logw
+            FROM rb JOIN p USING (b) GROUP BY rb.doc_id)
+    SELECT m.doc_id, m.lang, w.logw
+    FROM mixed m JOIN wts w USING (doc_id) WHERE w.logw >= 0.0
+    """,
+)
+def q_streaming_curation_filter(spark, sf):
+    """CURATION AS INCREMENTAL INGESTION: the capstone's selection stages
+    (quality gate → temperature mix → DSIR) applied to a DOCUMENT STREAM.
+    The key design point: every decision is per-row map work once the
+    model is trained — the mix thresholds (≤|langs| doubles) and the
+    DSIR bucket table (64 ln-ratio terms, ``dsir_term_table``) are
+    broadcast literals, and the per-doc weight is a FOLD over the row's
+    own bigram array (no explode, no aggregation) — so the stream runs
+    in append mode with ZERO state store.  At 100 TB/day this is the
+    shape you want: train the model on yesterday's corpus, filter
+    today's firehose statelessly.  Gate: the stream must admit exactly
+    the docs the batch pipeline selects (same oracle CTEs)."""
+    import tempfile
+    import uuid
+
+    from .operators.sampling import dsir_term_table, temperature_mix
+    from .operators.text import quality_score, token_hash, tokens
+
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "text", "n_chars")
+    # ---- train the model batch-side (yesterday's corpus) ----
+    kept = docs.where(
+        quality_score(F.col("text"), F.col("n_chars")) >= 0.5
+    )
+    counts = {
+        r["lang"]: r["c"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_min = min(counts.values())
+    thresholds = {lg: float(n_min) / float(c) for lg, c in counts.items()}
+    mixed = temperature_mix(kept, source_col="lang", alpha=0.5)
+    terms = dsir_term_table(mixed, mixed.where(F.col("lang") == "en"))
+    thr_map = F.create_map(
+        *[x for lg, r in sorted(thresholds.items()) for x in (F.lit(lg), F.lit(r))]
+    )
+    term_map = F.create_map(
+        *[x for b, v in sorted(terms.items()) for x in (F.lit(b), F.lit(v))]
+    )
+    # ---- replay the corpus as a stream and filter it statelessly ----
+    d = tempfile.mkdtemp(prefix="stream_cur_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    toks = tokens(F.col("text"))
+    frac = (
+        F.conv(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    bigrams = F.when(
+        F.size(F.col("__t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(F.col("__t"))),
+            lambda i: F.concat(
+                F.element_at(F.col("__t"), i - 1),
+                F.lit(" "),
+                F.element_at(F.col("__t"), i),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    logw_raw = F.aggregate(
+        F.col("__bg"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(term_map, (token_hash(g) % 64).cast("int")),
+    )
+    out = (
+        stream.where(
+            quality_score(F.col("text"), F.col("n_chars")) >= 0.5
+        )
+        .where((frac * frac) < F.element_at(thr_map, F.col("lang")))
+        .withColumn("__t", toks)
+        .withColumn("__bg", bigrams)
+        .where(F.size(F.col("__bg")) >= 1)
+        .withColumn(
+            "logw", F.floor(logw_raw * 1e6 + F.lit(0.5)) / 1e6
+        )
+        .where(F.col("logw") >= 0.0)
+        .select("doc_id", "lang", "logw")
+    )
+    sink = f"stream_cur_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT doc_id, lang, logw FROM {sink}")
+
+
+@query(
     "streaming_interval_join",
     """
     SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
@@ -3081,6 +3236,108 @@ def q_bm25_topk(spark, sf):
 
 
 @query(
+    "hybrid_rrf_topk",
+    # Reciprocal-rank fusion of the lexical BM25 top-20 and the dense
+    # cosine top-20 (query = vec 0), k_const = 60.  Ranks come from
+    # 6dp-ROUNDED scores with id tie-breaks (deterministic both engines);
+    # each rrf term is one exact double division, so the fused ordering
+    # needs no further rounding tricks.
+    r"""
+    WITH w AS (SELECT d.doc_id, t.tok AS word
+               FROM documents d,
+                    unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(tok)
+               WHERE t.tok <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w
+           GROUP BY doc_id),
+    st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs
+           FROM dl),
+    h AS (SELECT * FROM w WHERE word IN ('dup', 'data')),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM h
+           GROUP BY doc_id, word),
+    dfc AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM h GROUP BY word),
+    sc AS (SELECT tf.doc_id,
+                  (CAST(st.n_docs AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5)
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                      AS s
+           FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id)
+                CROSS JOIN st),
+    lt AS (SELECT doc_id, floor(sum(s) * 1000000 + 0.5) / 1000000 AS score
+           FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+    lr AS (SELECT doc_id AS id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS INT) AS rank
+           FROM lt),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    ds AS (SELECT e.vec_id AS id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               q.qv), 6) AS s
+           FROM embeddings e CROSS JOIN q),
+    dr AS (SELECT id, rank FROM (
+             SELECT id, CAST(row_number() OVER (ORDER BY s DESC, id)
+                             AS INT) AS rank
+             FROM ds) WHERE rank <= 20),
+    f AS (SELECT COALESCE(l.id, d2.id) AS id,
+                 COALESCE(1.0 / (60 + l.rank), 0)
+                   + COALESCE(1.0 / (60 + d2.rank), 0) AS rrf
+          FROM lr l FULL OUTER JOIN dr d2 ON l.id = d2.id)
+    SELECT id AS doc_id,
+           CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
+           floor(rrf * 1e6 + 0.5) / 1e6 AS rrf
+    FROM f ORDER BY rank LIMIT 10
+    """,
+)
+def q_hybrid_rrf_topk(spark, sf):
+    """HYBRID SEARCH: reciprocal-rank fusion (Cormack et al.; the
+    Elasticsearch/Vespa default combiner) of a lexical BM25 ranking over
+    ``documents`` and a dense cosine ranking over ``embeddings`` (shared
+    id space — the table pair models one corpus's text + vectors).
+    Each ranker contributes its top-20 with ranks computed on 6dp-rounded
+    scores (id tie-breaks), and ``rrf = Σ 1/(60+rank)`` fuses them —
+    every term one exact double division, so the fused order is
+    bit-stable with no further rounding.  Scale: both inputs are already
+    top-k lists; the fusion itself is a 40-row join + TakeOrdered —
+    cost lives entirely in the rankers, which scale independently
+    (BM25's broadcast stats, ANN's cell pruning)."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import _as_double, _dot, _vnorm, rrf_fuse
+    from .operators.text import bm25_topk
+
+    d = t(spark, sf, "documents")
+    e = t(spark, sf, "embeddings")
+    lex = bm25_topk(d, terms=["dup", "data"], k=20)
+    lw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(lw).alias("rank"),
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _vnorm(F.col("qv")))
+    it = e.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("nv")
+    ).withColumn("nn", _vnorm(F.col("nv")))
+    ds = it.crossJoin(F.broadcast(q)).select(
+        "id",
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("s"),
+    )
+    dw = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    dense_r = (
+        ds.withColumn("rank", F.row_number().over(dw))
+        .where(F.col("rank") <= 20)
+        .select("id", "rank")
+    )
+    return rrf_fuse([lex_r, dense_r], k=10).select(
+        F.col("id").alias("doc_id"), "rank", "rrf"
+    )
+
+
+@query(
     "retention_cohorts",
     """
     WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -3195,17 +3452,6 @@ def q_pipeline_e2e(spark, sf):
         sampled, shard="source", order="doc_id", tokens="n_chars", budget=16384
     )
     return packed.select("doc_id", "source", "seq_id")
-
-
-#: shared quality-score expression (the q_quality_score oracle), reused by
-#: the curation capstone's CTE chain
-_QUALITY_EXPR = f"""floor((0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
-         + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                        / greatest(strlen(text), 1))
-         + 0.3 * least((CAST(len(list_filter({{toks}},
-               t -> list_contains(['the','and','of','to','a','in','is','for'], t))) AS DOUBLE)
-               / greatest(len({{toks}}), 1)) * 5, 1.0)) * 1000000 + 0.5)
-    / 1000000""".format(toks="regexp_split_to_array(trim(text), '\\s+')")
 
 
 @query(
@@ -7230,7 +7476,7 @@ _GATE_PRIORITY = [
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
     #      the tail few keep their three-scale replica evidence).
-    # That is 18 + 10 + 33 = 61 entries; everything else has a green
+    # That is 20 + 10 + 33 = 63 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
@@ -7250,8 +7496,10 @@ _GATE_PRIORITY = [
     "semdedup_prune_numpy",  # new r8: same oracle, per-cell matmul path
     "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
     "curation_pipeline_e2e",  # new r8: quality->mix->DSIR->dedup->pack
+    "streaming_curation_filter",  # new r8: stateless curation on a stream
+    "hybrid_rrf_topk",  # new r8: BM25 + dense cosine reciprocal-rank fusion
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
-    # (14 new + 4 changed below = 18 head entries)
+    # (16 new + 4 changed below = 20 head entries)
     "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
     # fitting path (driver pandas-hash renders DECIMAL as float; values
     # were bit-identical in r7) — DECIMAL(38,0) only beyond int64

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "semdedup_prune_numpy",     # same oracle, per-cell matmul scale path
     "dsir_weights",             # DSIR hashed-bigram importance weights
     "curation_pipeline_e2e",    # r8 capstone: quality->mix->DSIR->pack
+    "hybrid_rrf_topk",          # BM25 + dense cosine rank fusion
     "sql_agg_pivot_two_phase",  # PIVOT -> CASE expansion, salted 2-phase
 ]
 

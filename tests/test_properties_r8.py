@@ -200,3 +200,48 @@ def test_setop_and_window_rewrites_vs_native_referee(spark, rows1, rows2):
         "SELECT g, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s "
         "FROM pr8_b GROUP BY g",
     )
+
+
+@st.composite
+def pivot_rows(draw):
+    n = draw(st.integers(2, 14))
+    return [
+        (
+            draw(st.sampled_from(["g1", "g2", "g3"])),
+            draw(st.sampled_from(["x", "y", "z"])),
+            draw(st.integers(-40, 40)),
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(pivot_rows())
+def test_pivot_rewrite_vs_native_referee(spark, rows):
+    """The PIVOT expansion against Spark's NATIVE pivot with built-in
+    SUM (sum_udaf == SUM on bigint): column names, order, and values
+    must match — modulo sum_udaf's documented empty-slice-is-0 contract
+    vs ANSI SUM's NULL (normalized here).  Random data means random
+    empty slices, aliased and bare string values both exercised."""
+    import arrow_udf_spark.functions.corpus  # noqa: F401 (registers)
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.createDataFrame(rows, ["g", "k", "v"]).createOrReplaceTempView(
+        "pr8_pvt"
+    )
+    for in_list in ["'x' AS cx, 'y' AS cy, 'z' AS cz", "'x', 'z'"]:
+        tpl = (
+            "SELECT * FROM (SELECT g, k, CAST(v AS BIGINT) AS v "
+            "FROM pr8_pvt) PIVOT ({AGG}(v) FOR k IN (" + in_list + ")) "
+            "ORDER BY g"
+        )
+        ours = GLOBAL.sql(spark, tpl.format(AGG="sum_udaf"))
+        native = spark.sql(tpl.format(AGG="SUM"))
+        assert ours.columns == native.columns
+        got = [tuple(r) for r in ours.collect()]
+        exp = [
+            tuple(0 if v is None else v for v in r)
+            for r in native.collect()
+        ]
+        assert got == exp, (in_list, got, exp)

@@ -66,3 +66,23 @@ def test_quantized_dot_recall_floor(spark):
     assert len(rows) == 5
     for r in rows:
         assert r["n_overlap"] >= 4, rows
+
+
+def test_rrf_fuse_semantics(spark):
+    """r8: reciprocal-rank fusion — ids in both lists outrank
+    single-list ids of comparable rank; absent-list terms contribute 0;
+    ties break on id."""
+    from arrow_udf_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2), (1, 3)], ["id", "rank"])
+    rows = {r.id: (r.rank, r.rrf) for r in rrf_fuse([a, b], k=4).collect()}
+    # id 2: 1/62 + 1/61;  id 1: 1/61 + 1/63;  id 3: 1/63;  id 4: 1/62
+    assert rows[2][0] == 1 and rows[1][0] == 2
+    assert rows[4][0] == 3 and rows[3][0] == 4  # 1/62 > 1/63
+    assert abs(rows[2][1] - round(1 / 62 + 1 / 61, 6)) < 2e-6
+    # tie case: same single rank in each list -> id ascending wins
+    c = spark.createDataFrame([(7, 5)], ["id", "rank"])
+    d = spark.createDataFrame([(5, 5)], ["id", "rank"])
+    tied = [r.id for r in rrf_fuse([c, d], k=2).collect()]
+    assert tied == [5, 7]

@@ -80,6 +80,16 @@ WHITELIST = {
         "quality_score's documented property) and the DSIR bigram "
         "Generate consumes the staged __toks array once; no third "
         "site exists, and neither can share with a filter",
+    ("hybrid_rrf_topk", "cartesian"):
+        "the DENSE ranker side is the exact brute-force cosine (query "
+        "vector broadcast against all embeddings) — the gate's "
+        "reference ranking; production swaps in the IVF pruned ranker, "
+        "the fusion itself is a 40-row join",
+    ("streaming_curation_filter", "retokenize"):
+        "same irreducible filter-vs-projection pair as "
+        "curation_pipeline_e2e: the quality Filter inlines its "
+        "tokenization, the per-row bigram fold consumes the staged __t "
+        "array once — both per-row map work on the stateless stream",
 }
 
 #: queries whose construction runs a live stream or spawns a subprocess
