@@ -266,7 +266,17 @@ def _bigram_buckets(
     window, the bigram_surprisal shape; nothing re-inlines under the
     Generate).  ``toks_col`` lets pipeline callers share an
     already-staged token array (the curation capstone tokenizes once for
-    quality AND bigrams — the plan-lint retokenize rule)."""
+    quality AND bigrams — the plan-lint retokenize rule).
+
+    MEASURED ALTERNATIVE (rejected): building the bigram-bucket array
+    per row with ``transform(sequence(...), element_at ...)`` and one
+    explode removes this function's only Exchange — and ran 12x SLOWER
+    at sf0.1 (28.7 s vs 2.3 s): Spark's higher-order array functions
+    are CodegenFallback (an interpreter visit per element), while the
+    post-explode md5/concat here is plain codegen'd column work, and
+    the lag window's exchange incidentally spreads the fixture's
+    single-row-group scan.  Same lesson as semdedup's fold-vs-numpy:
+    keep per-element work OUT of interpreted HOFs."""
     from .text import token_hash, tokens
 
     toks = F.col(toks_col) if toks_col else tokens(F.col(text_col))
