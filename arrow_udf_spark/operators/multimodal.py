@@ -21,6 +21,11 @@ Decode status by format:
   Opaque PALETTE (color type 3) decodes too — unfilter at bpp=1, then
   PLTE-expand to RGB.  16-bit/interlaced/tRNS-translucent PNGs raise
   ``NotImplementedError``.
+- **GIF87a/89a (single frame, global color table)**: REAL encode +
+  decode since r8 — a genuine variable-width LZW compressor AND
+  decompressor (dictionary building, CLEAR resets, the cScSc case),
+  sub-block framing, 89a extension skipping, color-table expansion.
+  Interlaced frames / local color tables refuse.
 - **Lossy codecs (JPEG/MP3/H.264 …)**: STUBBED — this container has no
   codec libraries; ``decode_image_meta(real_decode=True)`` parses
   PPM/BMP/PNG payloads for real and raises ``NotImplementedError`` for
@@ -66,6 +71,9 @@ __all__ = [
     "decode_png",
     "synth_png",
     "png_pipeline",
+    "encode_gif",
+    "decode_gif",
+    "synth_gif",
 ]
 
 #: metadata struct produced by decode
@@ -824,6 +832,7 @@ def png_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     synth=synth_png,
+    decode=decode_png,
 ) -> DataFrame:
     """Real PNG plumbing over ``mapInPandas``: synthesize a genuine RGBA
     PNG per row (filter type cycling through all five per scanline), then
@@ -851,10 +860,222 @@ def png_pipeline(
             # than the decode itself at corpus batch sizes
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 payload = synth(text)
-                w, h, ch, raw = decode_png(payload)
+                w, h, ch, raw = decode(payload)
                 rows.append((did, w, h, ch, int(raw.astype("int64").sum())))
             yield pd.DataFrame(
                 rows, columns=[id_col, "w", "h", "channels", "checksum"]
             )
 
     return df.select(id_col, text_col).mapInPandas(work, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (palette + REAL LZW, no codec library)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """REAL GIF-LZW compression: dictionary of index strings, variable
+    code width 'min_code+1'..12 bits, CLEAR emitted when the table
+    fills (the spec's reset protocol).  A genuine compressor — decoding
+    its output exercises the decoder's dictionary-building path, not
+    just literal codes (the PNG filter-cycling principle: both sides
+    real, sharing only the spec)."""
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF-LZW decompression: variable code width, CLEAR resets, the
+    cScSc special case (code == next_code) — the full spec inverse of
+    :func:`_lzw_encode`, sharing no state with it."""
+    clear = 1 << min_code
+    end = clear + 1
+    pos = 0  # bit cursor
+    n = len(data) * 8
+
+    def read(width):
+        nonlocal pos
+        if pos + width > n:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Encode 8-bit palette indices as a real single-frame GIF87a:
+    logical screen descriptor, 256-entry global color table, image
+    descriptor, REAL LZW-compressed index stream in ≤255-byte
+    sub-blocks, trailer."""
+    if len(palette) != 768:
+        raise ValueError("encode_gif wants a 256-entry RGB palette")
+    if len(indices) != width * height:
+        raise ValueError("index payload does not match dims")
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    min_code = 8
+    lzw = _lzw_encode(indices, min_code)
+    blocks = bytearray([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF87a" + lsd + palette + img + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes):
+    """Fully decode a single-frame GIF87a/89a with a global color table:
+    parse the screen descriptor, skip 89a extension blocks, reassemble
+    the LZW sub-blocks, run the REAL variable-width LZW decode, and
+    expand indices through the color table.  Returns
+    ``(width, height, 3, raw)`` with ``raw`` an (h, w*3) uint8 RGB
+    array.  Interlaced frames and local color tables refuse —
+    honest descopes (they change the row order / palette scoping)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    gct = payload[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # 89a extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image frame")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _, left, top, iw, ih, ipacked = struct.unpack_from("<BHHHHB", payload, pos)
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables are out of scope")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF is out of scope")
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = _lzw_decode(bytes(lzw), min_code)
+    if len(indices) != iw * ih:
+        raise ValueError("GIF LZW payload length mismatch")
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if int(idx.max(initial=0)) * 3 >= len(gct):
+        raise ValueError("GIF index out of color-table range")
+    pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+    return iw, ih, 3, pal[idx.reshape(ih, iw)].reshape(ih, iw * 3)
+
+
+def synth_gif(text: str) -> bytes:
+    """Deterministic synthetic GIF87a: dims, palette, and indices derive
+    from md5(text) in closed form (digest bytes 9/10/11 — disjoint from
+    the PNG synthetics):
+
+    - ``s = md5[9]``, ``w = md5[10] % 16 + 8``, ``h = md5[11] % 16 + 8``
+    - ``palette[i][c] = (11·i + 17·c + s) mod 256``
+    - ``index(x, y) = (3·x + 5·y + s) mod 256``
+    - so ``pixel(x, y, c) = (11·((3x+5y+s) mod 256) + 17c + s) mod 256``
+    """
+    import hashlib
+
+    import numpy as np
+
+    dig = hashlib.md5(text.encode()).digest()
+    s, w, h = dig[9], dig[10] % 16 + 8, dig[11] % 16 + 8
+    plte = (
+        11 * np.arange(256, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+        + s
+    ) % 256
+    idx = (
+        3 * np.arange(w, dtype=np.int64)[None, :]
+        + 5 * np.arange(h, dtype=np.int64)[:, None]
+        + s
+    ) % 256
+    return encode_gif(
+        w, h, idx.astype(np.uint8).tobytes(), plte.astype(np.uint8).tobytes()
+    )

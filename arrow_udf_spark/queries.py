@@ -2021,6 +2021,48 @@ def q_png_palette_pixels(spark, sf):
 
 
 @query(
+    "gif_pixels",
+    # pixel(x,y,c) = (11*((3x+5y+s)%256) + 17c + s) % 256 with s/w/h from
+    # md5 bytes 9/10/11 — the palette-composition formula on the GIF
+    # container; the Spark side must run the whole sub-block walk + LZW
+    # dictionary decode to reproduce it
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 19, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 21, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 23, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, s, w, h, unnest(range(0, w)) AS x FROM base),
+    pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, 3)) AS c FROM pxy)
+    SELECT doc_id, CAST(MIN(w) AS INT) AS w, CAST(MIN(h) AS INT) AS h,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM((11 * ((3 * x + 5 * y + s) % 256) + 17 * c + s) % 256)
+                AS BIGINT) AS checksum
+    FROM pxyc GROUP BY doc_id
+    """,
+)
+def q_gif_pixels(spark, sf):
+    """GIF decode gate (r8, the LZW codec): synthesize a real GIF87a per
+    doc — 256-entry global color table, REAL variable-width LZW
+    compression with dictionary building and CLEAR resets — then decode
+    it back (sub-block reassembly, full LZW decompression incl. the
+    cScSc case, color-table expansion) and checksum the RGB pixels.
+    Compressor and decompressor share only the spec; the closed-form
+    oracle predicts every pixel from md5(text).  Same embarrassingly
+    parallel scan shape as ``png_pixels``."""
+    from .operators.multimodal import decode_gif, png_pipeline, synth_gif
+
+    return png_pipeline(
+        t(spark, sf, "documents", spread=True),
+        synth=synth_gif,
+        decode=decode_gif,
+    )
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
@@ -7479,7 +7521,7 @@ _GATE_PRIORITY = [
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
     #      the tail few keep their three-scale replica evidence).
-    # That is 20 + 10 + 33 = 63 entries; everything else has a green
+    # That is 21 + 10 + 33 = 64 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
@@ -7495,6 +7537,7 @@ _GATE_PRIORITY = [
     "png_meta",  # new r8: real PNG IHDR decode (zlib container)
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "png_palette_pixels",  # new r8: PLTE indirection after bpp=1 unfilter
+    "gif_pixels",  # new r8: real GIF87a — variable-width LZW both ways
     "semdedup_prune",  # new r8: SemDeDup — kmeans cells + cosine prune
     "semdedup_prune_numpy",  # new r8: same oracle, per-cell matmul path
     "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
@@ -7502,7 +7545,7 @@ _GATE_PRIORITY = [
     "streaming_curation_filter",  # new r8: stateless curation on a stream
     "hybrid_rrf_topk",  # new r8: BM25 + dense cosine reciprocal-rank fusion
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
-    # (16 new + 4 changed below = 20 head entries)
+    # (17 new + 4 changed below = 21 head entries)
     "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
     # fitting path (driver pandas-hash renders DECIMAL as float; values
     # were bit-identical in r7) — DECIMAL(38,0) only beyond int64

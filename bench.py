@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "dup_span_cascade",         # 5/10/20-gram longest-shared-span cascade
     "temperature_mix",          # n^alpha source rebalance, broadcast gate
     "png_palette_pixels",       # palette PNG decode (PLTE indirection)
+    "gif_pixels",               # real GIF LZW decode (dict + CLEAR resets)
     "semdedup_prune",           # SemDeDup: kmeans cells + cosine prune
     "semdedup_prune_numpy",     # same oracle, per-cell matmul scale path
     "dsir_weights",             # DSIR hashed-bigram importance weights

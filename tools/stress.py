@@ -189,6 +189,13 @@ def main() -> int:
     run(f"dup_span_cascade({rep}x docs)", lambda: dup_span_cascade(docs))
     run(f"png_pipeline({rep}x docs)", lambda: png_pipeline(docs))
 
+    from arrow_udf_spark.operators.multimodal import decode_gif, synth_gif
+
+    run(
+        f"gif_pipeline({rep}x docs)",
+        lambda: png_pipeline(docs, synth=synth_gif, decode=decode_gif),
+    )
+
     # SemDeDup over replicated embeddings: every vector has `rep` exact
     # copies, so every cell is maximally dup-heavy — the k knob (here
     # k=32 for rep*5000 vectors) is what keeps the cell-confined pair
