@@ -1772,6 +1772,37 @@ def q_lang_id(spark, sf):
 
 
 @query(
+    "lang_id_confusion",
+    f"""
+    WITH p AS ({{pred}})
+    SELECT d.lang AS lang_true, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """.format(pred=_lang_oracle()),
+)
+def q_lang_id_confusion(spark, sf):
+    """Estimator-quality gate for the language-ID heuristic: the full
+    (true lang, predicted lang) CONFUSION MATRIX against the corpus's
+    label column — the eval harness a real pipeline runs before
+    trusting a classifier for routing/filtering.  On this fixture it is
+    genuinely diagnostic: the text column is one English-ish vocabulary
+    regardless of the lang label, so the matrix shows en-recall ≈ 0.91
+    while every non-en label collapses to en/und — exactly the
+    label-content mismatch a mislabeled corpus audit surfaces
+    (floor-asserted in tests/test_sampling.py).  One tokenization, one
+    broadcast-side join, output bounded by |langs|²."""
+    from .operators.text import with_lang_id
+
+    d = t(spark, sf, "documents")
+    pred = with_lang_id(d, "text", out="lang_pred")
+    return (
+        pred.groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
     "quality_score",
     f"""
     SELECT doc_id,
@@ -7521,7 +7552,7 @@ _GATE_PRIORITY = [
     #      text, upsert, wav) — oldest evidence in the catalog;
     #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
     #      the tail few keep their three-scale replica evidence).
-    # That is 21 + 10 + 33 = 64 entries; everything else has a green
+    # That is 22 + 10 + 33 = 65 entries; everything else has a green
     # driver row from r5-r7, and the full catalog additionally gets
     # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
     # artifacts (tools/oracle_check.py --record), which the staleness
@@ -7538,6 +7569,7 @@ _GATE_PRIORITY = [
     "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
     "png_palette_pixels",  # new r8: PLTE indirection after bpp=1 unfilter
     "gif_pixels",  # new r8: real GIF87a — variable-width LZW both ways
+    "lang_id_confusion",  # new r8: classifier eval matrix vs label column
     "semdedup_prune",  # new r8: SemDeDup — kmeans cells + cosine prune
     "semdedup_prune_numpy",  # new r8: same oracle, per-cell matmul path
     "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
@@ -7545,7 +7577,7 @@ _GATE_PRIORITY = [
     "streaming_curation_filter",  # new r8: stateless curation on a stream
     "hybrid_rrf_topk",  # new r8: BM25 + dense cosine reciprocal-rank fusion
     "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
-    # (17 new + 4 changed below = 21 head entries)
+    # (18 new + 4 changed below = 22 head entries)
     "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
     # fitting path (driver pandas-hash renders DECIMAL as float; values
     # were bit-identical in r7) — DECIMAL(38,0) only beyond int64

@@ -176,3 +176,20 @@ def test_semdedup_numpy_matches_catalyst(spark):
         }
         assert a == b, th
         assert 0 < sum(a.values()) <= 120
+
+
+def test_lang_id_confusion_floors(spark):
+    """r8: the lang_id eval matrix — en recall >= 0.85 on the fixture,
+    and non-en labels only ever map to {en, und} (the text column is one
+    English-ish vocabulary regardless of label, so any other prediction
+    would be a scorer bug)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["lang_id_confusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    m = {(r.lang_true, r.lang_pred): r.n for r in rows}
+    en_total = sum(n for (t, _), n in m.items() if t == "en")
+    en_hit = m.get(("en", "en"), 0)
+    assert en_hit / en_total >= 0.85
+    assert {p for (t, p) in m if t != "en"} <= {"en", "und"}
