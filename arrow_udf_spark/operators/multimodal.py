@@ -155,7 +155,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type -> channel count (greyscale, RGB, palette, grey+alpha,
 #: RGBA); palette (3) is 1 byte/pixel on the wire and expands to RGB
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type 3 (palette) reports 3: header channels describe the DECODED
+# pixel shape (decode_png expands PLTE indices to RGB), not the 1-byte/px
+# wire form — keeping parse_image_header consistent with decode_png
+# (ADVICE r8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
 
 
 def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
@@ -1014,11 +1018,12 @@ def decode_gif(payload: bytes):
     gct_n = 2 << (packed & 0x07)
     gct = payload[pos : pos + 3 * gct_n]
     pos += 3 * gct_n
-    while pos < len(payload):
+    end = len(payload)
+    while pos < end:
         b0 = payload[pos]
         if b0 == 0x21:  # 89a extension: skip sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while pos < end and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b0 == 0x2C:
@@ -1027,17 +1032,25 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF trailer before any image frame")
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    # ADVICE r8: a truncated / image-less payload must fail loudly here,
+    # not as an IndexError from the descriptor unpack below
+    if pos + 10 > end or payload[pos] != 0x2C:
+        raise ValueError("truncated GIF / no image descriptor")
     _, left, top, iw, ih, ipacked = struct.unpack_from("<BHHHHB", payload, pos)
     pos += 10
     if ipacked & 0x80:
         raise NotImplementedError("GIF local color tables are out of scope")
     if ipacked & 0x40:
         raise NotImplementedError("interlaced GIF is out of scope")
+    if pos >= end:
+        raise ValueError("truncated GIF / no image descriptor")
     min_code = payload[pos]
     pos += 1
     lzw = bytearray()
-    while payload[pos] != 0:
+    while pos < end and payload[pos] != 0:
         ln = payload[pos]
+        if pos + 1 + ln > end:
+            raise ValueError("truncated GIF sub-block")
         lzw += payload[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
     indices = _lzw_decode(bytes(lzw), min_code)

@@ -332,8 +332,18 @@ def dsir_logweights(
     the bucket count aggregates (map-side combined to ≤``buckets`` rows
     per partition) and the per-doc weight sum.  Production would raise
     ``buckets`` to 10k+ (the paper's setting) — still broadcast-sized."""
-    raw_b = _bigram_buckets(df, text_col, id_col, buckets, toks_col)
-    tgt_b = _bigram_buckets(target, text_col, id_col, buckets, toks_col)
+    # toks_col applies per-DataFrame only where the column actually
+    # exists: a pipeline that staged tokens on the raw side only must not
+    # get an AnalysisException on the (usually smaller, un-staged) target
+    # branch (ADVICE r8)
+    raw_b = _bigram_buckets(
+        df, text_col, id_col, buckets,
+        toks_col if toks_col and toks_col in df.columns else None,
+    )
+    tgt_b = _bigram_buckets(
+        target, text_col, id_col, buckets,
+        toks_col if toks_col and toks_col in target.columns else None,
+    )
     cr = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ct = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     t_raw = raw_b.count()  # O(1) driver scalars, data-size independent

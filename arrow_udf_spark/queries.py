@@ -7558,7 +7558,7 @@ _GATE_PRIORITY = [
     # artifacts (tools/oracle_check.py --record), which the staleness
     # test accepts in place of a driver row.
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (12) + changed in r8 (4) --
+    # -- 1. new in r8 (18) + changed in r8 (4) --
     "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
     "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
     "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
