@@ -437,6 +437,36 @@ class Registry:
         m = self._GROUPBY_SHAPE.match(main)
         if not m:
             return None
+        frm_txt = m.group("frm")
+        where_txt = m.group("where")
+        # correlated scalar aggregate subqueries in WHERE (the TPC-H q17
+        # shape): decorrelate each UDAF-headed one to a GROUP BY derived
+        # table + equi-join (itself rewritten two-phase), then either
+        # return directly (outer aggregates all native — scale-safe as
+        # is) or continue below with the joined FROM/WHERE.  A UDAF call
+        # in WHERE that does NOT decorrelate refuses (returning None)
+        # rather than riding single-phase into the U/B sources.
+        if where_txt and any(
+            re.search(rf"(?i)\b{re.escape(n)}\s*\(", where_txt)
+            for n in used
+        ):
+            dc = self._decorrelate_where(frm_txt, where_txt, used)
+            if dc is None:
+                return None
+            frm_txt, where_txt = dc
+            rest = f"{m.group('sel')} {m.group('tail') or ''}"
+            if not any(
+                re.search(rf"(?i)\b{re.escape(n)}\s*\(", rest)
+                for n in used
+            ):
+                grp_sql = (
+                    f" GROUP BY {m.group('grp')}" if m.group("grp") else ""
+                )
+                pre = f"{cte_prefix} " if cte_prefix else ""
+                return (
+                    f"{pre}SELECT {m.group('sel')} FROM {frm_txt} "
+                    f"WHERE {where_txt}{grp_sql}{m.group('tail') or ''}"
+                )
         grp_items = _split_top_level(m.group("grp")) if m.group("grp") else []
         # multi-grouping clauses (GROUP BY ROLLUP(a, b) / CUBE(a, b) /
         # GROUPING SETS ((a, b), (a), ())): the clause text passes to the
@@ -761,8 +791,8 @@ class Registry:
             for i, g in enumerate(grp_items)
         )
         gnames = ", ".join(g_names)
-        where = f" WHERE {m.group('where')}" if m.group("where") else ""
-        src = f"(SELECT * FROM {m.group('frm')}{where})"
+        where = f" WHERE {where_txt}" if where_txt else ""
+        src = f"(SELECT * FROM {frm_txt}{where})"
         inner = (
             f"SELECT {grp_sel}{', ' if grp_sel else ''}{', '.join(inner_aggs)} "
             f"FROM (SELECT *, spark_partition_id() AS __aus_salt "
@@ -929,6 +959,303 @@ class Registry:
         if not re.match(r"(?is)^SELECT\b", main.strip()):
             return None
         return prefix, main
+
+    @staticmethod
+    def _split_and(text: str) -> list[str]:
+        """Split on top-level ``AND`` (word boundary, outside parens and
+        quotes).  A ``BETWEEN x AND y`` mis-splits into two pieces, but
+        the caller rejoins untouched pieces with " AND " verbatim, so a
+        fragment that matches nothing reassembles bit-identically — only
+        a piece that FULLY matches the correlated-subquery shape is ever
+        replaced."""
+        parts, depth, quote, buf = [], 0, None, []
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if ch in "'\"":
+                quote = ch
+                buf.append(ch)
+                i += 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if (
+                depth == 0
+                and text[i : i + 3].lower() == "and"
+                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+                and (
+                    i + 3 >= n
+                    or not (text[i + 3].isalnum() or text[i + 3] == "_")
+                )
+            ):
+                parts.append("".join(buf).strip())
+                buf = []
+                i += 3
+                continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf).strip())
+        return parts
+
+    #: bare words that may appear in the OUTER comparison expression of a
+    #: correlated-subquery conjunct without changing the inner-join
+    #: equivalence (NOT flips a NULL predicate to NULL — still filtered
+    #: on a join miss, same as the original's NULL comparison).  OR is
+    #: the load-bearing exclusion: ``a OR b < (subq)`` can be TRUE via
+    #: ``a`` on a row the inner join drops.
+    _CORR_LHS_BARE_OK = {"not", "null", "true", "false"}
+    #: bare words allowed inside a NON-correlated inner predicate of the
+    #: subquery (plain SQL operators/literals over the inner table)
+    _CORR_INNER_BARE_OK = {
+        "not", "null", "true", "false", "or", "is", "in", "between",
+        "like", "case", "when", "then", "else", "end", "and",
+    }
+    #: bare type words legal inside a CAST in the subquery's select item
+    _CORR_TYPE_WORDS = {
+        "as", "bigint", "int", "integer", "smallint", "tinyint", "long",
+        "double", "float", "real", "decimal", "numeric", "string",
+        "varchar", "char", "boolean", "date", "timestamp",
+    }
+
+    def _decorrelate_where(
+        self, frm: str, where: str, used: set
+    ) -> Optional[tuple[str, str]]:
+        """Decorrelate every UDAF-headed correlated scalar aggregate
+        subquery in a WHERE conjunction — the TPC-H q17 shape:
+
+            ``WHERE ... AND expr OP (SELECT udaf(t2.y) FROM tbl t2
+                                     WHERE t2.k = outer.k [AND inner...])``
+
+        becomes a derived table ``(SELECT k AS __ck0, <two-phase udaf>
+        AS __cv FROM tbl [WHERE inner...] GROUP BY k) __aus_corrN``
+        comma-joined into FROM with ``__aus_corrN.__ck0 = outer.k AND
+        expr OP __aus_corrN.__cv`` replacing the conjunct.  The GROUP
+        BY + join is exact for this shape: the subquery is NULL when no
+        inner row matches the key, a positive top-level comparison
+        conjunct on NULL filters the row, and the inner join drops
+        exactly those rows (Spark's own RewriteCorrelatedScalarSubquery
+        plays the same trick).  The derived table itself re-enters
+        ``_rewrite_two_phase``, so the UDAF runs salted partial/merge.
+
+        The provable contract (anything else returns None → loud
+        fallback): subquery has ONE table with a MANDATORY alias; every
+        inner column reference is alias-qualified; correlation
+        predicates are alias.col = other_qualifier.col equalities (the
+        COUNT-shape exception below); the select item calls at least one
+        registered UDAF and no COUNT-like aggregate (COUNT is 0 — not
+        NULL — on an empty group, so the join-drop equivalence breaks);
+        the outer comparison side contains no OR / subquery / unknown
+        call."""
+        pieces = self._split_and(where)
+        new_pieces: list[str] = []
+        extra_from: list[str] = []
+        ci = 0
+        for piece in pieces:
+            if not any(
+                re.search(rf"(?i)\b{re.escape(n)}\s*\(", piece)
+                for n in used
+            ):
+                new_pieces.append(piece)
+                continue
+            rep = self._decorrelate_conjunct(piece, used, ci)
+            if rep is None:
+                return None  # a UDAF call we cannot make scale-safe
+            conjuncts, derived = rep
+            new_pieces.extend(conjuncts)
+            extra_from.append(derived)
+            ci += 1
+        if not extra_from:
+            return None  # no rewritable subquery — caller falls back
+        return (
+            frm + "".join(f", {d}" for d in extra_from),
+            " AND ".join(new_pieces),
+        )
+
+    def _decorrelate_conjunct(
+        self, piece: str, used: set, ci: int
+    ) -> Optional[tuple[list[str], str]]:
+        """One conjunct ``lhs OP (SELECT ...)`` → (replacement conjunct
+        list, derived-table SQL).  See _decorrelate_where."""
+        p = piece.strip()
+        # the conjunct must END with a balanced "(SELECT ...)" group
+        sub = None
+        for i, ch in enumerate(p):
+            if ch == "(" and re.match(r"(?is)^\(\s*SELECT\b", p[i:]):
+                j = self._match_paren(p, i)
+                if j is not None and not p[j + 1 :].strip():
+                    sub = p[i + 1 : j]
+                    lhs_full = p[:i]
+                    break
+        if sub is None:
+            return None
+        om = re.match(
+            r"(?is)^(?P<e>.+?)\s*(?P<op><=|>=|<>|!=|<|>|=)\s*$", lhs_full
+        )
+        if om is None:
+            return None
+        lhs, op = om.group("e").strip(), om.group("op")
+        if not lhs or ("(" in lhs and not self._safe_group_expr(lhs)):
+            return None
+        for wm in re.finditer(r"(?<![\w.])([A-Za-z_]\w*)", lhs):
+            w = wm.group(1).lower()
+            rest = lhs[wm.end():].lstrip()
+            if rest.startswith("(") or rest.startswith("."):
+                continue  # call (vetted by _safe_group_expr) / qualifier
+            # a BARE word must be a column ref or a whitelisted literal;
+            # OR is the load-bearing refusal (see _CORR_LHS_BARE_OK)
+            if w in self._UNSAFE_BARE_WORDS or w in {
+                "or", "in", "between", "like", "case", "when", "then",
+                "else", "end", "is", "distinct",
+            }:
+                return None
+        # ---- parse the subquery --------------------------------------
+        for kw in (
+            "GROUP", "HAVING", "ORDER", "LIMIT", "JOIN", "UNION",
+            "INTERSECT", "EXCEPT", "DISTINCT", "WITH",
+        ):
+            if self._has_top_level_kw(sub, kw):
+                return None
+        sm = re.match(
+            r"(?is)^\s*SELECT\s+(?P<item>.+?)\s+FROM\s+"
+            r"(?P<tbl>[A-Za-z_][\w.]*)\s+(?:AS\s+)?(?P<al>[A-Za-z_]\w*)"
+            r"(?:\s+WHERE\s+(?P<conds>.+?))?\s*$",
+            sub,
+        )
+        if sm is None:
+            return None
+        item, tbl, al, conds = (
+            sm.group("item"),
+            sm.group("tbl"),
+            sm.group("al"),
+            sm.group("conds"),
+        )
+        if al.lower() in self._UNSAFE_BARE_WORDS:
+            return None
+        if not any(
+            re.search(rf"(?i)\b{re.escape(n)}\s*\(", item) for n in used
+        ):
+            return None  # builtin-only subquery: Spark decorrelates natively
+        # ---- classify the inner conjuncts ----------------------------
+        qual = re.compile(r"(?i)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)")
+        corr_keys: list[tuple[str, str]] = []  # (inner col, outer ref)
+        inner_conds: list[str] = []
+        eq = re.compile(
+            r"(?is)^\s*(?P<a>[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*=\s*"
+            r"(?P<b>[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*$"
+        )
+        for c in self._split_and(conds) if conds else []:
+            em = eq.match(c)
+            if em:
+                a, b = em.group("a"), em.group("b")
+                aq, bq = a.split(".")[0].lower(), b.split(".")[0].lower()
+                if aq == al.lower() and bq != al.lower():
+                    corr_keys.append((a.split(".", 1)[1], b))
+                    continue
+                if bq == al.lower() and aq != al.lower():
+                    corr_keys.append((b.split(".", 1)[1], a))
+                    continue
+                if aq == al.lower() and bq == al.lower():
+                    inner_conds.append(c)
+                    continue
+                return None  # equality between two OUTER refs — not ours
+            # non-equality conjunct: must reference ONLY the inner alias
+            # (a non-equi correlation like t2.k < t1.k is NOT
+            # decorrelatable by a GROUP BY — refuse)
+            for qm in qual.finditer(c):
+                if qm.group(1).lower() != al.lower():
+                    return None
+            for wm in re.finditer(r"(?<![\w.])([A-Za-z_]\w*)", c):
+                w = wm.group(1).lower()
+                rest = c[wm.end():].lstrip()
+                if rest.startswith("."):
+                    continue  # qualifier — vetted against al above
+                if rest.startswith("("):
+                    if (
+                        w not in self._GRP_FUNCS
+                        and w not in self._SCALAR_PASSTHROUGH
+                    ):
+                        return None  # unknown call — could be anything
+                    continue
+                if (
+                    w not in self._CORR_INNER_BARE_OK
+                    and w != al.lower()
+                ):
+                    return None  # bare unqualified identifier — ambiguous
+            inner_conds.append(c)
+        if corr_keys and (
+            re.search(r"(?i)\bcount\w*\s*\(", item)
+            or re.search(r"(?i)\bapprox_count_distinct\s*\(", item)
+        ):
+            # 0-on-empty aggregates break the join-drop trick for KEYED
+            # subqueries (no group row where COUNT would say 0).  An
+            # UNCORRELATED global aggregate always yields exactly one
+            # row, so the cross-join form below is exact even for COUNT.
+            return None
+        # ---- every inner reference must be alias-qualified -----------
+        # (an UNQUALIFIED identifier in the select item could be an outer
+        # column — correlation through the aggregate's args — which a
+        # GROUP BY over the inner table cannot express: refuse)
+        item = re.sub(r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", item)
+        for wm in re.finditer(r"(?<![\w.])([A-Za-z_]\w*)", item):
+            w = wm.group(1).lower()
+            rest = item[wm.end():].lstrip()
+            if rest.startswith("."):
+                if w != al.lower():
+                    return None  # qualified ref to another table
+                continue
+            if rest.startswith("("):
+                if (
+                    w not in used
+                    and w not in self._BUILTIN_AGGS
+                    and w not in self._SCALAR_PASSTHROUGH
+                ):
+                    return None  # unknown call
+                continue
+            if w in self._CORR_LHS_BARE_OK or w in self._CORR_TYPE_WORDS:
+                continue
+            return None  # bare unqualified identifier — ambiguous scope
+        # ---- build + recursively rewrite the decorrelated subquery ---
+        strip = re.compile(rf"(?i)\b{re.escape(al)}\s*\.\s*")
+        item_s = strip.sub("", item)
+        conds_s = [strip.sub("", c) for c in inner_conds]
+        keys_s: list[str] = []
+        for k, _ in corr_keys:
+            if k.lower() not in {x.lower() for x in keys_s}:
+                keys_s.append(k)
+        alias = f"__aus_corr{ci}"
+        key_sel = ", ".join(
+            f"{k} AS __ck{i}" for i, k in enumerate(keys_s)
+        )
+        inner_where = (
+            f" WHERE {' AND '.join(conds_s)}" if conds_s else ""
+        )
+        if keys_s:
+            sub_sql = (
+                f"SELECT {key_sel}, {item_s} AS __cv FROM {tbl}"
+                f"{inner_where} GROUP BY {', '.join(keys_s)}"
+            )
+        else:
+            # UNCORRELATED scalar aggregate: a single-row global
+            # aggregate, cross-joined (Catalyst broadcasts the 1-row
+            # side; the two-phase global agg is the worst single-phase
+            # case this front door exists for)
+            sub_sql = f"SELECT {item_s} AS __cv FROM {tbl}{inner_where}"
+        sub_rw = self._rewrite_two_phase(sub_sql, used)
+        if sub_rw is None:
+            return None
+        out_conds = [f"{lhs} {op} {alias}.__cv"]
+        kmap = {k.lower(): i for i, k in enumerate(keys_s)}
+        for k, outer_ref in corr_keys:
+            out_conds.append(f"{alias}.__ck{kmap[k.lower()]} = {outer_ref}")
+        return out_conds, f"({sub_rw}) {alias}"
 
     @staticmethod
     def _has_top_level_kw(s: str, kw: str) -> bool:

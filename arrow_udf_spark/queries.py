@@ -817,6 +817,69 @@ def q_sql_agg_pivot_two_phase(spark, sf):
 
 
 @query(
+    "sql_agg_correlated_two_phase",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND CAST(l.l_quantity AS BIGINT) * 5 <
+          (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def q_sql_agg_correlated_two_phase(spark, sf):
+    """Correlated scalar aggregate subqueries through the scale-safe SQL
+    front door (the last rewriter residual, VERDICT r8 ask #3) — the
+    TPC-H q17 shape: ``WHERE qty * 5 < (SELECT udaf(l2.qty) FROM
+    lineitem l2 WHERE l2.l_partkey = p.p_partkey)``.  The rewriter
+    decorrelates the provable equi-key shape into a GROUP-BY-key derived
+    table (itself salted two-phase underneath) comma-joined into FROM —
+    exact because the subquery is NULL when no inner row matches, a
+    positive comparison conjunct on NULL filters the row, and the inner
+    join drops exactly those rows (Spark's own
+    RewriteCorrelatedScalarSubquery plays the same trick; COUNT-headed
+    KEYED subqueries refuse since COUNT is 0-not-NULL on empty).  The
+    outer UDAF then rides the normal two-phase path over the joined
+    source, so BOTH aggregation scopes run partial+merge.  Contract for
+    that continuation: the outer SELECT/GROUP BY/tail reference join
+    columns UNQUALIFIED (they aggregate the flattened join output; the
+    WHERE keeps its qualifiers — it evaluates inside the join scope).
+    Non-equi correlation, unqualified columns inside the SUBQUERY,
+    OR-guarded conjuncts all refuse loudly (unit-tested in
+    tests/test_advice_r9.py; hypothesis referee vs the native
+    single-phase result in tests/test_properties_r9.py).
+    Scale: the derived table is one two-phase agg over the inner scan
+    keyed by the join key — O(distinct keys) rows into a key-partitioned
+    equi-join, no per-row subquery evaluation anywhere."""
+    from .plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    t(spark, sf, "lineitem").createOrReplaceTempView("li_corrsql")
+    t(spark, sf, "part").createOrReplaceTempView("pt_corrsql")
+    return GLOBAL.sql(
+        spark,
+        """
+        SELECT p_brand AS brand,
+               CAST(sum_udaf(CAST(FLOOR(l_extendedprice) AS BIGINT))
+                    AS BIGINT) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_corrsql l, pt_corrsql p
+        WHERE p.p_partkey = l.l_partkey
+          AND CAST(l.l_quantity AS BIGINT) * 5 <
+              (SELECT sum_udaf(CAST(l2.l_quantity AS BIGINT))
+               FROM li_corrsql l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+        ORDER BY brand
+        """,
+    )
+
+
+@query(
     "sql_agg_having_two_phase",
     """
     SELECT g, CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -1,0 +1,103 @@
+"""Referee properties for the round-9 rewriter widening: correlated
+scalar aggregate subqueries through the two-phase SQL front door.
+
+The referee is Spark's OWN single-phase evaluation of the identical
+query text (native decorrelation + GROUPED_AGG) — the two-phase
+decorrelated GROUP-BY-join form must be value-identical on arbitrary
+data, including keys with no matching inner rows (the NULL-comparison /
+join-drop equivalence the rewrite relies on) and the uncorrelated
+global-aggregate cross-join form.
+"""
+
+import warnings
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def tables(draw):
+    n = draw(st.integers(2, 12))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.integers(0, 3)),  # k: join key, few distinct
+                draw(st.integers(0, 2)),  # g: group key
+                draw(st.integers(-5, 20)),  # q
+                draw(st.integers(-10, 50)),  # v
+            )
+        )
+    return rows
+
+
+def _both(spark, q):
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    rw = GLOBAL._rewrite_two_phase(q, {"sum_udaf", "count_udaf"})
+    assert rw is not None and "__aus_corr0" in rw
+    got = sorted(map(tuple, spark.sql(rw).collect()))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = sorted(map(tuple, spark.sql(q).collect()))
+    return got, ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(tables(), tables())
+def test_correlated_scalar_subquery_matches_native(spark, a, b):
+    schema = "id long, k long, g long, q long, v long"
+    spark.createDataFrame(a, schema).createOrReplaceTempView("corr_a")
+    spark.createDataFrame(b, schema).createOrReplaceTempView("corr_b")
+    # outer rows join corr_b groups; keys with NO inner rows must drop
+    # identically on both sides (NULL comparison vs join miss)
+    q = (
+        "SELECT o.id AS id, o.q AS q FROM corr_a o "
+        "WHERE o.q < (SELECT sum_udaf(i.v) FROM corr_b i WHERE i.k = o.k) "
+        "ORDER BY id"
+    )
+    got, ref = _both(spark, q)
+    assert got == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(tables())
+def test_correlated_with_outer_udaf_matches_native(spark, a):
+    schema = "id long, k long, g long, q long, v long"
+    spark.createDataFrame(a, schema).createOrReplaceTempView("corr_c")
+    # both scopes aggregate: the subquery decorrelates AND the outer
+    # sum_udaf rides the salted two-phase path over the joined source.
+    # NO builtin aggregate alongside: native Spark refuses a GROUPED_AGG
+    # pandas UDF mixed with native aggregates in one Aggregate
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the rewrite's U/B split exists
+    # precisely for that — so the single-phase referee can only run the
+    # UDAF-only projection
+    q = (
+        "SELECT g, CAST(sum_udaf(v) AS BIGINT) AS s "
+        "FROM corr_c o "
+        "WHERE o.q * 2 < (SELECT sum_udaf(i.v) FROM corr_c i "
+        "WHERE i.k = o.k AND i.q > 0) "
+        "GROUP BY g ORDER BY g"
+    )
+    got, ref = _both(spark, q)
+    assert got == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(tables(), tables())
+def test_uncorrelated_scalar_subquery_matches_native(spark, a, b):
+    schema = "id long, k long, g long, q long, v long"
+    spark.createDataFrame(a, schema).createOrReplaceTempView("unc_a")
+    spark.createDataFrame(b, schema).createOrReplaceTempView("unc_b")
+    # global aggregate: always exactly one row, so even COUNT is exact
+    # through the cross-join form
+    q = (
+        "SELECT o.id AS id FROM unc_a o "
+        "WHERE o.q < (SELECT count_udaf(i.v) FROM unc_b i) "
+        "ORDER BY id"
+    )
+    got, ref = _both(spark, q)
+    assert got == ref
