@@ -566,3 +566,171 @@ def source_token_tv(
     return one.select(F.explode(rows).alias("__r")).select(
         "__r.src_a", "__r.src_b", "__r.tv_num", "__r.n_a", "__r.n_b"
     )
+
+
+def bpe_train_encode(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+):
+    """Train a byte-pair-encoding tokenizer END-TO-END and apply it —
+    the full loop ``bpe_pair_counts`` only samples one step of
+    (mirrors the reference's text-pipeline scope; cf.
+    arrow-udf/arrow-udf-example/python.py's string corpus breadth).
+
+    Training (Sennrich et al. 2016, word-internal BPE):
+
+    1. Compact the corpus to the WORD-FREQUENCY table — the classic BPE
+       trick: training never touches raw documents again, only the
+       O(|word vocab|) ``(word, freq)`` rows.
+    2. Represent each word as marker-terminated symbols
+       (``"the" -> "t·h·e·"``).  The marker makes textual ``replace``
+       EXACTLY the BPE merge: a pair pattern ``"a·b·"`` can only align
+       at symbol boundaries (the marker never occurs inside a symbol),
+       and ``replace`` substitutes left-to-right non-overlapping — the
+       canonical merge order ("aaa" + (a,a) -> "aa a", not "a aa").
+    3. ``n_merges`` iterations of: fan adjacent pairs out of every word
+       (weighted by freq), argmax ``(count DESC, pair ASC)`` — ONE row
+       to the driver per iteration, like kmeans' per-round centroid
+       collect — then apply the merge with one ``replace`` column.
+
+    Encoding: per-document token counts come from joining the
+    document's words to the trained vocab table and summing final
+    symbol counts — no per-document merge replay.
+
+    Returns ``(per_doc DataFrame (id, n_tokens, n_words), merges)``
+    where ``merges`` is the ordered learned pair list (marker form).
+
+    Scale: the learned merge table is O(n_merges) driver/broadcast
+    state; training runs over the word-vocab table (zipf-bounded, far
+    smaller than the corpus, and itself distributed — nothing here
+    collects more than ONE argmax row per iteration); encoding is one
+    explode + one vocab equi-join + one per-doc sum.  The iteration's
+    pair fan-out is a ``transform(sequence)`` HOF — interpreted, but
+    over vocab-sized rows, not corpus-sized (the measured-perf HOF
+    caveat does not bite; see PLANS.md).
+    """
+    M = "·"  # the symbol terminator; stripped from input words
+    words_of = lambda d: (  # noqa: E731
+        d.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
+        .withColumn("w", F.regexp_replace("w", M, ""))
+        .where(F.col("w") != "")
+    )
+    vocab = words_of(df).groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    cur = vocab.withColumn(
+        "r", F.regexp_replace(F.col("w"), "(.)", "$1" + M)
+    ).persist()
+    merges: list[str] = []
+    prev = None
+    for _ in range(n_merges):
+        syms = F.split(F.col("r"), M)  # trailing "" after the last marker
+        pairs = F.when(
+            F.size(syms) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 3),
+                lambda i: F.concat(
+                    F.element_at(syms, i + 1),
+                    F.lit(M),
+                    F.element_at(syms, i + 2),
+                    F.lit(M),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            cur.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pat = best[0]["p"]
+        merged = pat.replace(M, "", 1)  # drop the INNER marker only
+        merges.append(pat)
+        nxt = cur.withColumn(
+            "r", F.replace(F.col("r"), F.lit(pat), F.lit(merged))
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        if prev is not None:
+            prev.unpersist()
+        prev, cur = cur, nxt
+    final = cur.select(
+        "w",
+        (
+            F.length("r")
+            - F.length(F.replace(F.col("r"), F.lit(M), F.lit("")))
+        ).alias("n_sym"),
+    )
+    out = (
+        words_of(df)
+        .join(final, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    return out, merges
+
+
+def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB replay of ``bpe_train_encode``: the same word-frequency
+    compaction, the same marker representation, and ``n_merges``
+    UNROLLED argmax+merge iterations as chained CTEs (the kmeans
+    unrolled-trajectory gate pattern) — then the same vocab-join
+    per-document encode.  Both engines break count ties on the
+    lexicographically smaller pair under binary collation, so the
+    learned merge sequence is engine-exact."""
+    M = "·"
+    sql = [
+        f"""
+    WITH dw AS MATERIALIZED (
+      SELECT doc_id, replace(w, '{M}', '') AS w
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM {table})
+      WHERE replace(w, '{M}', '') <> ''
+    ),
+    w0 AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq,
+             regexp_replace(w, '(.)', '\\1{M}', 'g') AS r
+      FROM dw GROUP BY w
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        sql.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      WITH e AS (
+        SELECT freq, s, unnest(range(1, len(s) - 1)) AS i
+        FROM (SELECT freq, string_split(r, '{M}') AS s FROM w{k - 1})
+      )
+      SELECT s[i] || '{M}' || s[i + 1] || '{M}' AS p, SUM(freq) AS cnt
+      FROM e GROUP BY 1
+    ),
+    b{k} AS MATERIALIZED (SELECT p FROM p{k}
+                         ORDER BY cnt DESC, p ASC LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT w, freq,
+             replace(r, (SELECT p FROM b{k}),
+                     (SELECT regexp_replace(p, '{M}', '') FROM b{k})) AS r
+      FROM w{k - 1}
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT dw.doc_id,
+           CAST(SUM(length(f.r) - length(replace(f.r, '{M}', '')))
+                AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM dw JOIN w{n_merges} f USING (w)
+    GROUP BY dw.doc_id"""
+    )
+    return "".join(sql)

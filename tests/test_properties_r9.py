@@ -101,3 +101,77 @@ def test_uncorrelated_scalar_subquery_matches_native(spark, a, b):
     )
     got, ref = _both(spark, q)
     assert got == ref
+
+
+# -- BPE train+encode vs a pure-Python referee ------------------------------
+
+
+def _referee_bpe(texts, n_merges):
+    """Classic dict-based BPE (Sennrich et al.), written list-of-symbols
+    style — no marker strings, no replace(): an independent formulation
+    of what bpe_train_encode computes with Spark columns."""
+    from collections import Counter
+
+    words = Counter()
+    per_doc_words = []
+    for t in texts:
+        ws = [w for w in t.split() if w]
+        per_doc_words.append(ws)
+        words.update(ws)
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            f = words[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        # argmax with (count DESC, pair ASC) — pair compared in the
+        # marker rendering ("a·b·") to mirror the operator's collation
+        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}·{kv[0][1]}·"))[0]
+        merges.append(best)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    counts = []
+    for ws in per_doc_words:
+        counts.append((sum(len(vocab[w]) for w in ws), len(ws)))
+    return counts, merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 5),
+)
+def test_bpe_matches_python_referee(spark, texts, n_merges):
+    from arrow_udf_spark.operators.text import bpe_train_encode
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, merges = bpe_train_encode(df, n_merges=n_merges)
+    got = {r.id: (r.n_tokens, r.n_words) for r in out.collect()}
+    ref_counts, ref_merges = _referee_bpe(texts, n_merges)
+    assert merges == [f"{a}·{b}·" for a, b in ref_merges]
+    exp = {
+        i: rc
+        for i, rc in enumerate(ref_counts)
+        if rc[1] > 0  # all-whitespace docs produce no joinable words
+    }
+    assert got == exp
