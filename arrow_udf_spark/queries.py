@@ -7741,96 +7741,69 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-8 ordering.  The driver gates the first ~50 entries
-    # (VERDICT r7 ask #2 — rotate the window onto the 43 queries whose
-    # latest driver row is r4-or-older, after the new/changed head):
-    #   1. new-in-r8 (SQL-rewrite breadth incl. PIVOT, PNG real decode
-    #      incl. palette, shingle cascade, temperature_mix, SemDeDup)
-    #      and the four queries whose code changed this round
-    #      (corpus_divergence tv_num BIGINT; skew_profile/join_size_est
-    #      DECIMAL internals; asof_join_forward struct fill) — changed
-    #      queries must re-prove;
-    #   2. the 10 r3-stale queries (TPC-H q1/q3/q6/q17/q18, temporal,
-    #      text, upsert, wav) — oldest evidence in the catalog;
-    #   3. the 33 r4-stale queries (the ~50-slot window reaches most;
-    #      the tail few keep their three-scale replica evidence).
-    # That is 22 + 10 + 33 = 65 entries; everything else has a green
-    # driver row from r5-r7, and the full catalog additionally gets
-    # fresh evidence from the three-scale LOCAL_VERIFY_r08 replica
-    # artifacts (tools/oracle_check.py --record), which the staleness
-    # test accepts in place of a driver row.
+    # Round-9 ordering.  The driver gates the first ~50 entries
+    # (VERDICT r8 ask #2 — finish the staleness rotation):
+    #   1. new in r9 (3) and changed in r9 (3) — new/changed queries
+    #      must re-prove first;
+    #   2. the 15 remaining r4-stale queries — after this window no
+    #      catalog query's latest driver row is older than r5;
+    #   3. the 29 OLDEST r5-stale queries (45 exist; the window
+    #      reaches these, the rest keep three-scale replica evidence
+    #      and rotate next round).
     # ------------------------------------------------------------------
-    # -- 1. new in r8 (18) + changed in r8 (4) --
-    "sql_agg_window_two_phase",  # new r8: window fns over two-phase SQL
-    "sql_agg_cte_two_phase",  # new r8: CTE prefix over two-phase SQL
-    "sql_agg_union_two_phase",  # new r8: set ops, per-block rewrite
-    "sql_agg_rollup_two_phase",  # new r8: ROLLUP/CUBE/SETS, gid-joined
-    "sql_agg_pivot_two_phase",  # new r8: PIVOT -> CASE expansion, 2-phase
-    "temperature_mix",  # new r8: n^alpha source rebalance, sqrt-free
-    "png_meta",  # new r8: real PNG IHDR decode (zlib container)
-    "png_pixels",  # new r8: full 5-filter PNG reconstruction gate
-    "png_palette_pixels",  # new r8: PLTE indirection after bpp=1 unfilter
-    "gif_pixels",  # new r8: real GIF87a — variable-width LZW both ways
-    "lang_id_confusion",  # new r8: classifier eval matrix vs label column
-    "semdedup_prune",  # new r8: SemDeDup — kmeans cells + cosine prune
-    "semdedup_prune_numpy",  # new r8: same oracle, per-cell matmul path
-    "dsir_weights",  # new r8: DSIR hashed-bigram importance weights
-    "curation_pipeline_e2e",  # new r8: quality->mix->DSIR->dedup->pack
-    "streaming_curation_filter",  # new r8: stateless curation on a stream
-    "hybrid_rrf_topk",  # new r8: BM25 + dense cosine reciprocal-rank fusion
-    "dup_span_cascade",  # new r8: 5/10/20-gram longest-shared-span
-    # (18 new + 4 changed below = 22 head entries)
-    "corpus_divergence",  # changed r8: tv_num BIGINT on the provably-
-    # fitting path (driver pandas-hash renders DECIMAL as float; values
-    # were bit-identical in r7) — DECIMAL(38,0) only beyond int64
-    "skew_profile",  # changed r8: DECIMAL ppm numerator (no int64 wrap)
-    "join_size_est",  # changed r8: DECIMAL products + est=0 on disjoint
-    "asof_join_forward",  # changed r8: single-struct fill (same-row vals)
-    # -- 2. r3-stale (10) --
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q17",
-    "tpch_q18",
-    "temporal_roundtrip",
-    "tfidf_topterms",
-    "unigram_surprisal",
-    "upsert_latest",
-    "wav_roundtrip",
-    # -- 3. r4-stale (33) --
-    "view_roundtrip",
-    "timeout_error_corpus",
-    "http_fetch_corpus",
-    "series_udtf",
-    "asof_join",
-    "simhash",
-    "fingerprint",
-    "minhash_signature",
-    "sessionize",
-    "resample_ffill",
-    "range_join_count",
-    "audio_chunks",
-    "expr_breadth",
-    "interval_add_fn",
-    "uint64_widening",
-    "map_fn",
-    "return_all_fn",
-    "array_identity_fn",
-    "struct_to_json_fn",
-    "json_concat_fn",
-    "gcd3_fn",
+    # -- 1. new in r9 (3) + changed in r9 (3) --
+    "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
+    "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
+    "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
+    "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif
+    "png_meta",  # changed r9: palette header channels now match decode
+    "dsir_weights",  # changed r9: one-sided toks_col guard
+    # -- 2. r4-stale (15) --
     "binary_fns",
-    "split_words_udtf",
     "embedding_mean_pool",
+    "gcd3_fn",
+    "json_concat_fn",
     "percentiles",
     "pivot_agg",
     "salted_join_agg",
     "semi_anti_join",
     "set_ops_full",
     "skew_agg",
+    "split_words_udtf",
     "stats_aggs",
     "string_agg_nations",
+    "struct_to_json_fn",
     "value_histogram",
+    # -- 3. oldest r5-stale (29) --
+    "anomaly_zscore",
+    "array_access_fn",
+    "array_sum_fn",
+    "bm25_topk",
+    "constants_fn",
+    "cosine_topk_bruteforce",
+    "cosine_topk_numpy",
+    "datetime_fn",
+    "decimal_wide_add",
+    "dedup_exact",
+    "dedup_keep_best",
+    "extract_tcp_info_fn",
+    "fib_fn",
+    "funnel_conversion",
+    "gcd",
+    "gcd_async",
+    "hex_to_dec_fn",
+    "image_meta",
+    "image_resize",
+    "inverted_index",
+    "ivf_topk",
+    "json_array_elements_udtf",
+    "key_value_fn",
+    "key_values_udtf",
+    "kmv_source_similarity",
+    "length_fn",
+    "lsh_candidate_pairs",
+    "many_args",
+    "max2_concat2",
 ]
 
 

@@ -106,7 +106,31 @@ BENCH_QUERIES = [
     "curation_pipeline_e2e",    # r8 capstone: quality->mix->DSIR->pack
     "hybrid_rrf_topk",          # BM25 + dense cosine rank fusion
     "sql_agg_pivot_two_phase",  # PIVOT -> CASE expansion, salted 2-phase
+    # new in r9:
+    "sql_agg_correlated_two_phase",  # q17-shape decorrelated, 2x two-phase
+    "bpe_train_encode",         # full BPE train+apply (8 argmax rounds)
 ]
+
+#: SESSION SPLIT (VERDICT r8 ask #6): queries whose r8 best-of-3 exceeded
+#: 1.5 s run in their OWN session after the light cohort finishes, so a
+#: sub-second query never shares interleaved passes (and JVM/GC state)
+#: with a 7-second giant — the r8 drift A/B (PLANS.md round-9 section)
+#: traced the 1.24x cohort wobble to exactly this cohabitation.
+#: Membership is PINNED from BENCH_FULL r8 (plus the two r9 additions,
+#: both multi-aggregation shapes) rather than re-derived per round, so
+#: each query's session assignment — and therefore its round-over-round
+#: chain — stays stable.  Per-query best-of-3 is unchanged.
+HEAVY_QUERIES = {
+    "simhash_hamming_pairs", "curation_pipeline_e2e", "semdedup_prune",
+    "dup_span_cascade", "pagerank_docs", "minhash_jaccard_est",
+    "ann_pipeline_e2e", "ivf_persisted_topk", "sampled_quantiles",
+    "dsir_weights", "bloom_prejoin", "knn_label_vote",
+    "ivf_multiprobe_topk", "count_min_freq", "ivf_trained_topk",
+    "sql_agg_rollup_two_phase", "sql_agg_union_two_phase", "lsh_topk",
+    "sql_agg_window_two_phase", "sql_agg_pivot_two_phase",
+    "semdedup_prune_numpy",
+    "sql_agg_correlated_two_phase", "bpe_train_encode",
+}
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
 #: protocol (VERDICT r5 ask #7): r4's best-of-2 flattered sub-second
@@ -133,21 +157,13 @@ def _pass_orders(names: list) -> list:
     return [names, list(reversed(names)), shuffled][:REPS]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-
-    from arrow_udf_spark import get_spark
-    from arrow_udf_spark.queries import QUERIES
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm up JVM + Python workers + OS page cache (not billed).  On a
-    # freshly booted VM the first touch of each parquet file pays cold
-    # I/O and the first plan of each shape pays JIT — measured ~15% on
-    # the round total — so read EVERY table once before timing anything.
+def _warm_up(spark, sf_dir: str) -> None:
+    """JVM + Python workers + OS page cache (not billed).  On a freshly
+    booted VM the first touch of each parquet file pays cold I/O and the
+    first plan of each shape pays JIT — measured ~15% on the round
+    total — so read EVERY table once before timing anything.  Runs per
+    SESSION: the heavy session must not inherit billing-free warmth the
+    light session paid for (or vice versa)."""
     import glob as _glob
 
     for p in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
@@ -158,19 +174,17 @@ def main() -> None:
         gcd_i64("l_partkey", "l_suppkey")
     ).count()
 
-    # per-query error isolation: one broken query must never zero the whole
-    # round's benchmark — failures record as null and the JSON line always
-    # prints (round-2 lesson: a single analysis error DNF'd the bench).
-    #
-    # Timing runs as REPS interleaved passes in different deterministic
-    # orders (see _pass_orders) so a query's JVM-warmth position varies
-    # across its reps; best-of-REPS per query.  noop write forces
-    # evaluation of EVERY output column/row (count() would let Catalyst
-    # column-prune the operator under test).
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
-    best: dict[str, float] = {}
-    raw: dict[str, list] = {n: [] for n in names}  # per-pass raw seconds
-    failed: set = set()
+
+def _run_cohort(spark, sf_dir, names, raw, best, failed) -> None:
+    """Time one cohort: REPS interleaved passes in deterministic orders
+    (see _pass_orders) so a query's JVM-warmth position varies across
+    its reps; best-of-REPS per query.  noop write forces evaluation of
+    EVERY output column/row (count() would let Catalyst column-prune
+    the operator under test).  Per-query error isolation: one broken
+    query must never zero the whole round's benchmark (round-2
+    lesson)."""
+    from arrow_udf_spark.queries import QUERIES
+
     for order in _pass_orders(names):
         for name in order:
             if name in failed:
@@ -190,6 +204,37 @@ def main() -> None:
                     f"  {name}: FAILED {type(e).__name__}: "
                     f"{str(e).splitlines()[0][:200]}\n"
                 )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from arrow_udf_spark import get_spark
+    from arrow_udf_spark.queries import QUERIES
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    light = [n for n in names if n not in HEAVY_QUERIES]
+    heavy = [n for n in names if n in HEAVY_QUERIES]
+    best: dict[str, float] = {}
+    raw: dict[str, list] = {n: [] for n in names}  # per-pass raw seconds
+    failed: set = set()
+
+    # TWO sessions (VERDICT r8 ask #6): light cohort first, then the
+    # >1.5 s heavy cohort in a fresh session — each warmed up and
+    # interleaved independently
+    spark = get_spark("bench_light")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_up(spark, sf_dir)
+    _run_cohort(spark, sf_dir, light, raw, best, failed)
+    spark.stop()
+
+    spark = get_spark("bench_heavy")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_up(spark, sf_dir)
+    _run_cohort(spark, sf_dir, heavy, raw, best, failed)
+
     timings: dict[str, float | None] = {}
     for name in names:
         if name in failed:
@@ -219,16 +264,24 @@ def main() -> None:
         "sf": sf,
         "sf_dir": sf_dir,
         "reps": REPS,
-        "order_protocol": "interleaved passes: catalog / reversed / seed-7",
+        "sessions": {"light": light, "heavy": heavy},
+        "order_protocol": (
+            "two sessions (light, then >1.5s heavy — pinned r8 membership"
+            "); interleaved passes per session: catalog / reversed / "
+            "seed-7"
+        ),
         "materialization": "noop write (full evaluation of every column)",
         "baseline_note": (
             "BENCH_r01 used count()-materialization (pruned the operator "
             "under test for projection queries); r2+ use noop writes. "
             "r5 changed warm-up to noop-writing every table (~15% faster "
-            "totals). Cohort grew r5/r6/r7/r8 — always compare the "
+            "totals). Cohort grew r5/r6/r7/r8/r9 — always compare the "
             "shared-query cohort, not the raw total. From r7 reps run as "
             "interleaved passes in deterministic orders; best-of-3 per "
-            "query unchanged. See docstring."
+            "query unchanged. From r9 the >1.5s heavy queries run in "
+            "their own second session (pinned HEAVY_QUERIES membership) "
+            "so sub-second queries stop sharing a JVM with 7s giants. "
+            "See docstring."
         ),
     }
     out_path = os.path.join(

@@ -10,6 +10,9 @@ condition; keep it runnable so the next scale regression is a command,
 not an archaeology project.
 
 Usage:  python tools/stress.py [replication=10]
+        python tools/stress.py 100 heavy3   # round-9 decade tier: only
+        # the three heaviest operators (simhash pipeline, curation
+        # capstone, semdedup numpy) at 100x — ~500k docs / 500k vectors
 """
 
 from __future__ import annotations
@@ -19,8 +22,155 @@ import time
 from functools import reduce
 
 
+def _replicate(df, id_col, rep, extra_cols):
+    from pyspark.sql import functions as F
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                (F.col(id_col) + F.lit(i * 10_000_000)).alias(id_col),
+                *extra_cols,
+            )
+            for i in range(rep)
+        ],
+    )
+
+
+def heavy3(rep: int) -> int:
+    """Round-9 decade tier (VERDICT r8 ask #7): the three heaviest bench
+    operators at ``rep``x replication, with the scale KNOBS moved the
+    way the documented cost models say they must move — k for SemDeDup
+    tracks N (paper posture k ~ N/1000) so sum(|cell|^2) stays linear
+    in N; simhash runs behind exact dedup (the pipeline posture: the
+    canonical set is size-invariant under replication, so the cost is
+    the O(N) digest shuffle in front); the curation capstone is scan +
+    broadcast + two windows, linear by construction.  Per-op wall times
+    land in PLANS.md next to the 10x rows."""
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from arrow_udf_spark import get_spark
+
+    spark = get_spark("stress_heavy3", master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    failures = 0
+
+    def run(name, thunk):
+        nonlocal failures
+        t0 = time.perf_counter()
+        try:
+            c = thunk().count()
+            print(
+                f"  {name:44s} {c:>10} rows  "
+                f"{time.perf_counter() - t0:6.1f}s"
+            )
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"  {name:44s} FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    d0 = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = (
+        _replicate(d0, "doc_id", rep, ["text", "n_chars", "lang"])
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    print(f"documents x{rep}: {docs.count()}")
+
+    from arrow_udf_spark.operators.dedup import (
+        exact_dedup,
+        semdedup_keep_numpy,
+        simhash_hamming_pairs,
+    )
+
+    canonical = docs.join(
+        exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    run(
+        f"exact-dedup -> simhash_hamming ({rep}x)",
+        lambda: simhash_hamming_pairs(canonical, max_bucket=10_000),
+    )
+
+    # curation capstone over the replicated corpus (same stages as the
+    # gated q_curation_pipeline_e2e, inlined against `docs`)
+    from pyspark.sql import Window
+
+    from arrow_udf_spark.operators.dedup import content_hash
+    from arrow_udf_spark.operators.sampling import (
+        dsir_logweights,
+        pack_sequences,
+        temperature_mix,
+    )
+    from arrow_udf_spark.operators.text import quality_score, tokens
+
+    def curation():
+        d = docs.withColumn("__toks", tokens(F.col("text")))
+        kept = d.where(
+            quality_score(
+                F.col("text"), F.col("n_chars"), toks=F.col("__toks")
+            )
+            >= 0.5
+        )
+        mixed = temperature_mix(kept, source_col="lang", alpha=0.5)
+        w = dsir_logweights(
+            mixed, mixed.where(F.col("lang") == "en"), toks_col="__toks"
+        )
+        sel = mixed.join(
+            w.where(F.col("logw") >= 0.0), mixed.doc_id == F.col("id")
+        ).drop("id", "n_bigrams", "__toks")
+        keep = F.min("doc_id").over(
+            Window.partitionBy(content_hash("text"))
+        )
+        ded = (
+            sel.withColumn("__keep", keep)
+            .where(F.col("doc_id") == F.col("__keep"))
+            .drop("__keep")
+        )
+        return pack_sequences(
+            ded, shard="lang", order="doc_id", tokens="n_chars",
+            budget=16384,
+        )
+
+    run(f"curation_pipeline ({rep}x)", curation)
+
+    e0 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bigemb = (
+        _replicate(e0, "vec_id", rep, ["embedding", "label"])
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    n_vec = bigemb.count()
+    print(f"embeddings x{rep}: {n_vec}")
+    # k tracks N (paper: k ~ N/1000): cells stay ~1000 vectors, so the
+    # per-cell |cell|^2 matmul stays bounded and total cost is linear
+    k = max(32, n_vec // 1000)
+
+    from arrow_udf_spark.operators.clustering import kmeans_assign
+
+    def semdd():
+        assigned = kmeans_assign(bigemb, k=k, iters=1)
+        items = bigemb.select("vec_id", "embedding").join(
+            assigned, "vec_id"
+        )
+        return semdedup_keep_numpy(
+            items, "vec_id", "embedding", "cluster", threshold=0.999999
+        ).groupBy("kept").count()
+
+    run(f"semdedup_prune_numpy ({rep}x, k={k})", semdd)
+
+    spark.stop()
+    print(f"\n{'ALL OK' if not failures else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
 def main() -> int:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2 and sys.argv[2] == "heavy3":
+        return heavy3(rep)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
 
