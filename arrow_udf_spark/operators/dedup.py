@@ -814,3 +814,100 @@ def keep_best(
         "keeper_id",
         (F.col(id_col) == F.col("keeper_id")).cast("int").alias("keep"),
     )
+
+
+def dup_substring_max(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix: int = 24,
+    bucket: int = 4,
+) -> DataFrame:
+    """Per-document LONGEST DUPLICATED SUBSTRING via prefix-capped
+    suffix-array adjacency — the true-substring complement of the
+    shingle-tier approximation in :func:`dup_span_cascade` (the
+    suffix-array residual named in COVERAGE.md; semantics follow Lee et
+    al. 2022's self-similar duplication: a repeat ANYWHERE in the
+    corpus counts, including within the same document).
+
+    Construction: every character position contributes its
+    ``prefix``-capped suffix; suffixes shuffle into buckets keyed by
+    their first ``bucket`` chars and sort WITHIN the bucket; each
+    adjacent pair's longest-common-prefix credits BOTH owning
+    documents; a document's answer is its max.  The classic
+    suffix-array property (the max-LCP partner of any suffix is
+    adjacent in sorted order) makes this EXACT — per doc —
+    for every match of length >= ``bucket``, clipped at ``prefix``;
+    documents whose longest repeat is shorter than ``bucket`` report 0
+    (pairs that disagree inside the bucket key never share a bucket).
+    The per-bucket sort order is made TOTAL with (id, position)
+    tie-breakers so every engine pairs identical suffix runs the same
+    way (a tie-ambiguous ORDER BY lets lag(s) and lag(id) disagree
+    about the predecessor row — observed in DuckDB).
+
+    Scale: O(total chars) suffix rows (each ``prefix`` bytes), ONE
+    shuffle on the bucket key, per-bucket sort windows, and a bounded
+    per-row LCP fold — no quadratic pair space anywhere (equal-suffix
+    runs cost O(run), not O(run^2)).  The char-level fan-out makes this
+    the SAMPLE/AUDIT tier; ``dup_span_cascade`` (digest-only shuffles)
+    is the full-corpus path.  Returns ``(id, max_dup_len)``."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= 1)
+    sfx = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
+        "t",
+    ).select("id", "i", F.expr(f"substr(t, i, {prefix})").alias("s"))
+    # the (id, i) tie-breakers make the order TOTAL: with bare ORDER BY
+    # s, an engine may evaluate lag(s) and lag(id) under DIFFERENT tie
+    # orders and pair a row's string with another row's owner id
+    # (observed nondeterministically in DuckDB) — a total order pins
+    # both lags to the same predecessor on every engine
+    w = Window.partitionBy(F.expr(f"substr(s, 1, {bucket})")).orderBy(
+        "s", "id", "i"
+    )
+    adj = (
+        sfx.select(
+            "id",
+            "s",
+            F.lag("s").over(w).alias("ps"),
+            F.lag("id").over(w).alias("pid"),
+        )
+        .where(F.col("ps").isNotNull())
+    )
+    # LCP = index of the first per-char mismatch (both engines return
+    # the same value: Spark array_position yields 0 when absent -> the
+    # strings agree to min length; substr past the end is '' on both)
+    lcp = (
+        f"coalesce(nullif(array_position(transform(sequence(1, {prefix}),"
+        f" k -> substr(s, k, 1) = substr(ps, k, 1)), false), 0) - 1,"
+        f" least(length(s), length(ps)))"
+    )
+    # only matches >= bucket count: suffixes SHORTER than the bucket
+    # width can still share a bucket (the key is the whole short
+    # string), so without this filter sub-bucket repeats would leak
+    # through for short strings only — the crisp contract is
+    # "exact for repeats >= bucket, else 0"
+    scored = adj.withColumn("lcp", F.expr(lcp)).where(
+        F.col("lcp") >= bucket
+    )
+    both = scored.select("id", "lcp").unionByName(
+        scored.select(F.col("pid").alias("id"), "lcp")
+    )
+    per_doc = both.groupBy("id").agg(
+        F.max("lcp").cast("bigint").alias("max_dup_len")
+    )
+    return (
+        base.select("id")
+        .distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("max_dup_len", F.lit(0))
+            .cast("bigint")
+            .alias("max_dup_len"),
+        )
+    )

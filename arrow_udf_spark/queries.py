@@ -1622,6 +1622,67 @@ def q_dup_span_cascade(spark, sf):
 
 
 @query(
+    "dup_substring_max",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, text AS t FROM documents
+      WHERE length(text) >= 1
+    ),
+    sfx AS (
+      SELECT id, i, substr(t, i, 24) AS s
+      FROM (SELECT id, t, unnest(range(1, length(t) + 1)) AS i
+            FROM base)
+    ),
+    adj AS (
+      SELECT id, s,
+             lag(s)  OVER (PARTITION BY substr(s, 1, 4)
+                           ORDER BY s, id, i) AS ps,
+             lag(id) OVER (PARTITION BY substr(s, 1, 4)
+                           ORDER BY s, id, i) AS pid
+      FROM sfx
+    ),
+    sc AS (
+      SELECT id, pid,
+             coalesce(nullif(list_position(list_transform(range(1, 25),
+                        k -> substr(s, k, 1) = substr(ps, k, 1)),
+                        false), 0) - 1,
+                      least(length(s), length(ps))) AS lcp
+      FROM adj WHERE ps IS NOT NULL
+    ),
+    credit AS (SELECT id, lcp FROM sc WHERE lcp >= 4
+               UNION ALL SELECT pid AS id, lcp FROM sc WHERE lcp >= 4),
+    agg AS (SELECT id, MAX(lcp) AS m FROM credit GROUP BY id)
+    SELECT b.id AS doc_id, CAST(coalesce(a.m, 0) AS BIGINT) AS max_dup_len
+    FROM (SELECT DISTINCT id FROM base) b LEFT JOIN agg a USING (id)
+    """,
+)
+def q_dup_substring_max(spark, sf):
+    """TRUE longest-duplicated-substring per document — the suffix-array
+    residual COVERAGE.md carried since r7, closed with a prefix-capped
+    suffix-ARRAY adjacency instead of shingle tiers: every char position
+    contributes its 24-capped suffix, suffixes bucket by their first 4
+    chars and sort per bucket, each adjacent pair's LCP credits both
+    owning docs, and a doc's answer is its max.  The classic SA property
+    (a suffix's max-LCP partner is adjacent in sorted order) makes the
+    per-doc value EXACT for every repeat of length >= 4 (clipped at
+    24); shorter repeats report 0.  Self-similarity counts (Lee et al.
+    2022's definition — a repeat within one document flags it too),
+    which is what ``dup_span_cascade``'s cross-doc shingles cannot see.
+    The per-bucket sort carries (id, position) tie-breakers: a
+    tie-ambiguous ORDER BY lets an engine evaluate lag(s) and lag(id)
+    under different tie orders and credit the wrong document (observed
+    nondeterministically in DuckDB); the total order pins both lags to
+    one predecessor (hypothesis referee in test_properties_r9.py).  Scale: O(total chars) suffix
+    rows, ONE bucket-key shuffle, per-bucket windows — the sample/audit
+    tier; the cascade stays the full-corpus path."""
+    from .operators.dedup import dup_substring_max
+
+    return dup_substring_max(
+        t(spark, sf, "documents", spread=True)
+    ).select(F.col("id").alias("doc_id"), "max_dup_len")
+
+
+@query(
     "embedding_near_dup",
     """
     SELECT l.vec_id AS a, r.vec_id AS b,
@@ -7751,8 +7812,9 @@ _GATE_PRIORITY = [
     #      reaches these, the rest keep three-scale replica evidence
     #      and rotate next round).
     # ------------------------------------------------------------------
-    # -- 1. new in r9 (3) + changed in r9 (3) --
+    # -- 1. new in r9 (4) + changed in r9 (3) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
+    "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
     "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
     "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
     "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif

@@ -175,3 +175,47 @@ def test_bpe_matches_python_referee(spark, texts, n_merges):
         if rc[1] > 0  # all-whitespace docs produce no joinable words
     }
     assert got == exp
+
+
+# -- dup_substring_max vs a brute-force all-pairs referee -------------------
+
+
+def _referee_dup_substring(docs, prefix=24, bucket=4):
+    """All-pairs common-prefix max per doc, clipped at ``prefix``; the
+    operator's contract: exact for repeats >= ``bucket``, else 0."""
+    sfx = []
+    for did, t in docs:
+        for i in range(len(t)):
+            sfx.append((did, t[i : i + prefix]))
+    out = {did: 0 for did, t in docs if len(t) >= 1}
+    for x in range(len(sfx)):
+        for y in range(x + 1, len(sfx)):
+            a, b = sfx[x][1], sfx[y][1]
+            m = 0
+            for ca, cb in zip(a, b):
+                if ca != cb:
+                    break
+                m += 1
+            if m >= bucket:
+                for did in (sfx[x][0], sfx[y][0]):
+                    out[did] = max(out[did], m)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_dup_substring_matches_bruteforce(spark, texts):
+    from arrow_udf_spark.operators.dedup import dup_substring_max
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: r.max_dup_len for r in dup_substring_max(df).collect()
+    }
+    assert got == _referee_dup_substring(docs)
