@@ -878,13 +878,19 @@ def dup_substring_max(
         )
         .where(F.col("ps").isNotNull())
     )
-    # LCP = index of the first per-char mismatch (both engines return
-    # the same value: Spark array_position yields 0 when absent -> the
-    # strings agree to min length; substr past the end is '' on both)
-    lcp = (
-        f"coalesce(nullif(array_position(transform(sequence(1, {prefix}),"
-        f" k -> substr(s, k, 1) = substr(ps, k, 1)), false), 0) - 1,"
-        f" least(length(s), length(ps)))"
+    # LCP = index of the first per-char mismatch, as an UNROLLED CASE
+    # chain: whole-stage-codegen'd string compares, measured 1.6x faster
+    # than the transform(sequence)+array_position fold at 10x sf0.1
+    # (26-28 s -> 16-18 s; Spark HOFs are CodegenFallback — the repo's
+    # standing interpreted-fold trap) and bit-identical on every row
+    # (exceptAll A/B = 0).  substr past either end is '' -> <> fires at
+    # the shorter string's end; two strings equal to the cap fall
+    # through to least(length, length).
+    lcp = "CASE {} ELSE least(length(s), length(ps)) END".format(
+        " ".join(
+            f"WHEN substr(s, {k}, 1) <> substr(ps, {k}, 1) THEN {k - 1}"
+            for k in range(1, prefix + 1)
+        )
     )
     # only matches >= bucket count: suffixes SHORTER than the bucket
     # width can still share a bucket (the key is the whole short

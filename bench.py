@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # new in r9:
     "sql_agg_correlated_two_phase",  # q17-shape decorrelated, 2x two-phase
     "bpe_train_encode",         # full BPE train+apply (8 argmax rounds)
+    "dup_substring_max",        # capped suffix-array adjacency LCP
 ]
 
 #: SESSION SPLIT (VERDICT r8 ask #6): queries whose r8 best-of-3 exceeded
@@ -116,8 +117,8 @@ BENCH_QUERIES = [
 #: sub-second query never shares interleaved passes (and JVM/GC state)
 #: with a 7-second giant — the r8 drift A/B (PLANS.md round-9 section)
 #: traced the 1.24x cohort wobble to exactly this cohabitation.
-#: Membership is PINNED from BENCH_FULL r8 (plus the two r9 additions,
-#: both multi-aggregation shapes) rather than re-derived per round, so
+#: Membership is PINNED from BENCH_FULL r8 (plus the three r9 additions,
+#: all multi-second shapes) rather than re-derived per round, so
 #: each query's session assignment — and therefore its round-over-round
 #: chain — stays stable.  Per-query best-of-3 is unchanged.
 HEAVY_QUERIES = {
@@ -130,6 +131,7 @@ HEAVY_QUERIES = {
     "sql_agg_window_two_phase", "sql_agg_pivot_two_phase",
     "semdedup_prune_numpy",
     "sql_agg_correlated_two_phase", "bpe_train_encode",
+    "dup_substring_max",
 }
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
