@@ -6631,6 +6631,78 @@ def q_bpe_train_encode(spark, sf):
     )
 
 
+@query("streaming_bpe_encode", _bpe_oracle())
+def q_streaming_bpe_encode(spark, sf):
+    """TOKENIZATION AS INCREMENTAL INGESTION — the streaming twin of
+    ``bpe_train_encode`` and the tokenizer-stage analogue of
+    ``streaming_curation_filter``: merges train batch-side (yesterday's
+    corpus) and ride into the stream as EIGHT nested ``replace``
+    literals; each arriving document's token count is a per-row fold —
+    split to words, render each word's marker form, apply the merge
+    chain, count markers — so the stream runs append-mode with ZERO
+    state-store state and no per-doc vocab join at all.  Applying the
+    ordered merge list per word is definitionally identical to the
+    batch path's trained-vocab join (training applied the same merges
+    to every vocab word), and the gate pins the drained stream against
+    the SAME unrolled-CTE oracle.  At firehose scale this is the
+    serving shape: the merge table is O(n_merges) broadcast state, and
+    every row costs O(words · merges) codegen'd string work."""
+    import tempfile
+    import uuid
+
+    from .operators.text import bpe_train_encode
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    _out, merges = bpe_train_encode(
+        t(spark, sf, "documents"), n_merges=8
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_bpe_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+
+    words = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: F.replace(w, F.lit("·"), F.lit("")),
+        ),
+        lambda w: w != "",
+    )
+
+    def encode(w):
+        r = F.regexp_replace(w, "(.)", "$1·")
+        for pat in merges:
+            r = F.replace(r, F.lit(pat), F.lit(pat.replace("·", "", 1)))
+        return r
+
+    reps = F.transform(words, encode)
+    n_tokens = F.aggregate(
+        reps,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + (F.length(r) - F.length(F.replace(r, F.lit("·"), F.lit("")))),
+    )
+    out = (
+        stream.withColumn("__w", words)
+        .where(F.size("__w") >= 1)
+        .select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.size("__w").cast("bigint").alias("n_words"),
+        )
+    )
+    sink = f"stream_bpe_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
 @query(
     "streaming_bloom",
     """
@@ -7812,9 +7884,10 @@ _GATE_PRIORITY = [
     #      reaches these, the rest keep three-scale replica evidence
     #      and rotate next round).
     # ------------------------------------------------------------------
-    # -- 1. new in r9 (4) + changed in r9 (3) --
+    # -- 1. new in r9 (5) + changed in r9 (3) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
     "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
+    "streaming_bpe_encode",  # new r9: stateless tokenizer serving on a stream
     "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
     "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
     "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif
