@@ -86,6 +86,19 @@ class Registry:
     #: GROUPED_AGG SQL surface is never registered and unprovable query
     #: shapes raise instead of falling back to it
     _strict_sql: bool = False
+    #: partial-stage salt granularity for the two-phase SQL rewrite.
+    #: None (default) salts by ``spark_partition_id()`` — one partial
+    #: state per (group, input partition), maximal hot-key spread.  An
+    #: integer S salts by ``pmod(spark_partition_id(), S)`` instead: a
+    #: hot key still folds S ways, but the partial stage creates at most
+    #: S (not P) states per group — the lever for HIGH-CARDINALITY group
+    #: keys on small-rows-per-key data, where O(K*P) pandas GROUPED_AGG
+    #: invocations of ~1 row each are pure per-call overhead (measured:
+    #: sql_agg_correlated_two_phase's inner per-partkey agg at sf0.1,
+    #: ~20k keys x 32 partitions, ~30 rows/key — see PLANS.md).  The
+    #: result is provably identical for ANY S: merge is associative and
+    #: commutative over partial states by the UDAF contract.
+    salt_buckets: "int | None" = None
 
     def add(self, fn: Any) -> None:
         self._fns.setdefault(fn.sig.name, []).append(fn)
@@ -793,9 +806,14 @@ class Registry:
         gnames = ", ".join(g_names)
         where = f" WHERE {where_txt}" if where_txt else ""
         src = f"(SELECT * FROM {frm_txt}{where})"
+        salt = (
+            "spark_partition_id()"
+            if self.salt_buckets is None
+            else f"pmod(spark_partition_id(), {int(self.salt_buckets)})"
+        )
         inner = (
             f"SELECT {grp_sel}{', ' if grp_sel else ''}{', '.join(inner_aggs)} "
-            f"FROM (SELECT *, spark_partition_id() AS __aus_salt "
+            f"FROM (SELECT *, {salt} AS __aus_salt "
             f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )

@@ -216,3 +216,42 @@ def test_count_allowed_uncorrelated():
     r = _reg()
     q = "SELECT o.a FROM t o WHERE o.q < (SELECT count_udaf(i.q) FROM t i WHERE i.q > 0)"
     assert r._rewrite_two_phase(q, _U) is not None
+
+
+# -- 5. salt_buckets knob: identical results, coarser partial salt ----------
+
+
+def test_salt_buckets_changes_salt_expr_only():
+    r = _reg()
+    q = "SELECT g, CAST(sum_udaf(v) AS BIGINT) AS s FROM t GROUP BY g"
+    default = r._rewrite_two_phase(q, _U)
+    assert "spark_partition_id() AS __aus_salt" in default
+    r.salt_buckets = 4
+    coarse = r._rewrite_two_phase(q, _U)
+    assert "pmod(spark_partition_id(), 4) AS __aus_salt" in coarse
+    # nothing else about the rewrite changes
+    assert default.replace(
+        "spark_partition_id()", "pmod(spark_partition_id(), 4)"
+    ) == coarse
+
+
+def test_salt_buckets_identical_values(spark):
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    GLOBAL.register_sql(spark)
+    spark.createDataFrame(
+        [(i, i % 3, i * 7 % 11) for i in range(200)],
+        "id long, g long, v long",
+    ).createOrReplaceTempView("salt_t")
+    q = (
+        "SELECT g, CAST(sum_udaf(v) AS BIGINT) AS s "
+        "FROM salt_t GROUP BY g ORDER BY g"
+    )
+    a = GLOBAL.sql(spark, q).collect()
+    old = GLOBAL.salt_buckets
+    try:
+        GLOBAL.salt_buckets = 2
+        b = GLOBAL.sql(spark, q).collect()
+    finally:
+        GLOBAL.salt_buckets = old
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
