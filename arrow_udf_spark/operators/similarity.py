@@ -799,3 +799,83 @@ def rrf_fuse(
             (F.floor(F.col("__rrf") * 1e6 + F.lit(0.5)) / 1e6).alias("rrf"),
         )
     )
+
+
+def matryoshka_recall(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncation-loss gate for Matryoshka-style embedding serving
+    (Kusupati et al. 2022): per query, the overlap between the top-k by
+    PREFIX-``dim`` dot product and the top-k by full-dimension dot
+    product — ``(q_id, n_overlap)``.
+
+    The MRL serving pattern stores one full-width vector and serves
+    coarse stages from its prefix (a 4x dim cut = 4x less I/O and
+    compute per candidate, no second index); this gate pins what that
+    truncation costs in recall, next to the exact answer, exactly as
+    ``quantized_dot_recall`` does for int8 and ``lsh_recall_at_k`` for
+    bucketing.  Both rankings are sequential index-order dot folds
+    (same rounding on any engine) with id tie-breaks, so the overlap
+    count is engine-exact.  Scale: the truncated ranking is the SERVING
+    path (slice happens scan-side, candidates never carry the tail
+    dims); the full-dot side exists only for the gate."""
+    base = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    pairs = base.crossJoin(F.broadcast(qs))
+    full = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    trunc = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("nv"), 1, dim),
+            F.slice(F.col("qv"), 1, dim),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "q_id", "n_id", trunc.alias("st"), full.alias("sf")
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("st").desc(), F.col("n_id").asc()
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("sf").desc(), F.col("n_id").asc()
+    )
+    tt = (
+        scored.withColumn("rt", F.row_number().over(wt))
+        .where(F.col("rt") <= k)
+        .select("q_id", "n_id")
+    )
+    tf = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .where(F.col("rf") <= k)
+        .select("q_id", "n_id")
+    )
+    overlap = (
+        tt.join(tf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("q_id"))
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )

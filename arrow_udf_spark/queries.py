@@ -6942,6 +6942,53 @@ def q_quantized_dot_recall(spark, sf):
 
 
 @query(
+    "matryoshka_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    qs AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.q_id, n.vec_id AS n_id,
+             list_sum(list_transform(range(1, 17),
+                   i -> n.e[i] * qs.qv[i])) AS st,
+             list_sum(list_transform(range(1, len(n.e) + 1),
+                   i -> n.e[i] * qs.qv[i])) AS sf
+      FROM v n CROSS JOIN qs
+    ),
+    tt AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY st DESC, n_id ASC) AS r FROM scored)
+           WHERE r <= 5),
+    tf AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sf DESC, n_id ASC) AS r FROM scored)
+           WHERE r <= 5),
+    o AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tt JOIN tf USING (q_id, n_id) GROUP BY q_id)
+    SELECT qs.q_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+    FROM qs LEFT JOIN o USING (q_id)
+    """,
+)
+def q_matryoshka_recall(spark, sf):
+    """Matryoshka truncation-loss gate (Kusupati et al. 2022): per
+    query, overlap between the top-5 ranked by the FIRST-16-dims dot
+    product and the top-5 by the full 64-dim dot — the recall number
+    that justifies serving coarse ANN stages from a prefix slice of one
+    stored vector (4x less I/O and multiply per candidate, no second
+    index).  Completes the serving-compression gate family:
+    ``quantized_dot_recall`` (precision axis), ``lsh_recall_at_k`` /
+    ``ivf_multiprobe`` (bucketing axis), and now the DIMENSION axis.
+    Both rankings are sequential index-order dot folds with id
+    tie-breaks — engine-exact."""
+    from .operators.similarity import matryoshka_recall
+
+    e = t(spark, sf, "embeddings")
+    return matryoshka_recall(
+        e, e.where(F.col("vec_id") < 5), k=5, dim=16
+    )
+
+
+@query(
     "embedding_mean_pool",
     """
     WITH ex AS (
@@ -7884,10 +7931,11 @@ _GATE_PRIORITY = [
     #      reaches these, the rest keep three-scale replica evidence
     #      and rotate next round).
     # ------------------------------------------------------------------
-    # -- 1. new in r9 (5) + changed in r9 (3) --
+    # -- 1. new in r9 (6) + changed in r9 (3) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
     "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
     "streaming_bpe_encode",  # new r9: stateless tokenizer serving on a stream
+    "matryoshka_recall",  # new r9: prefix-dim truncation recall gate
     "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
     "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
     "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif

@@ -86,3 +86,21 @@ def test_rrf_fuse_semantics(spark):
     d = spark.createDataFrame([(5, 5)], ["id", "rank"])
     tied = [r.id for r in rrf_fuse([c, d], k=2).collect()]
     assert tied == [5, 7]
+
+
+def test_matryoshka_recall_floor_and_diagnostic(spark):
+    """Prefix-16-of-64 truncation on the SYNTHETIC embeddings keeps only
+    1-2 of the top-5 — genuinely diagnostic: the fixture's vectors have
+    no matryoshka training, so the prefix carries ~1/4 of the signal
+    and the gate SHOWS that (unlike int8, whose rounding loses almost
+    nothing).  Floor at >= 1 (some prefix signal must survive), ceiling
+    asserted < 5 so the test fails if the fixture ever changes to make
+    truncation free — either way the number means something."""
+    from arrow_udf_spark.queries import QUERIES
+
+    rows = QUERIES["matryoshka_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["n_overlap"] >= 1 for r in rows), rows
+    assert any(r["n_overlap"] < 5 for r in rows), rows

@@ -62,6 +62,10 @@ WHITELIST = {
     ("quantized_dot_recall", "cartesian"):
         "joins the int8 ranking to the exact-dot baseline — the exact "
         "side is brute force by contract (the lsh_recall_at_k shape)",
+    ("matryoshka_recall", "cartesian"):
+        "joins the prefix-dim ranking to the exact full-dot baseline — "
+        "the exact side is brute force by contract (the "
+        "quantized_dot_recall shape; broadcast 5-query side)",
     ("skew_profile", "cartesian"):
         "corpus total is a broadcast 1-row crossJoin onto the top-k "
         "rows (ppm denominator) — the alternative, a global window over "
