@@ -7927,9 +7927,9 @@ _GATE_PRIORITY = [
     #      must re-prove first;
     #   2. the 15 remaining r4-stale queries — after this window no
     #      catalog query's latest driver row is older than r5;
-    #   3. the 29 OLDEST r5-stale queries (45 exist; the window
-    #      reaches these, the rest keep three-scale replica evidence
-    #      and rotate next round).
+    #   3. the 26 OLDEST r5-stale queries (45 exist; the ~50-slot
+    #      window reaches these, the rest keep three-scale replica
+    #      evidence and rotate next round).
     # ------------------------------------------------------------------
     # -- 1. new in r9 (6) + changed in r9 (3) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
@@ -7984,9 +7984,6 @@ _GATE_PRIORITY = [
     "key_values_udtf",
     "kmv_source_similarity",
     "length_fn",
-    "lsh_candidate_pairs",
-    "many_args",
-    "max2_concat2",
 ]
 
 
