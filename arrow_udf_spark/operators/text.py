@@ -584,12 +584,16 @@ def bpe_train_encode(
     1. Compact the corpus to the WORD-FREQUENCY table — the classic BPE
        trick: training never touches raw documents again, only the
        O(|word vocab|) ``(word, freq)`` rows.
-    2. Represent each word as marker-terminated symbols
-       (``"the" -> "t·h·e·"``).  The marker makes textual ``replace``
-       EXACTLY the BPE merge: a pair pattern ``"a·b·"`` can only align
-       at symbol boundaries (the marker never occurs inside a symbol),
-       and ``replace`` substitutes left-to-right non-overlapping — the
-       canonical merge order ("aaa" + (a,a) -> "aa a", not "a aa").
+    2. Represent each word as marker-WRAPPED symbols
+       (``"the" -> "·t··h··e·"``).  Both edges of every symbol carry a
+       marker, so a pair pattern ``"·a··b·"`` can only align at symbol
+       boundaries — a trailing-marker-only scheme is UNSOUND: the
+       pattern's bare leading symbol can match the TAIL of a longer
+       symbol ("·d·c·" inside "dd·c·"), a real corruption hypothesis
+       found on the terminated form.  The doubled inner separator also
+       means adjacent matches share no characters, so ``replace``
+       substitutes left-to-right non-overlapping — the canonical merge
+       order ("aaa" + (a,a) -> "aa a", not "a aa").
     3. ``n_merges`` iterations of: fan adjacent pairs out of every word
        (weighted by freq), argmax ``(count DESC, pair ASC)`` — ONE row
        to the driver per iteration, like kmeans' per-round centroid
@@ -611,7 +615,7 @@ def bpe_train_encode(
     over vocab-sized rows, not corpus-sized (the measured-perf HOF
     caveat does not bite; see PLANS.md).
     """
-    M = "·"  # the symbol terminator; stripped from input words
+    M = "·"  # the symbol-boundary marker; stripped from input words
     words_of = lambda d: (  # noqa: E731
         d.select(
             F.col(id_col).alias("id"),
@@ -624,19 +628,21 @@ def bpe_train_encode(
         F.count(F.lit(1)).alias("freq")
     )
     cur = vocab.withColumn(
-        "r", F.regexp_replace(F.col("w"), "(.)", "$1" + M)
+        "r", F.regexp_replace(F.col("w"), "(.)", M + "$1" + M)
     ).persist()
     merges: list[str] = []
     prev = None
     for _ in range(n_merges):
-        syms = F.split(F.col("r"), M)  # trailing "" after the last marker
+        # split on the marker leaves "" between/around symbols — filter
+        syms = F.filter(F.split(F.col("r"), M), lambda x: x != "")
         pairs = F.when(
-            F.size(syms) >= 3,
+            F.size(syms) >= 2,
             F.transform(
-                F.sequence(F.lit(0), F.size(syms) - 3),
+                F.sequence(F.lit(0), F.size(syms) - 2),
                 lambda i: F.concat(
-                    F.element_at(syms, i + 1),
                     F.lit(M),
+                    F.element_at(syms, i + 1),
+                    F.lit(M + M),
                     F.element_at(syms, i + 2),
                     F.lit(M),
                 ),
@@ -653,7 +659,8 @@ def bpe_train_encode(
         if not best:
             break
         pat = best[0]["p"]
-        merged = pat.replace(M, "", 1)  # drop the INNER marker only
+        # "·a··b·" -> "·ab·": delete the doubled inner boundary
+        merged = pat.replace(M + M, "", 1)
         merges.append(pat)
         nxt = cur.withColumn(
             "r", F.replace(F.col("r"), F.lit(pat), F.lit(merged))
@@ -664,10 +671,9 @@ def bpe_train_encode(
         prev, cur = cur, nxt
     final = cur.select(
         "w",
-        (
-            F.length("r")
-            - F.length(F.replace(F.col("r"), F.lit(M), F.lit("")))
-        ).alias("n_sym"),
+        F.size(
+            F.filter(F.split(F.col("r"), M), lambda x: x != "")
+        ).cast("long").alias("n_sym"),
     )
     out = (
         words_of(df)
@@ -683,7 +689,7 @@ def bpe_train_encode(
 
 def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
     """DuckDB replay of ``bpe_train_encode``: the same word-frequency
-    compaction, the same marker representation, and ``n_merges``
+    compaction, the same marker-wrapped representation, and ``n_merges``
     UNROLLED argmax+merge iterations as chained CTEs (the kmeans
     unrolled-trajectory gate pattern) — then the same vocab-join
     per-document encode.  Both engines break count ties on the
@@ -700,7 +706,7 @@ def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
     ),
     w0 AS MATERIALIZED (
       SELECT w, COUNT(*) AS freq,
-             regexp_replace(w, '(.)', '\\1{M}', 'g') AS r
+             regexp_replace(w, '(.)', '{M}\\1{M}', 'g') AS r
       FROM dw GROUP BY w
     )"""
     ]
@@ -709,10 +715,14 @@ def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
             f""",
     p{k} AS MATERIALIZED (
       WITH e AS (
-        SELECT freq, s, unnest(range(1, len(s) - 1)) AS i
-        FROM (SELECT freq, string_split(r, '{M}') AS s FROM w{k - 1})
+        SELECT freq, s, unnest(range(1, len(s))) AS i
+        FROM (SELECT freq,
+                     list_filter(string_split(r, '{M}'),
+                                 x -> x <> '') AS s
+              FROM w{k - 1})
       )
-      SELECT s[i] || '{M}' || s[i + 1] || '{M}' AS p, SUM(freq) AS cnt
+      SELECT '{M}' || s[i] || '{M}{M}' || s[i + 1] || '{M}' AS p,
+             SUM(freq) AS cnt
       FROM e GROUP BY 1
     ),
     b{k} AS MATERIALIZED (SELECT p FROM p{k}
@@ -720,15 +730,17 @@ def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
     w{k} AS MATERIALIZED (
       SELECT w, freq,
              replace(r, (SELECT p FROM b{k}),
-                     (SELECT regexp_replace(p, '{M}', '') FROM b{k})) AS r
+                     (SELECT regexp_replace(p, '{M}{M}', '') FROM b{k}))
+               AS r
       FROM w{k - 1}
     )"""
         )
     sql.append(
         f"""
     SELECT dw.doc_id,
-           CAST(SUM(length(f.r) - length(replace(f.r, '{M}', '')))
-                AS BIGINT) AS n_tokens,
+           CAST(SUM(len(list_filter(string_split(f.r, '{M}'),
+                                    x -> x <> ''))) AS BIGINT)
+               AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_words
     FROM dw JOIN w{n_merges} f USING (w)
     GROUP BY dw.doc_id"""

@@ -6670,17 +6670,22 @@ def q_streaming_bpe_encode(spark, sf):
     )
 
     def encode(w):
-        r = F.regexp_replace(w, "(.)", "$1·")
+        r = F.regexp_replace(w, "(.)", "·$1·")
         for pat in merges:
-            r = F.replace(r, F.lit(pat), F.lit(pat.replace("·", "", 1)))
+            r = F.replace(r, F.lit(pat), F.lit(pat.replace("··", "", 1)))
         return r
 
+    # symbol count = half the marker count (every symbol carries a
+    # marker on BOTH edges in the wrapped representation)
     reps = F.transform(words, encode)
     n_tokens = F.aggregate(
         reps,
         F.lit(0).cast("long"),
         lambda acc, r: acc
-        + (F.length(r) - F.length(F.replace(r, F.lit("·"), F.lit("")))),
+        + (
+            (F.length(r) - F.length(F.replace(r, F.lit("·"), F.lit(""))))
+            / F.lit(2)
+        ).cast("long"),
     )
     out = (
         stream.withColumn("__w", words)

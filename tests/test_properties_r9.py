@@ -129,8 +129,11 @@ def _referee_bpe(texts, n_merges):
         if not pairs:
             break
         # argmax with (count DESC, pair ASC) — pair compared in the
-        # marker rendering ("a·b·") to mirror the operator's collation
-        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}·{kv[0][1]}·"))[0]
+        # marker-wrapped rendering ("·a··b·") to mirror the operator
+        best = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1], f"·{kv[0][0]}··{kv[0][1]}·"),
+        )[0]
         merges.append(best)
         for w, syms in vocab.items():
             out, i = [], 0
@@ -168,7 +171,7 @@ def test_bpe_matches_python_referee(spark, texts, n_merges):
     out, merges = bpe_train_encode(df, n_merges=n_merges)
     got = {r.id: (r.n_tokens, r.n_words) for r in out.collect()}
     ref_counts, ref_merges = _referee_bpe(texts, n_merges)
-    assert merges == [f"{a}·{b}·" for a, b in ref_merges]
+    assert merges == [f"·{a}··{b}·" for a, b in ref_merges]
     exp = {
         i: rc
         for i, rc in enumerate(ref_counts)
