@@ -1161,6 +1161,74 @@ def q_dedup_exact(spark, sf):
 
 
 @query(
+    "streaming_exact_dedup",
+    """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_streaming_exact_dedup(spark, sf):
+    """EXACT dedup as incremental ingestion — the digest twin of
+    ``streaming_semdedup`` and the simplest member of the streaming
+    dedup family: a NATIVE update-mode streaming aggregation keyed by
+    the content digest, ``min(doc_id)`` / ``count(*)`` per key, so
+    Spark's state store holds exactly ONE (min, count) pair per
+    distinct content — partial+final aggregation per micro-batch, no
+    foreachBatch, no custom state.  The update-mode memory sink emits a
+    row per touched key per trigger; because both aggregates are
+    MONOTONE (keep_id only shrinks, n_copies only grows), the final
+    state is recovered exactly by ``min``/``max`` over the update
+    stream — the drained result hash-matches the batch ``dedup_exact``
+    oracle verbatim.
+
+    Scale: per-key state is O(1); the key space grows with distinct
+    content, which is the honest cost of exact dedup anywhere — in
+    production this state lives in RocksDB with changelog
+    checkpointing, or the aggregation is replaced by a Delta-style
+    MERGE into the digest table (the ``streaming_semdedup`` persisted-
+    table posture)."""
+    import uuid
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_xdd_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    from .operators.dedup import content_hash
+
+    agg = (
+        stream.select(content_hash("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    sink = f"stream_xdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("h")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+    )
+
+
+@query(
     "minhash_signature",
     f"""
     SELECT doc_id,
@@ -7932,15 +8000,16 @@ _GATE_PRIORITY = [
     #      must re-prove first;
     #   2. the 15 remaining r4-stale queries — after this window no
     #      catalog query's latest driver row is older than r5;
-    #   3. the 26 OLDEST r5-stale queries (45 exist; the ~50-slot
+    #   3. the 25 OLDEST r5-stale queries (45 exist; the ~50-slot
     #      window reaches these, the rest keep three-scale replica
     #      evidence and rotate next round).
     # ------------------------------------------------------------------
-    # -- 1. new in r9 (6) + changed in r9 (3) --
+    # -- 1. new in r9 (7) + changed in r9 (3) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
     "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
     "streaming_bpe_encode",  # new r9: stateless tokenizer serving on a stream
     "matryoshka_recall",  # new r9: prefix-dim truncation recall gate
+    "streaming_exact_dedup",  # new r9: update-mode digest aggregation
     "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
     "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
     "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif
@@ -7987,7 +8056,6 @@ _GATE_PRIORITY = [
     "json_array_elements_udtf",
     "key_value_fn",
     "key_values_udtf",
-    "kmv_source_similarity",
     "length_fn",
 ]
 
