@@ -308,6 +308,152 @@ def repetition_ratio(
     return out.withColumn("dup_ratio", ratio)
 
 
+def gopher_repetition(
+    df,
+    text_col: str = "text",
+    key: str = "doc_id",
+):
+    """Gopher-style CHARACTER-COVERAGE repetition signals (Rae et al. 2021,
+    appendix A1.1 — the filter set every big web-corpus pipeline runs):
+
+    - ``frac_top2`` — fraction of word characters contained in all
+      occurrences of the single most frequent word 2-gram (the paper
+      rejects documents above 0.20);
+    - ``frac_dup5`` — fraction of word characters covered by words that
+      participate in ANY occurrence of a duplicated 5-gram, counting each
+      word position once even when overlapping duplicated grams cover it
+      repeatedly (the paper's "do not double count" clause; it rejects
+      above ~0.15);
+    - ``n_words`` / ``total_chars`` — the denominators, for auditability.
+
+    Distinct from :func:`repetition_ratio`, which is the unique/total gram
+    COUNT ratio: these are the char-weighted coverage forms the paper
+    specifies.  Characters are WORD characters (whitespace excluded) on
+    both sides of the oracle, so the definition is engine-exact.
+
+    Scale shape (the reason this is NOT a per-row HOF scan): a 10k-word
+    document would make the naive per-row duplicate scan O(m²).  Instead
+    the plan is linear end-to-end — ONE tokenization, one explode of
+    tagged (n, start, gram) structs, a (doc, n, gram) count with map-side
+    combine, and one equi-join back to the doc row.  Per-doc HOF work only
+    touches the duplicated-5-gram START LIST (bounded by actual duplicate
+    volume, near-zero on clean corpora); ties for the top 2-gram break by
+    (count desc, gram asc) — a total order, so cross-engine deterministic.
+    """
+    staged = df.select(
+        key,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    ntok = F.size(toks)
+    wlen = lambda i: F.length(F.element_at(toks, i))  # noqa: E731
+
+    def grams(n: int):
+        # sequence(0, -k) ramps DOWN in Spark — guard short docs
+        return F.when(
+            ntok >= n,
+            F.transform(
+                F.sequence(F.lit(0), ntok - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.cast("int").alias("start"),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ).alias("gram"),
+                    sum(
+                        [wlen(i + j + 1) for j in range(1, n)],
+                        wlen(i + 1),
+                    ).cast("long").alias("glen"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,start:int,gram:string,glen:bigint>>"
+        ))
+
+    ex = staged.select(
+        key, F.explode(F.concat(grams(2), grams(5))).alias("g")
+    ).select(key, "g.n", "g.start", "g.gram", "g.glen")
+    per_gram = ex.groupBy(key, "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.min("glen").alias("glen"),
+        F.collect_list("start").alias("starts"),
+    )
+    # most frequent 2-gram via a struct-min (no window): min over
+    # (-cnt, gram) is (highest count, lexicographically first)
+    top2 = (
+        per_gram.where(F.col("n") == 2)
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("gram").alias("gram"),
+                    F.col("glen").alias("glen"),
+                )
+            ).alias("t")
+        )
+        .select(
+            key,
+            (-F.col("t.neg") * F.col("t.glen")).cast("long").alias("top2_chars"),
+        )
+    )
+    # word positions covered by duplicated 5-grams, counted once
+    dup5 = (
+        per_gram.where((F.col("n") == 5) & (F.col("cnt") > 1))
+        .groupBy(key)
+        .agg(F.flatten(F.collect_list("starts")).alias("starts"))
+        .select(
+            key,
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("starts"), lambda s: F.sequence(s, s + 4)
+                    )
+                )
+            ).alias("covered"),
+        )
+    )
+    base = staged.select(
+        key,
+        toks.alias("__toks"),
+        ntok.cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("total_chars"),
+    )
+    joined = (
+        base.join(top2, key, "left")
+        .join(dup5, key, "left")
+        .withColumn(
+            "dup5_chars",
+            F.coalesce(
+                F.aggregate(
+                    F.col("covered"),
+                    F.lit(0).cast("long"),
+                    lambda a, i: a + F.length(F.element_at(F.col("__toks"), i + 1)),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("top2_chars", F.coalesce(F.col("top2_chars"), F.lit(0).cast("long")))
+    )
+
+    def frac(num):
+        return F.when(
+            F.col("total_chars") > 0,
+            F.floor(F.lit(1.0) * num / F.col("total_chars") * 1e6 + F.lit(0.5))
+            / 1e6,
+        ).otherwise(F.lit(0.0))
+
+    return joined.select(
+        key,
+        "n_words",
+        "total_chars",
+        frac(F.col("top2_chars")).alias("frac_top2"),
+        frac(F.col("dup5_chars")).alias("frac_dup5"),
+    )
+
+
 def redact_pii(df, text_col: str = "text", key: str = "doc_id"):
     """Scrub emails and long digit runs from text — the standard PII pass
     before training-data release.  Two chained regexp_replace expressions

@@ -6061,6 +6061,113 @@ def q_repetition_ratio(spark, sf):
 
 
 @query(
+    "gopher_repetition",
+    # Gopher char-coverage repetition rules: frac of word chars in all
+    # occurrences of the most frequent 2-gram, and frac of word chars
+    # covered (each position once) by duplicated 5-grams.  Tie-break for
+    # the top 2-gram is (count DESC, gram ASC) — a total order, so the
+    # winner is cross-engine deterministic.
+    r"""
+    WITH doct AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+                    WHEN doc_id % 5 = 1 THEN text || ' ' || array_to_string(
+                        regexp_split_to_array(trim(text), '\s+')[1:5], ' ')
+                    ELSE text END AS text
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM doct
+    ), base AS (
+        SELECT doc_id, t, len(t) AS n_words,
+               CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum')
+                    AS BIGINT) AS total_chars
+        FROM tk
+    ), o2 AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS gram,
+               length(t[i]) + length(t[i+1]) AS glen
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM base WHERE len(t) >= 2)
+    ), g2 AS (
+        SELECT doc_id, gram, count(*) AS cnt, min(glen) AS glen
+        FROM o2 GROUP BY doc_id, gram
+    ), top2 AS (
+        SELECT doc_id, cnt * glen AS top2_chars
+        FROM (SELECT doc_id, cnt, glen,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM g2) WHERE rn = 1
+    ), o5 AS (
+        SELECT doc_id, i AS start,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+              FROM base WHERE len(t) >= 5)
+    ), g5 AS (
+        SELECT doc_id, gram FROM o5
+        GROUP BY doc_id, gram HAVING count(*) > 1
+    ), cov AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT o5.doc_id, unnest(range(o5.start, o5.start + 5)) AS idx
+            FROM o5 JOIN g5 USING (doc_id, gram))
+    ), d5 AS (
+        SELECT cov.doc_id,
+               CAST(SUM(length(base.t[CAST(cov.idx AS INT)])) AS BIGINT)
+                   AS dup5_chars
+        FROM cov JOIN base ON cov.doc_id = base.doc_id
+        GROUP BY cov.doc_id
+    )
+    SELECT base.doc_id,
+           CAST(base.n_words AS BIGINT) AS n_words,
+           base.total_chars AS total_chars,
+           CASE WHEN base.total_chars > 0
+                THEN floor(1.0 * COALESCE(top2.top2_chars, 0)
+                           / base.total_chars * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS frac_top2,
+           CASE WHEN base.total_chars > 0
+                THEN floor(1.0 * COALESCE(d5.dup5_chars, 0)
+                           / base.total_chars * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS frac_dup5
+    FROM base LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    """,
+)
+def q_gopher_repetition(spark, sf):
+    """Gopher character-coverage repetition filters (top-2-gram char
+    fraction + duplicated-5-gram char coverage) — the char-weighted forms
+    the paper specifies, distinct from ``repetition_ratio``'s count
+    ratio.  Linear plan: one tokenization, one tagged-gram explode, one
+    (doc, n, gram) count with map-side combine, one join back.
+
+    The fixture corpus has no natural 5-gram duplicates, so the query
+    doctors it deterministically — doc_id%5==0 self-concatenates (every
+    gram duplicated, overlapping coverage must UNION to ~1.0, the
+    double-count trap), %5==1 echoes the first five words (one duplicated
+    gram, light coverage), the rest stay clean (0.0) — so all three
+    regimes are load-bearing in the gate."""
+    from .operators.text import gopher_repetition
+
+    d = t(spark, sf, "documents")
+    # substring_index, not a second split(trim): the doctoring must not
+    # add a tokenization to the scan segment (plan-lint retokenize rule);
+    # the fixture is single-space separated so the two forms agree
+    head5 = F.substring_index(F.trim(F.col("text")), " ", 5)
+    doctored = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" "), head5),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_repetition(doctored)
+
+
+@query(
     "redact_pii",
     """
     SELECT doc_id,
