@@ -30,6 +30,7 @@ __all__ = [
     "split_assign",
     "temperature_mix",
     "dsir_logweights",
+    "weighted_sample",
 ]
 
 
@@ -51,6 +52,61 @@ def hash_sample(
         10,
     ).cast("long")
     return df.where(h % 10000 < rate_bp)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006, "A-ES"): keep the ``k`` rows with the
+    largest ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — where
+    ``u`` is a uniform in (0, 1].  Inclusion probability is proportional
+    to weight, and the no-replacement guarantee is the algorithm's whole
+    point (naive independent Bernoulli thinning over-samples heavy rows).
+
+    The uniform is md5-derived (``(md5_32(salt||key)+1) / 2^32``), NOT an
+    RNG — :func:`hash_sample`'s principle generalized to weights: the
+    sample is bit-stable across runs, retries, repartitioning, and
+    engines, which is what makes a corpus subsample auditable.  The
+    priority is rounded half-up at 9 dp before ranking so a last-ulp
+    ``ln`` difference between libm and ``java.lang.Math.log`` cannot flip
+    the rounded key; ties (same rounded priority) break on ``key`` — a
+    total order, so the selected SET and its ranks are cross-engine
+    deterministic.
+
+    Scale shape: per-row hash + log, then ONE global
+    ``TakeOrderedAndProject(k)`` — per-partition top-k heaps and a k-row
+    reduce, never a full sort shuffle.  Rows with non-positive weight are
+    excluded (ln(u)/w flips sign); ``u > 0`` by construction so ln is
+    finite.
+    """
+    h = F.conv(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    pr = F.floor(
+        F.log(u) / F.col(weight_col) * 1e9 + F.lit(0.5)
+    ) / 1e9
+    picked = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(key),
+            F.col(weight_col).cast("long").alias("weight"),
+            pr.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(key).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col(key).asc())
+    return picked.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
 
 
 def pack_sequences(

@@ -3240,6 +3240,41 @@ def q_hash_sample(spark, sf):
 
 
 @query(
+    "weighted_sample",
+    # A-ES weighted reservoir: priority = ln((md5_32('ws'||id)+1)/2^32)/w,
+    # rounded half-up at 9dp so libm-vs-Math.log last-ulp differences
+    # cannot flip the rounded ranking key; ties break on doc_id.  The
+    # selected SET, priorities, and ranks are all hash-gated.
+    """
+    WITH pr AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS weight,
+               floor(ln((CAST(('0x' || substr(md5('ws' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          + 1) / 4294967296.0)
+                     / n_chars * 1e9 + 0.5) / 1e9 AS priority
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM pr ORDER BY priority DESC, doc_id LIMIT 40
+    """,
+)
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted reservoir sample (A-ES) of 40 documents
+    with probability proportional to n_chars — md5-derived uniforms in
+    place of the RNG (hash_sample's principle generalized to weights),
+    so the subsample is reproducible and cross-engine auditable.  Plan:
+    per-row hash+log, one TakeOrderedAndProject(k) — per-partition
+    top-k heaps, never a full sort."""
+    from arrow_udf_spark.operators.sampling import weighted_sample
+
+    d = t(spark, sf, "documents")
+    return weighted_sample(d, key="doc_id", weight_col="n_chars", k=40, salt="ws")
+
+
+@query(
     "temperature_mix",
     # alpha=0.5: accept iff frac^2 < n_min/n_s — one IEEE multiply and one
     # division, NO sqrt/pow, so both engines compute the identical
