@@ -11,16 +11,17 @@ Decode status by format:
   implemented here with ``struct``/numpy only (these container formats
   need no codec library).  ``wav_meta`` runs a genuine
   synthesize→bytes→parse roundtrip whose metadata is oracle-checked.
-- **PNG (non-interlaced, 8-bit RGB/RGBA)**: REAL encode + decode since
-  r8 — stdlib ``zlib`` plus the five scanline filters
-  (None/Sub/Up/Average/Paeth) are the whole format; no codec library
-  needed.  The synthetic encoder cycles the filter type per row so a
-  decode exercises every reconstruction path, and encoder/decoder share
-  nothing but the spec (filtering is vectorized subtraction over RAW
-  neighbors; unfiltering is the inverse sequential reconstruction).
-  Opaque PALETTE (color type 3) decodes too — unfilter at bpp=1, then
-  PLTE-expand to RGB.  16-bit/interlaced/tRNS-translucent PNGs raise
-  ``NotImplementedError``.
+- **PNG**: REAL encode + decode since r8 — stdlib ``zlib`` plus the five
+  scanline filters (None/Sub/Up/Average/Paeth) are the whole format; no
+  codec library needed.  The synthetic encoder cycles the filter type
+  per row so a decode exercises every reconstruction path, and
+  encoder/decoder share nothing but the spec (filtering is vectorized
+  subtraction over RAW neighbors; unfiltering is the inverse sequential
+  reconstruction).  Covers 8- AND 16-bit grey/grey+alpha/RGB/RGBA,
+  PALETTE (color type 3) opaque or tRNS-translucent (unfilter at bpp=1,
+  then PLTE→RGB/RGBA indirection), and Adam7 INTERLACE both directions
+  (r9 — each pass its own filtered sub-image).  Only bit-packed depths
+  (1/2/4) still raise ``NotImplementedError``.
 - **GIF87a/89a (single frame, global color table)**: REAL encode +
   decode since r8 — a genuine variable-width LZW compressor AND
   decompressor (dictionary building, CLEAR resets, the cScSc case),
@@ -70,7 +71,11 @@ __all__ = [
     "encode_png",
     "decode_png",
     "synth_png",
+    "synth_png16",
+    "synth_png_adam7",
+    "synth_png_trns",
     "png_pipeline",
+    "png_deep_pipeline",
     "encode_gif",
     "decode_gif",
     "synth_gif",
@@ -175,10 +180,25 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
             return None
         w, h = struct.unpack_from(">II", payload, 16)
         _depth, color = payload[24], payload[25]
+        channels = _PNG_CHANNELS.get(color, 0)
+        if color == 3:
+            # a tRNS chunk makes the decoded palette RGBA, not RGB — keep
+            # header channels equal to decode_png's output (ADVICE r8
+            # lesson); chunk tags sit before IDAT so the scan is tiny
+            pos = 8
+            while pos + 8 <= len(payload):
+                (clen,) = struct.unpack_from(">I", payload, pos)
+                tag = payload[pos + 4 : pos + 8]
+                if tag == b"tRNS":
+                    channels = 4
+                    break
+                if tag in (b"IDAT", b"IEND"):
+                    break
+                pos += 12 + clen
         return {
             "width": w,
             "height": h,
-            "channels": _PNG_CHANNELS.get(color, 0),
+            "channels": channels,
             "n_bytes": len(payload),
         }
     if payload[:2] == b"P6":
@@ -570,46 +590,31 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 3,
-    palette: bytes | None = None,
-) -> bytes:
-    """Encode raw 8-bit grey/grey+alpha/RGB/RGBA bytes as a real
-    non-interlaced PNG.
+#: Adam7 pass layout: (x0, y0, dx, dy) — the spec's seven-pass grid
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    With ``palette`` (a flat RGB byte string, ≤256 triples), ``pixels``
-    are 1-byte palette INDICES instead (``channels`` must be 1) and the
-    output is a color-type-3 PNG carrying a PLTE chunk — the indexed
-    form screenshots and charts ship in.
 
-    The scanline filter type CYCLES ``y % 5`` (None/Sub/Up/Average/Paeth)
-    so any decode of the output exercises every reconstruction path —
-    filtering here is vectorized subtraction over RAW neighbor bytes
-    (no sequential dependency on the encode side), sharing no code with
-    :func:`decode_png`'s sequential unfiltering."""
-    import zlib
-
+def _filter_rows(arr, bpp: int) -> bytearray:
+    """Forward-filter an (h, stride) int32 scanline block: per-row filter
+    byte, type cycling ``y % 5`` (None/Sub/Up/Average/Paeth) so any
+    decode exercises every reconstruction path.  ``bpp`` is BYTES per
+    pixel (channels x bytes-per-sample) — the spec's "left neighbor"
+    offset, which is what makes the same code serve 8- and 16-bit.
+    Vectorized subtraction over RAW neighbor bytes (no sequential
+    dependency on the encode side)."""
     import numpy as np
 
-    if palette is not None:
-        if channels != 1:
-            raise ValueError("palette PNGs carry 1-byte indices")
-        if len(palette) % 3 or not 3 <= len(palette) <= 768:
-            raise ValueError("PLTE must be 1..256 RGB triples")
-    elif channels not in (1, 2, 3, 4):
-        raise NotImplementedError(
-            "encode_png supports grey/grey+alpha/RGB/RGBA only"
-        )
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
-        height, width * channels
-    ).astype(np.int32)
-    bpp = channels
     out = bytearray()
-    zero = np.zeros(width * channels, dtype=np.int32)
-    for y in range(height):
+    zero = np.zeros(arr.shape[1], dtype=np.int32)
+    for y in range(arr.shape[0]):
         row = arr[y]
         prev = arr[y - 1] if y > 0 else zero
         left = np.zeros_like(row)
@@ -634,11 +639,77 @@ def encode_png(
             filt = row - pred
         out.append(ftype)
         out += (filt % 256).astype(np.uint8).tobytes()
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    palette: bytes | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode raw grey/grey+alpha/RGB/RGBA samples as a real PNG.
+
+    - ``depth`` 8 or 16; 16-bit ``pixels`` are big-endian sample bytes
+      (the wire order, so filtering is plain byte math either way).
+    - With ``palette`` (a flat RGB byte string, ≤256 triples), ``pixels``
+      are 1-byte palette INDICES (``channels`` must be 1, depth 8) and
+      the output is a color-type-3 PNG carrying a PLTE chunk; ``trns``
+      optionally adds per-entry alpha (entries beyond it are opaque).
+    - ``interlace`` emits the Adam7 seven-pass layout: each pass is its
+      own independently-filtered sub-image, exactly the spec's scanline
+      regrouping.
+
+    The scanline filter type CYCLES ``y % 5`` per pass (see
+    :func:`_filter_rows`); encoder and decoder share only the spec."""
+    import numpy as np
+    import zlib
+
+    if palette is not None:
+        if channels != 1 or depth != 8:
+            raise ValueError("palette PNGs carry 1-byte indices at depth 8")
+        if len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("PLTE must be 1..256 RGB triples")
+        if trns is not None and len(trns) > len(palette) // 3:
+            raise ValueError("tRNS longer than the palette")
+    else:
+        if trns is not None:
+            raise ValueError("tRNS here is the palette-alpha form only")
+        if channels not in (1, 2, 3, 4):
+            raise NotImplementedError(
+                "encode_png supports grey/grey+alpha/RGB/RGBA only"
+            )
+        if depth not in (8, 16):
+            raise NotImplementedError("encode_png supports depth 8/16 only")
+    sb = depth // 8
+    bpp = channels * sb
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width * bpp
+    ).astype(np.int32)
+    if not interlace:
+        out = _filter_rows(arr, bpp)
+    else:
+        arr3 = arr.reshape(height, width, bpp)
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr3[y0::dy, x0::dx, :]
+            if sub.size:
+                out += _filter_rows(
+                    sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp
+                )
     color_type = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, int(interlace)
+    )
     body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         body += _png_chunk(b"PLTE", palette)
+        if trns is not None:
+            body += _png_chunk(b"tRNS", trns)
     return (
         body
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
@@ -646,25 +717,86 @@ def encode_png(
     )
 
 
-def decode_png(payload: bytes):
-    """Fully decode a non-interlaced 8-bit grey/grey+alpha/RGB/RGBA or
-    PALETTE (color type 3, opaque) PNG with stdlib zlib:
-    walk the chunks (CRC-verified), inflate the concatenated IDATs, then
-    reconstruct each scanline through the filter spec's inverse
-    (None/Sub/Up/Average/Paeth — Sub/Average/Paeth are inherently
-    sequential in x, the natural inverse of the encoder's vectorized
-    forward filtering).  Palette scanlines unfilter at bpp=1 over the
-    index bytes, THEN expand through the PLTE lookup to RGB — the spec's
-    order (filtering always precedes palette indirection).  Returns
-    ``(width, height, channels, raw)`` with ``raw`` an (h, w*channels)
-    uint8 array; palette images come back as channels=3 RGB.
-
-    16-bit / interlaced / tRNS-translucent-palette PNGs raise
-    ``NotImplementedError`` — honest descopes; the formats a
-    training-data pipeline synthesizes or screenshots are covered."""
-    import zlib
-
+def _unfilter_rows(flat: bytes, off: int, h: int, w_px: int, bpp: int):
+    """Sequentially reconstruct ``h`` filtered scanlines of ``w_px``
+    pixels x ``bpp`` bytes starting at ``flat[off]`` — the filter spec's
+    inverse (None/Sub/Up/Average/Paeth).  The x-recurrences run per PIXEL
+    on bpp-lane BYTE vectors (or as one cumsum for Sub), not per byte —
+    ``bpp`` already folds in bytes-per-sample, which is why the same code
+    serves 8- and 16-bit.  Returns ((h, w_px*bpp) uint8, bytes consumed).
+    """
     import numpy as np
+
+    stride = w_px * bpp
+    need = h * (stride + 1)
+    if off + need > len(flat):
+        raise ValueError("PNG scanline payload length mismatch")
+    raw = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    zero_px = np.zeros(bpp, dtype=np.int32)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        ftype = flat[base]
+        out = np.frombuffer(
+            flat, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256, vectorized
+            out = out.reshape(w_px, bpp).cumsum(axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up: vectorized
+            out = (out + prev) % 256
+        elif ftype == 3:  # Average: floor-div breaks the prefix-sum trick
+            o2, p2 = out.reshape(w_px, bpp), prev.reshape(w_px, bpp)
+            left = zero_px
+            for x in range(w_px):
+                o2[x] = (o2[x] + (left + p2[x]) // 2) % 256
+                left = o2[x]
+        elif ftype == 4:  # Paeth: data-dependent predictor, per pixel
+            o2, p2 = out.reshape(w_px, bpp), prev.reshape(w_px, bpp)
+            left = zero_px
+            ul = zero_px
+            for x in range(w_px):
+                b_ = p2[x]
+                p = left + b_ - ul
+                pa = np.abs(p - left)
+                pb = np.abs(p - b_)
+                pc = np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, b_, ul),
+                )
+                o2[x] = (o2[x] + pred) % 256
+                left = o2[x]
+                ul = b_
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        raw[y] = out.astype(np.uint8)
+        prev = out
+    return raw, need
+
+
+def decode_png(payload: bytes):
+    """Fully decode an 8- or 16-bit grey/grey+alpha/RGB/RGBA or PALETTE
+    (color type 3, opaque or tRNS-translucent) PNG, non-interlaced OR
+    Adam7-interlaced, with stdlib zlib: walk the chunks (CRC-verified),
+    inflate the concatenated IDATs, then reconstruct each scanline
+    through the filter spec's inverse (see :func:`_unfilter_rows`).
+    Adam7 unfilters each of the seven passes as its own sub-image (the
+    filters' left/up neighbors are PASS-local, the spec's trap) and
+    scatters it into the full grid.  Palette scanlines unfilter at bpp=1
+    over the index bytes, THEN expand through the PLTE lookup — with a
+    tRNS chunk, to RGBA (entries beyond tRNS are opaque 255), else RGB.
+
+    Returns ``(width, height, channels, raw)``: ``raw`` is an
+    (h, w*channels) array — uint8 at depth 8, uint16 at depth 16 (samples
+    recombined big-endian AFTER byte-level unfiltering, the spec's
+    order).  Bit-packed depths 1/2/4 raise ``NotImplementedError`` —
+    honest descope; the formats a training-data pipeline synthesizes or
+    screenshots are covered."""
+    import numpy as np
+    import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -693,81 +825,64 @@ def decode_png(payload: bytes):
         pos += 12 + clen
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace != 0:
+    if (
+        depth not in (8, 16)
+        or color not in (0, 2, 3, 4, 6)
+        or interlace not in (0, 1)
+        or (color == 3 and depth != 8)
+    ):
         raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace}: only "
-            "non-interlaced 8-bit grey/grey+alpha/RGB/RGBA/palette decode "
-            "without a codec library here (16-bit and Adam7 change the "
-            "scanline math)"
+            f"PNG depth={depth} color={color} interlace={interlace}: "
+            "bit-packed depths (1/2/4) and 16-bit palettes are out of "
+            "scope without a codec library"
         )
     if color == 3:
         if plte is None or len(plte) % 3 or len(plte) > 768:
             raise ValueError("palette PNG missing or malformed PLTE")
-        if trns is not None:
-            raise NotImplementedError(
-                "translucent palette (tRNS) PNGs are out of scope — "
-                "opaque PLTE expands to RGB, alpha indirection does not"
-            )
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than the palette")
         channels = 1  # index bytes; PLTE expansion happens after unfilter
+        sb = 1
     else:
-        channels = _PNG_CHANNELS[color]
-    bpp = channels
-    stride = w * channels
+        channels = _PNG_CHANNELS[color]  # 0/2/4/6: wire == decoded
+        sb = depth // 8
+    bpp = channels * sb
     flat = zlib.decompress(bytes(idat))
-    if len(flat) != h * (stride + 1):
-        raise ValueError("PNG scanline payload length mismatch")
-    raw = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    zero_px = np.zeros(bpp, dtype=np.int32)
-    for y in range(h):
-        line = flat[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ftype = line[0]
-        out = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
-        # the x-recurrences run per PIXEL on bpp-lane vectors (or as one
-        # cumsum for Sub), not per byte — decode cost is what makes this
-        # path a real operator at corpus scale, not a demo
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub: raw[x] = filt[x] + raw[x-1] per lane —
-            # exactly a per-lane prefix sum mod 256, fully vectorized
-            out = out.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
-        elif ftype == 2:  # Up: vectorized
-            out = (out + prev) % 256
-        elif ftype == 3:  # Average: floor-div breaks the prefix-sum trick;
-            # w pixel iterations of bpp-vector math
-            o2, p2 = out.reshape(w, bpp), prev.reshape(w, bpp)
-            left = zero_px
-            for x in range(w):
-                o2[x] = (o2[x] + (left + p2[x]) // 2) % 256
-                left = o2[x]
-        elif ftype == 4:  # Paeth: data-dependent predictor, per pixel
-            o2, p2 = out.reshape(w, bpp), prev.reshape(w, bpp)
-            left = zero_px
-            ul = zero_px
-            for x in range(w):
-                b_ = p2[x]
-                p = left + b_ - ul
-                pa = np.abs(p - left)
-                pb = np.abs(p - b_)
-                pc = np.abs(p - ul)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc),
-                    left,
-                    np.where(pb <= pc, b_, ul),
-                )
-                o2[x] = (o2[x] + pred) % 256
-                left = o2[x]
-                ul = b_
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        raw[y] = out.astype(np.uint8)
-        prev = out
+    if interlace == 0:
+        raw, used = _unfilter_rows(flat, 0, h, w, bpp)
+        if used != len(flat):
+            raise ValueError("PNG scanline payload length mismatch")
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _unfilter_rows(flat, off, ph, pw, bpp)
+            off += used
+            img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if off != len(flat):
+            raise ValueError("PNG scanline payload length mismatch")
+        raw = img.reshape(h, w * bpp)
     if color == 3:
         # PLTE indirection: out-of-range indices are a spec violation
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(raw.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of PLTE range")
-        return w, h, 3, pal[raw].reshape(h, w * 3)
+        rgb = pal[raw].reshape(h, w, 3)
+        if trns is None:
+            return w, h, 3, rgb.reshape(h, w * 3)
+        alpha = np.full(256, 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        rgba = np.concatenate([rgb, alpha[raw].reshape(h, w, 1)], axis=2)
+        return w, h, 4, rgba.reshape(h, w * 4)
+    if depth == 16:
+        # big-endian sample recombination AFTER unfiltering (spec order)
+        hi = raw[:, 0::2].astype(np.uint16)
+        lo = raw[:, 1::2].astype(np.uint16)
+        return w, h, channels, (hi << 8) | lo
     return w, h, channels, raw
 
 
@@ -829,6 +944,154 @@ def synth_png_pal(text: str) -> bytes:
         channels=1,
         palette=plte.astype(np.uint8).tobytes(),
     )
+
+
+def synth_png16(text: str) -> bytes:
+    """Deterministic 16-bit RGB PNG: dims and SAMPLES derive from
+    md5(text) in closed form so a SQL oracle predicts every 16-bit value:
+
+    - ``s = md5[12]``, ``w = md5[13] % 12 + 6``, ``h = md5[14] % 12 + 6``
+      (digest bytes disjoint from the other synths)
+    - ``sample(x, y, c) = (7x + 13y + 31c + 257s) mod 65536``, c in 0..2 —
+      the 257s term spreads s across BOTH bytes, so a decoder that drops
+      or swaps the low byte breaks the oracle
+    """
+    import hashlib
+
+    import numpy as np
+
+    dig = hashlib.md5(text.encode()).digest()
+    s, w, h = dig[12], dig[13] % 12 + 6, dig[14] % 12 + 6
+    arr = (
+        7 * np.arange(w, dtype=np.int64)[None, :, None]
+        + 13 * np.arange(h, dtype=np.int64)[:, None, None]
+        + 31 * np.arange(3, dtype=np.int64)[None, None, :]
+        + 257 * int(s)
+    ) % 65536
+    return encode_png(
+        w, h, arr.astype(">u2").tobytes(), channels=3, depth=16
+    )
+
+
+def synth_png_adam7(text: str) -> bytes:
+    """Deterministic Adam7-INTERLACED RGBA PNG — synth_png's pixel
+    formula on the seven-pass layout, so decode must reassemble the
+    passes (pass-local filter neighbors and all) to reproduce the same
+    closed-form pixels:
+
+    - ``s = md5hex[1:3]``, ``w = md5hex[3:5] % 16 + 8``,
+      ``h = md5hex[5:7] % 16 + 8`` (nibble offsets disjoint from the
+      whole-byte synths)
+    - ``pixel(x, y, c) = (7x + 13y + 31c + s) mod 256``, c in 0..3
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[1:3], 16)
+    w = int(hx[3:5], 16) % 16 + 8
+    h = int(hx[5:7], 16) % 16 + 8
+    arr = (
+        7 * np.arange(w, dtype=np.int64)[None, :, None]
+        + 13 * np.arange(h, dtype=np.int64)[:, None, None]
+        + 31 * np.arange(4, dtype=np.int64)[None, None, :]
+        + s
+    ) % 256
+    return encode_png(
+        w, h, arr.astype(np.uint8).tobytes(), channels=4, interlace=True
+    )
+
+
+def synth_png_trns(text: str) -> bytes:
+    """Deterministic tRNS-translucent palette PNG: a 256-entry PLTE plus
+    a 128-entry tRNS (HALF the palette — entries 128..255 must come back
+    opaque 255, the padding rule), all in closed form:
+
+    - ``s = md5hex[7:9]``, ``w = md5hex[9:11] % 16 + 8``,
+      ``h = md5hex[11:13] % 16 + 8``
+    - ``plte[i][c] = (11i + 17c + s) mod 256``, ``index(x,y) =
+      (3x + 5y + s) mod 256``, ``trns[i] = (29i + s) mod 256`` for i<128
+    - so pixel c<3 is ``(11·idx + 17c + s) mod 256`` and the alpha is
+      ``(29·idx + s) mod 256`` when idx<128 else 255
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[7:9], 16)
+    w = int(hx[9:11], 16) % 16 + 8
+    h = int(hx[11:13], 16) % 16 + 8
+    plte = (
+        11 * np.arange(256, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+        + s
+    ) % 256
+    trns = (29 * np.arange(128, dtype=np.int64) + s) % 256
+    idx = (
+        3 * np.arange(w, dtype=np.int64)[None, :]
+        + 5 * np.arange(h, dtype=np.int64)[:, None]
+        + s
+    ) % 256
+    return encode_png(
+        w,
+        h,
+        idx.astype(np.uint8).tobytes(),
+        channels=1,
+        palette=plte.astype(np.uint8).tobytes(),
+        trns=trns.astype(np.uint8).tobytes(),
+    )
+
+
+#: (variant, synth) table for the deep-decode gate — module level so the
+#: closure shipped to executors stays tiny
+_PNG_DEEP_VARIANTS = (
+    ("16bit", synth_png16),
+    ("adam7", synth_png_adam7),
+    ("trns", synth_png_trns),
+)
+
+
+def png_deep_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deep-format PNG gate: per row, synthesize and FULLY decode all
+    three residual-format variants — 16-bit RGB, Adam7-interlaced RGBA,
+    and tRNS-translucent palette — and emit one row per variant with the
+    decoded dims/channels and pixel checksum.  Every variant's pixels are
+    a closed-form function of md5(text), so one SQL oracle covers the
+    byte-pair recombination, the seven-pass reassembly, and the
+    palette+alpha indirection at once.
+
+    Scale shape: per-row CPU work, no shuffle — the :func:`png_pipeline`
+    contract with a 3-way fan-out."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("variant", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for variant, synth in _PNG_DEEP_VARIANTS:
+                    w, h, ch, raw = decode_png(synth(text))
+                    rows.append(
+                        (did, variant, w, h, ch, int(raw.astype("int64").sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "variant", "w", "h", "channels", "checksum"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)
 
 
 def png_pipeline(

@@ -2286,6 +2286,89 @@ def q_gif_pixels(spark, sf):
 
 
 @query(
+    "png_deep_pixels",
+    # the three r8-residual PNG formats in ONE gate, each with its own
+    # closed-form pixel function of md5(text):
+    #  16bit: sample(x,y,c) = (7x+13y+31c+257s) % 65536, s/w/h from md5
+    #         bytes 12/13/14 (hex substr 25/27/29) — 257s makes BOTH bytes
+    #         of every sample load-bearing
+    #  adam7: pixel(x,y,c) = (7x+13y+31c+s) % 256, s/w/h from hex nibbles
+    #         2-3/4-5/6-7 — decode must reassemble the seven passes
+    #  trns : palette composition + alpha indirection, s/w/h from nibbles
+    #         8-9/10-11/12-13; idx>=128 must come back opaque 255
+    """
+    WITH b16 AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 25, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 27, 2)) AS INT) % 12 + 6 AS w,
+             CAST(('0x' || substr(md5(text), 29, 2)) AS INT) % 12 + 6 AS h
+      FROM documents
+    ),
+    p16 AS (
+      SELECT doc_id, '16bit' AS variant, w, h, CAST(3 AS INT) AS channels,
+             CAST(SUM((7 * x + 13 * y + 31 * c + 257 * s) % 65536) AS BIGINT)
+                 AS checksum
+      FROM (SELECT *, unnest(range(0, w)) AS x FROM b16) t1,
+           LATERAL (SELECT unnest(range(0, h)) AS y) t2,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) t3
+      GROUP BY doc_id, w, h
+    ),
+    ba AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 2, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 4, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 6, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    pa AS (
+      SELECT doc_id, 'adam7' AS variant, w, h, CAST(4 AS INT) AS channels,
+             CAST(SUM((7 * x + 13 * y + 31 * c + s) % 256) AS BIGINT)
+                 AS checksum
+      FROM (SELECT *, unnest(range(0, w)) AS x FROM ba) t1,
+           LATERAL (SELECT unnest(range(0, h)) AS y) t2,
+           LATERAL (SELECT unnest(range(0, 4)) AS c) t3
+      GROUP BY doc_id, w, h
+    ),
+    bt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 8, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 10, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 12, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, 'trns' AS variant, w, h, CAST(4 AS INT) AS channels,
+             CAST(SUM(CASE WHEN c < 3
+                  THEN (11 * ((3 * x + 5 * y + s) % 256) + 17 * c + s) % 256
+                  WHEN (3 * x + 5 * y + s) % 256 < 128
+                  THEN (29 * ((3 * x + 5 * y + s) % 256) + s) % 256
+                  ELSE 255 END) AS BIGINT) AS checksum
+      FROM (SELECT *, unnest(range(0, w)) AS x FROM bt) t1,
+           LATERAL (SELECT unnest(range(0, h)) AS y) t2,
+           LATERAL (SELECT unnest(range(0, 4)) AS c) t3
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, variant, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           channels, checksum
+    FROM (SELECT * FROM p16 UNION ALL SELECT * FROM pa
+          UNION ALL SELECT * FROM pt)
+    """,
+)
+def q_png_deep_pixels(spark, sf):
+    """PNG deep-format decode gate (closes the r8 residuals in one
+    query): per doc, synthesize and FULLY decode a 16-bit RGB PNG
+    (byte-level unfilter, big-endian sample recombination), an
+    Adam7-interlaced RGBA PNG (seven pass-local filtered sub-images
+    scattered back), and a tRNS-translucent palette PNG (PLTE→RGB plus
+    the alpha indirection with opaque padding) — three rows per doc,
+    each checksummed against its closed-form oracle.  Same
+    embarrassingly-parallel scan shape as ``png_pixels``."""
+    from .operators.multimodal import png_deep_pipeline
+
+    return png_deep_pipeline(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms

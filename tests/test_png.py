@@ -92,17 +92,18 @@ def test_not_png_rejected():
 
 
 def test_unsupported_shapes_refused():
-    # 16-bit depth must refuse, not mis-decode
+    # bit-packed depths (1/2/4) stay a loud refusal, not a mis-decode
+    # (16-bit decodes for real since r9)
     p = bytearray(synth_png("deep"))
     # IHDR data starts at offset 16; bit depth at 16+8=24
     import struct, zlib
 
     ihdr = bytearray(p[16:29])
-    ihdr[8] = 16
+    ihdr[8] = 4
     crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
     p[16:29] = ihdr
     p[29:33] = struct.pack(">I", crc)
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(NotImplementedError, match="depth=4"):
         decode_png(bytes(p))
 
 
@@ -153,9 +154,11 @@ def test_palette_encode_decode_arbitrary():
     assert (raw.reshape(9, 13, 3) == exp).all()
 
 
-def test_palette_trns_refused():
-    # translucent palette stays a documented descope: splice a tRNS
-    # chunk before IDAT and expect the loud refusal
+def test_palette_trns_spliced_decodes_rgba():
+    # translucent palette decodes for real since r9: splice a one-entry
+    # tRNS chunk (alpha 128 for index 0) before IDAT — the decode must
+    # come back RGBA with alpha 128 exactly where the index is 0 and the
+    # opaque-255 padding everywhere else
     import struct, zlib
 
     from arrow_udf_spark.operators.multimodal import synth_png_pal
@@ -170,8 +173,101 @@ def test_palette_trns_refused():
     )
     at = p.find(b"IDAT") - 4
     p[at:at] = chunk
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(bytes(p))
+    w, h, ch, raw = decode_png(bytes(p))
+    assert ch == 4
+    dig = hashlib.md5(b"trns").digest()
+    s = dig[6]
+    idx = (
+        3 * np.arange(w)[None, :] + 5 * np.arange(h)[:, None] + s
+    ) % 256
+    alpha = raw.reshape(h, w, 4)[:, :, 3]
+    assert (alpha == np.where(idx == 0, 128, 255)).all()
+
+
+def test_trns_longer_than_palette_rejected():
+    with pytest.raises(ValueError, match="tRNS"):
+        encode_png(
+            2,
+            2,
+            bytes(4),
+            channels=1,
+            palette=bytes(6),  # 2 entries
+            trns=bytes(3),  # 3 alphas > 2 entries
+        )
+
+
+def test_deep_synths_roundtrip_closed_form():
+    from arrow_udf_spark.operators.multimodal import (
+        synth_png16,
+        synth_png_adam7,
+        synth_png_trns,
+    )
+
+    for text in ["", "hello world", "spark"]:
+        hx = hashlib.md5(text.encode()).hexdigest()
+        dig = hashlib.md5(text.encode()).digest()
+
+        w, h, ch, raw = decode_png(synth_png16(text))
+        s, ew, eh = dig[12], dig[13] % 12 + 6, dig[14] % 12 + 6
+        exp = (
+            7 * np.arange(ew)[None, :, None]
+            + 13 * np.arange(eh)[:, None, None]
+            + 31 * np.arange(3)[None, None, :]
+            + 257 * int(s)
+        ) % 65536
+        assert (w, h, ch) == (ew, eh, 3) and raw.dtype == np.uint16
+        assert (raw.reshape(h, w, 3) == exp).all()
+
+        w, h, ch, raw = decode_png(synth_png_adam7(text))
+        s = int(hx[1:3], 16)
+        ew, eh = int(hx[3:5], 16) % 16 + 8, int(hx[5:7], 16) % 16 + 8
+        exp = (
+            7 * np.arange(ew)[None, :, None]
+            + 13 * np.arange(eh)[:, None, None]
+            + 31 * np.arange(4)[None, None, :]
+            + s
+        ) % 256
+        assert (w, h, ch) == (ew, eh, 4)
+        assert (raw.reshape(h, w, 4) == exp).all()
+
+        payload = synth_png_trns(text)
+        w, h, ch, raw = decode_png(payload)
+        s = int(hx[7:9], 16)
+        ew, eh = int(hx[9:11], 16) % 16 + 8, int(hx[11:13], 16) % 16 + 8
+        idx = (3 * np.arange(ew)[None, :] + 5 * np.arange(eh)[:, None] + s) % 256
+        rgb = (11 * idx[:, :, None] + 17 * np.arange(3)[None, None, :] + s) % 256
+        alpha = np.where(idx < 128, (29 * idx + s) % 256, 255)
+        exp = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        assert (w, h, ch) == (ew, eh, 4)
+        assert (raw.reshape(h, w, 4) == exp).all()
+        assert parse_image_header(payload)["channels"] == 4
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 3), (7, 5), (8, 1), (1, 9)])
+def test_adam7_and_16bit_arbitrary_roundtrip(dims):
+    # odd dims exercise EMPTY and partial Adam7 passes; every channel
+    # count and both depths, both layouts
+    w, h = dims
+    for chn in (1, 2, 3, 4):
+        rng = np.random.default_rng(w * 100 + h * 10 + chn)
+        px = rng.integers(0, 256, size=(h, w * chn), dtype=np.uint8)
+        pw, ph, ech, raw = decode_png(
+            encode_png(w, h, px.tobytes(), channels=chn, interlace=True)
+        )
+        assert (pw, ph, ech) == (w, h, chn) and (raw == px).all()
+        px16 = rng.integers(0, 65536, size=(h, w * chn), dtype=np.uint16)
+        for il in (False, True):
+            pw, ph, ech, raw = decode_png(
+                encode_png(
+                    w,
+                    h,
+                    px16.astype(">u2").tobytes(),
+                    channels=chn,
+                    depth=16,
+                    interlace=il,
+                )
+            )
+            assert (pw, ph, ech) == (w, h, chn) and (raw == px16).all()
 
 
 def test_palette_index_out_of_range_rejected():
@@ -194,3 +290,26 @@ def test_png_pipeline_spark(spark):
         r = rows[did]
         assert (r.w, r.h, r.channels) == (w, h, 4)
         assert r.checksum == int(exp.sum())
+
+
+def test_png_deep_pipeline_spark(spark):
+    from arrow_udf_spark.operators.multimodal import (
+        decode_png,
+        png_deep_pipeline,
+        synth_png16,
+        synth_png_adam7,
+        synth_png_trns,
+    )
+
+    texts = [(1, "alpha"), (2, "")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rows = {
+        (r.doc_id, r.variant): r for r in png_deep_pipeline(df).collect()
+    }
+    synths = {"16bit": synth_png16, "adam7": synth_png_adam7, "trns": synth_png_trns}
+    for did, text in texts:
+        for variant, synth in synths.items():
+            w, h, ch, raw = decode_png(synth(text))
+            r = rows[(did, variant)]
+            assert (r.w, r.h, r.channels) == (w, h, ch)
+            assert r.checksum == int(raw.astype("int64").sum())
