@@ -22,11 +22,13 @@ Decode status by format:
   then PLTE→RGB/RGBA indirection), and Adam7 INTERLACE both directions
   (r9 — each pass its own filtered sub-image).  Only bit-packed depths
   (1/2/4) still raise ``NotImplementedError``.
-- **GIF87a/89a (single frame, global color table)**: REAL encode +
-  decode since r8 — a genuine variable-width LZW compressor AND
-  decompressor (dictionary building, CLEAR resets, the cScSc case),
-  sub-block framing, 89a extension skipping, color-table expansion.
-  Interlaced frames / local color tables refuse.
+- **GIF87a/89a**: REAL encode + decode since r8 — a genuine
+  variable-width LZW compressor AND decompressor (dictionary building,
+  CLEAR resets, the cScSc case), sub-block framing, 89a extension
+  skipping, color-table expansion.  Since r9: multi-frame ANIMATION
+  (``decode_gif_frames`` — per-frame sub-rectangles, graphic-control
+  extensions), per-frame LOCAL color tables (palette scoping), and
+  INTERLACE row reordering, both directions.
 - **Lossy codecs (JPEG/MP3/H.264 …)**: STUBBED — this container has no
   codec libraries; ``decode_image_meta(real_decode=True)`` parses
   PPM/BMP/PNG payloads for real and raises ``NotImplementedError`` for
@@ -79,6 +81,10 @@ __all__ = [
     "encode_gif",
     "decode_gif",
     "synth_gif",
+    "encode_gif_frames",
+    "decode_gif_frames",
+    "synth_gif_anim",
+    "gif_frames_pipeline",
 ]
 
 #: metadata struct produced by decode
@@ -1262,14 +1268,32 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     return b"GIF87a" + lsd + palette + img + bytes(blocks) + b"\x3b"
 
 
-def decode_gif(payload: bytes):
-    """Fully decode a single-frame GIF87a/89a with a global color table:
-    parse the screen descriptor, skip 89a extension blocks, reassemble
-    the LZW sub-blocks, run the REAL variable-width LZW decode, and
-    expand indices through the color table.  Returns
-    ``(width, height, 3, raw)`` with ``raw`` an (h, w*3) uint8 RGB
-    array.  Interlaced frames and local color tables refuse —
-    honest descopes (they change the row order / palette scoping)."""
+def _gif_row_order(h: int) -> list:
+    """GIF interlace pass row order: pass 1 rows 0,8,16…, pass 2 rows
+    4,12…, pass 3 rows 2,6,10… (step 4), pass 4 odd rows (step 2) —
+    the order scanlines appear ON THE WIRE for an interlaced frame."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def decode_gif_frames(payload: bytes):
+    """Fully decode EVERY frame of a GIF87a/89a: screen descriptor,
+    global color table, 89a extensions (graphic-control/comment/
+    application — skipped with bounds checks), then per frame: image
+    descriptor, optional LOCAL color table (scoped to that frame, the
+    spec's palette-shadowing rule), sub-block reassembly, REAL
+    variable-width LZW decode, INTERLACE row reordering when the frame's
+    flag is set, and color-table expansion.
+
+    Returns ``(screen_w, screen_h, frames)`` where each frame is
+    ``(x0, y0, fw, fh, rgb)`` with ``rgb`` an (fh, fw*3) uint8 array of
+    that frame's own pixels at its own offset.  No composition/disposal
+    is applied — disposal policy belongs to the caller (an analytics
+    pipeline wants per-frame pixels, not a player's canvas)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1282,48 +1306,149 @@ def decode_gif(payload: bytes):
     gct = payload[pos : pos + 3 * gct_n]
     pos += 3 * gct_n
     end = len(payload)
+    frames = []
+    saw_trailer = False
     while pos < end:
         b0 = payload[pos]
-        if b0 == 0x21:  # 89a extension: skip sub-blocks
+        if b0 == 0x21:  # 89a extension: skip sub-blocks (bounds-checked)
             pos += 2
             while pos < end and payload[pos] != 0:
-                pos += 1 + payload[pos]
+                nxt = pos + 1 + payload[pos]
+                if nxt > end:
+                    raise ValueError("truncated GIF extension sub-block")
+                pos = nxt
             pos += 1
         elif b0 == 0x2C:
-            break
+            if pos + 10 > end:
+                raise ValueError("truncated GIF / no image descriptor")
+            _, x0, y0, fw, fh, ipacked = struct.unpack_from(
+                "<BHHHHB", payload, pos
+            )
+            pos += 10
+            lct = None
+            if ipacked & 0x80:  # local color table shadows the global one
+                lct_n = 2 << (ipacked & 0x07)
+                if pos + 3 * lct_n > end:
+                    raise ValueError("truncated GIF local color table")
+                lct = payload[pos : pos + 3 * lct_n]
+                pos += 3 * lct_n
+            if pos >= end:
+                raise ValueError("truncated GIF / no image descriptor")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < end and payload[pos] != 0:
+                ln = payload[pos]
+                if pos + 1 + ln > end:
+                    raise ValueError("truncated GIF sub-block")
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # sub-block terminator
+            indices = _lzw_decode(bytes(lzw), min_code)
+            if len(indices) != fw * fh:
+                raise ValueError("GIF LZW payload length mismatch")
+            idx = np.frombuffer(indices, dtype=np.uint8).reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: wire rows -> natural order
+                nat = np.zeros_like(idx)
+                nat[_gif_row_order(fh)] = idx
+                idx = nat
+            table = lct if lct is not None else gct
+            if int(idx.max(initial=0)) * 3 >= len(table):
+                raise ValueError("GIF index out of color-table range")
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+            frames.append((x0, y0, fw, fh, pal[idx].reshape(fh, fw * 3)))
         elif b0 == 0x3B:
-            raise ValueError("GIF trailer before any image frame")
+            saw_trailer = True
+            break
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-    # ADVICE r8: a truncated / image-less payload must fail loudly here,
-    # not as an IndexError from the descriptor unpack below
-    if pos + 10 > end or payload[pos] != 0x2C:
+    if not frames:
+        if saw_trailer:
+            raise ValueError("GIF trailer before any image frame")
         raise ValueError("truncated GIF / no image descriptor")
-    _, left, top, iw, ih, ipacked = struct.unpack_from("<BHHHHB", payload, pos)
-    pos += 10
-    if ipacked & 0x80:
-        raise NotImplementedError("GIF local color tables are out of scope")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF is out of scope")
-    if pos >= end:
-        raise ValueError("truncated GIF / no image descriptor")
-    min_code = payload[pos]
-    pos += 1
-    lzw = bytearray()
-    while pos < end and payload[pos] != 0:
-        ln = payload[pos]
-        if pos + 1 + ln > end:
-            raise ValueError("truncated GIF sub-block")
-        lzw += payload[pos + 1 : pos + 1 + ln]
-        pos += 1 + ln
-    indices = _lzw_decode(bytes(lzw), min_code)
-    if len(indices) != iw * ih:
-        raise ValueError("GIF LZW payload length mismatch")
-    idx = np.frombuffer(indices, dtype=np.uint8)
-    if int(idx.max(initial=0)) * 3 >= len(gct):
-        raise ValueError("GIF index out of color-table range")
-    pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
-    return iw, ih, 3, pal[idx.reshape(ih, iw)].reshape(ih, iw * 3)
+    return w, h, frames
+
+
+def decode_gif(payload: bytes):
+    """Decode a SINGLE-frame GIF87a/89a (local color table and interlace
+    included since r9 — see :func:`decode_gif_frames`, which this wraps)
+    and expand to RGB.  Returns ``(width, height, 3, raw)`` with ``raw``
+    an (h, w*3) uint8 array of the frame's own pixels.  Multi-frame
+    payloads raise — the per-frame contract is
+    :func:`decode_gif_frames`."""
+    _w, _h, frames = decode_gif_frames(payload)
+    if len(frames) != 1:
+        raise ValueError(
+            f"multi-frame GIF ({len(frames)} frames): use decode_gif_frames"
+        )
+    _x0, _y0, fw, fh, rgb = frames[0]
+    return fw, fh, 3, rgb
+
+
+def encode_gif_frames(
+    width: int,
+    height: int,
+    frames,
+    gct: bytes,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Encode a REAL multi-frame (animated) GIF89a: logical screen
+    descriptor + 256-entry global color table, a comment extension, then
+    per frame an optional graphic-control extension (delay), an image
+    descriptor with sub-rectangle offset, an optional LOCAL color table,
+    the interlace flag with rows emitted in WIRE order, and the real
+    variable-width LZW stream in ≤255-byte sub-blocks.
+
+    ``frames``: sequence of dicts ``{x0, y0, w, h, indices, lct=None,
+    interlace=False, delay_cs=None}`` — ``indices`` in natural row
+    order; this function does the interlace reordering."""
+    import numpy as np
+
+    if len(gct) != 768:
+        raise ValueError("encode_gif_frames wants a 256-entry global palette")
+    parts = [
+        version,
+        struct.pack("<HHBBB", width, height, 0xF7, 0, 0),
+        gct,
+        b"\x21\xfe\x05synth\x00",  # comment ext: decoders must skip it
+    ]
+    for f in frames:
+        x0, y0, fw, fh = f["x0"], f["y0"], f["w"], f["h"]
+        if x0 + fw > width or y0 + fh > height:
+            raise ValueError("frame rectangle outside the logical screen")
+        indices = f["indices"]
+        if len(indices) != fw * fh:
+            raise ValueError("index payload does not match frame dims")
+        lct = f.get("lct")
+        interlace = bool(f.get("interlace"))
+        delay = f.get("delay_cs")
+        if delay is not None:  # graphic-control extension
+            parts.append(
+                b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay, 0) + b"\x00"
+            )
+        ipacked = 0
+        if lct is not None:
+            if len(lct) != 768:
+                raise ValueError("local color table must be 256 entries")
+            ipacked |= 0x80 | 0x07
+        if interlace:
+            ipacked |= 0x40
+            arr = np.frombuffer(indices, dtype=np.uint8).reshape(fh, fw)
+            indices = arr[_gif_row_order(fh)].tobytes()
+        parts.append(struct.pack("<BHHHHB", 0x2C, x0, y0, fw, fh, ipacked))
+        if lct is not None:
+            parts.append(lct)
+        min_code = 8
+        lzw = _lzw_encode(indices, min_code)
+        blocks = bytearray([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        parts.append(bytes(blocks))
+    parts.append(b"\x3b")
+    return b"".join(parts)
 
 
 def synth_gif(text: str) -> bytes:
@@ -1355,3 +1480,99 @@ def synth_gif(text: str) -> bytes:
     return encode_gif(
         w, h, idx.astype(np.uint8).tobytes(), plte.astype(np.uint8).tobytes()
     )
+
+
+def synth_gif_anim(text: str) -> bytes:
+    """Deterministic ANIMATED GIF89a whose every frame pixel is a closed
+    form of md5(text) — the multi-frame/LCT/interlace gate fixture:
+
+    - ``s = md5hex[13:15]``, ``w = md5hex[15:17] % 12 + 6``,
+      ``h = md5hex[17:19] % 12 + 6`` (nibble offsets disjoint from the
+      other synths); ``n_frames = s % 3 + 2`` (2..4)
+    - frame ``f`` is the sub-rectangle ``(x0, y0) = (f, f)``,
+      ``(fw, fh) = (w - f, h - f)``; INTERLACED when f is odd; carries a
+      graphic-control delay of f cs when f >= 1
+    - indices are in GLOBAL coordinates: ``idx(x, y) = (3x + 5y + 7f + s)
+      mod 256``
+    - EVEN frames use the global table ``gct[i][c] = (11i + 17c + s) mod
+      256``; ODD frames carry a LOCAL table ``lct[i][c] = (7i + 23c + s +
+      f) mod 256`` — a decoder that ignores palette scoping (or the row
+      reordering, or the frame offsets) breaks the oracle
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[13:15], 16)
+    w = int(hx[15:17], 16) % 12 + 6
+    h = int(hx[17:19], 16) % 12 + 6
+    gct = (
+        11 * np.arange(256, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+        + s
+    ) % 256
+    frames = []
+    for f in range(s % 3 + 2):
+        fw, fh = w - f, h - f
+        xs = np.arange(f, f + fw, dtype=np.int64)[None, :]
+        ys = np.arange(f, f + fh, dtype=np.int64)[:, None]
+        idx = (3 * xs + 5 * ys + 7 * f + s) % 256
+        fr = dict(
+            x0=f,
+            y0=f,
+            w=fw,
+            h=fh,
+            indices=idx.astype(np.uint8).tobytes(),
+            interlace=f % 2 == 1,
+        )
+        if f >= 1:
+            fr["delay_cs"] = f
+        if f % 2 == 1:
+            lct = (
+                7 * np.arange(256, dtype=np.int64)[:, None]
+                + 23 * np.arange(3, dtype=np.int64)[None, :]
+                + s
+                + f
+            ) % 256
+            fr["lct"] = lct.astype(np.uint8).tobytes()
+        frames.append(fr)
+    return encode_gif_frames(w, h, frames, gct.astype(np.uint8).tobytes())
+
+
+def gif_frames_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Animated-GIF decode gate: per row, synthesize a real multi-frame
+    GIF89a (:func:`synth_gif_anim`) and FULLY decode every frame —
+    extension walk, per-frame LOCAL color tables, interlace row
+    reordering, LZW — emitting one row per frame with its offset
+    rectangle and RGB checksum.  Per-row CPU work, no shuffle — the
+    :func:`png_pipeline` contract with a frame fan-out."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("x0", T.IntegerType()),
+            T.StructField("y0", T.IntegerType()),
+            T.StructField("fw", T.IntegerType()),
+            T.StructField("fh", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                _w, _h, frames = decode_gif_frames(synth_gif_anim(text))
+                for fi, (x0, y0, fw, fh, rgb) in enumerate(frames):
+                    rows.append(
+                        (did, fi, x0, y0, fw, fh, int(rgb.astype("int64").sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "x0", "y0", "fw", "fh", "checksum"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)

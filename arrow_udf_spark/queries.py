@@ -2286,6 +2286,49 @@ def q_gif_pixels(spark, sf):
 
 
 @query(
+    "gif_frames",
+    # animated GIF: n_frames = s%3+2; frame f = sub-rectangle (f,f)..(w,h)
+    # with GLOBAL-coordinate indices idx=(3x+5y+7f+s)%256; EVEN frames
+    # expand through the global table (11i+17c+s), ODD frames through
+    # their LOCAL table (7i+23c+s+f) and arrive INTERLACED — a decoder
+    # that misses palette scoping, row reordering, or offsets breaks it.
+    # s/w/h from md5 hex nibbles 14-15/16-17/18-19.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 14, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 16, 2)) AS INT) % 12 + 6 AS w,
+             CAST(('0x' || substr(md5(text), 18, 2)) AS INT) % 12 + 6 AS h
+      FROM documents
+    ),
+    fr AS (SELECT doc_id, s, w, h, unnest(range(0, s % 3 + 2)) AS f FROM b),
+    px AS (SELECT *, unnest(range(f, w)) AS x FROM fr),
+    pxy AS (SELECT *, unnest(range(f, h)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, 3)) AS c FROM pxy)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(f AS INT) AS x0, CAST(f AS INT) AS y0,
+           CAST(MIN(w) - f AS INT) AS fw, CAST(MIN(h) - f AS INT) AS fh,
+           CAST(SUM(CASE WHEN f % 2 = 0
+                THEN (11 * ((3 * x + 5 * y + 7 * f + s) % 256) + 17 * c + s)
+                     % 256
+                ELSE (7 * ((3 * x + 5 * y + 7 * f + s) % 256) + 23 * c + s
+                      + f) % 256 END) AS BIGINT) AS checksum
+    FROM pxyc GROUP BY doc_id, f
+    """,
+)
+def q_gif_frames(spark, sf):
+    """Animated-GIF decode gate (closes the r8 GIF residuals): per doc,
+    synthesize a real multi-frame GIF89a — graphic-control extensions,
+    per-frame sub-rectangles, LOCAL color tables on odd frames, INTERLACE
+    row order on odd frames — and fully decode every frame back,
+    checksumming each frame's RGB against the closed-form oracle.  Same
+    embarrassingly-parallel scan shape as ``png_pixels``."""
+    from .operators.multimodal import gif_frames_pipeline
+
+    return gif_frames_pipeline(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "png_deep_pixels",
     # the three r8-residual PNG formats in ONE gate, each with its own
     # closed-form pixel function of md5(text):
