@@ -40,6 +40,7 @@ __all__ = [
     "quantize_int8",
     "quantized_dot_recall",
     "rrf_fuse",
+    "pq_recall",
 ]
 
 
@@ -868,6 +869,137 @@ def matryoshka_recall(
     )
     overlap = (
         tt.join(tf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("q_id"))
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+
+
+def pq_recall(
+    items: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 5,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC recall gate (Jégou et al. 2011 — the
+    compression scheme every billion-vector ANN system runs): split each
+    vector into ``m`` subspaces, Lloyd-train a ``ksub``-entry codebook
+    per subspace, encode every item as ``m`` small codes, then serve
+    queries by ASYMMETRIC DISTANCE COMPUTATION — per query, one
+    ``m × ksub`` lookup table of subspace dot products, and each
+    candidate costs ``m`` table lookups + adds instead of a ``dim``-wide
+    float scan.  Output is ``(q_id, n_overlap)`` — top-k by the ADC
+    score vs top-k by the exact full dot — completing the
+    serving-compression gate family on its CODEBOOK axis
+    (``quantized_dot_recall`` = precision, ``matryoshka_recall`` =
+    dimension, ``lsh_recall_at_k``/``ivf_multiprobe`` = bucketing).
+
+    Scale shape: codebooks are O(m·ksub·dim/m) driver/broadcast state
+    (the kmeans_fit contract); ENCODE is a zero-shuffle scan-side
+    projection against the codebook literals (candidates persist m
+    1-byte codes — a 64x storage cut at these defaults); the per-query
+    LUT is built once per query ROW from the same literals, and the ADC
+    score is m map lookups in a FIXED j-order sum (cross-engine
+    deterministic order; the 6dp round covers last-ulp codebook-mean
+    drift).  The exact side and its crossJoin exist only for the gate —
+    production serves PQ under an IVF cell join (ivf_topk), which this
+    operator deliberately leaves orthogonal.
+    """
+    from .clustering import _dist_pairs, cents_expr, kmeans_fit
+
+    sub = dim // m
+    assert sub * m == dim, "dim must divide by m"
+    codebooks = []
+    for j in range(m):
+        sliced = items.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+            ).alias("embedding"),
+        )
+        codebooks.append(kmeans_fit(sliced, k=ksub, iters=iters))
+
+    base = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    code_cols = [
+        F.array_min(
+            _dist_pairs(F.slice(F.col("nv"), j * sub + 1, sub), codebooks[j])
+        )["cid"].alias(f"k{j}")
+        for j in range(m)
+    ]
+    codes = base.select("n_id", "nv", *code_cols)
+
+    def dotf(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def lut_col(j):
+        # a ONE-arg transform lambda via factory closure: `lambda s, j=j`
+        # would have arity 2 and Spark passes the array INDEX as the
+        # second arg, silently overriding the bound j (the
+        # repetition_ratio trap — re-caught here by the gate)
+        lo = j * sub + 1
+
+        def entry(s):
+            return F.struct(
+                s["cid"], dotf(F.slice(F.col("qv"), lo, sub), s["c"])
+            )
+
+        return F.map_from_entries(
+            F.transform(cents_expr(codebooks[j]), entry)
+        ).alias(f"lut{j}")
+
+    lut_cols = [lut_col(j) for j in range(m)]
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).select("q_id", "qv", *lut_cols)
+
+    pairs = codes.crossJoin(F.broadcast(qs))
+    adc = F.element_at(F.col("lut0"), F.col("k0"))
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"k{j}"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(adc, 6).alias("sp"),
+        dotf(F.col("nv"), F.col("qv")).alias("sf"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("sp").desc(), F.col("n_id").asc()
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("sf").desc(), F.col("n_id").asc()
+    )
+    tp = (
+        scored.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= k)
+        .select("q_id", "n_id")
+    )
+    tf = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .where(F.col("r") <= k)
+        .select("q_id", "n_id")
+    )
+    overlap = (
+        tp.join(tf, ["q_id", "n_id"])
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -7329,6 +7329,121 @@ def q_matryoshka_recall(spark, sf):
     )
 
 
+def _pq_oracle_sql(m: int = 4, sub: int = 16, ksub: int = 8, k: int = 5) -> str:
+    """The pq_adc_recall oracle, generated: per subspace j an unrolled
+    1-round Lloyd chain (seed = first ksub subvectors by vec_id, the
+    kmeans_train_assign pattern), code assignment, and a per-query LUT;
+    the ADC score is the FIXED j-order sum of the m looked-up parts
+    (matching Spark's left-assoc + chain), rounded 6dp before ranking.
+    AS MATERIALIZED throughout — DuckDB's default CTE inlining recomputes
+    chained stages exponentially (the bpe_train_encode lesson)."""
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[])"
+        " AS e FROM embeddings)"
+    ]
+    assign = """
+    SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY list_sum(list_transform(range(1, {sub} + 1),
+                                i -> (t.e[i] - c.c[i]) * (t.e[i] - c.c[i])))
+                            ASC, c.cid ASC) AS rn
+        FROM v{j} t CROSS JOIN {cents} c) WHERE rn = 1"""
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"v{j} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
+        )
+        parts.append(
+            f"""c0{j} AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               e AS c
+        FROM (SELECT vec_id, e FROM v{j} ORDER BY vec_id LIMIT {ksub}))"""
+        )
+        parts.append(
+            f"a0{j} AS MATERIALIZED ({assign.format(sub=sub, j=j, cents=f'c0{j}')})"
+        )
+        parts.append(
+            f"""c1{j} AS MATERIALIZED (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, g.i AS i, avg(t.e[g.i]) AS m
+            FROM a0{j} a JOIN v{j} t USING (vec_id)
+                 CROSS JOIN unnest(generate_series(1, {sub})) AS g(i)
+            GROUP BY a.cid, g.i) GROUP BY cid)"""
+        )
+        parts.append(
+            f"code{j} AS MATERIALIZED ({assign.format(sub=sub, j=j, cents=f'c1{j}')})"
+        )
+        parts.append(
+            f"""lut{j} AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.cid AS code,
+               list_sum(list_transform(range(1, {sub} + 1),
+                        i -> q.e[i] * c.c[i])) AS part
+        FROM v{j} q CROSS JOIN c1{j} c WHERE q.vec_id < 5)"""
+        )
+    code_joins = " ".join(
+        f"JOIN code{j} USING (vec_id)" if j else "code0"
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"code{j}.cid AS k{j}" for j in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.code = codes.k{j}"
+        + ("" if j == 0 else f" AND l{j}.q_id = l0.q_id")
+        for j in range(m)
+    )
+    adc = " + ".join(f"l{j}.part" for j in range(m))
+    parts.append(
+        f"codes AS MATERIALIZED (SELECT vec_id, {code_cols} FROM {code_joins})"
+    )
+    parts.append(
+        f"""pq AS (
+        SELECT l0.q_id, codes.vec_id AS n_id, round({adc}, 6) AS sp
+        FROM codes {lut_joins})"""
+    )
+    parts.append(
+        """exact AS (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               list_sum(list_transform(range(1, len(n.e) + 1),
+                        i -> n.e[i] * q.e[i])) AS sf
+        FROM v n CROSS JOIN (SELECT * FROM v WHERE vec_id < 5) q)"""
+    )
+    parts.append(
+        f"""tp AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sp DESC, n_id ASC) AS r FROM pq) WHERE r <= {k}),
+    tf AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sf DESC, n_id ASC) AS r FROM exact) WHERE r <= {k}),
+    o AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tp JOIN tf USING (q_id, n_id) GROUP BY q_id)"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT qs.q_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+    FROM (SELECT vec_id AS q_id FROM v WHERE vec_id < 5) qs
+    LEFT JOIN o USING (q_id)"""
+    )
+
+
+@query("pq_adc_recall", _pq_oracle_sql())
+def q_pq_adc_recall(spark, sf):
+    """Product-quantization ADC gate (Jégou et al. 2011): m=4 subspaces
+    × 8-entry Lloyd codebooks (1 round, min-id seeds), items encoded as
+    4 codes in one zero-shuffle projection, queries served via the
+    per-query lookup table — m map lookups + adds per candidate instead
+    of a 64-wide float scan, a 64x candidate-storage cut.  Output: top-5
+    overlap between the ADC ranking and the exact full-dot ranking per
+    query.  The codebook axis of the serving-compression gate family
+    (int8 = precision, matryoshka = dimension, LSH/IVF = bucketing)."""
+    from .operators.similarity import pq_recall
+
+    e = t(spark, sf, "embeddings")
+    return pq_recall(
+        e, e.where(F.col("vec_id") < 5), m=4, ksub=8, k=5, iters=1, dim=64
+    )
+
+
 @query(
     "embedding_mean_pool",
     """

@@ -66,6 +66,12 @@ WHITELIST = {
         "joins the prefix-dim ranking to the exact full-dot baseline — "
         "the exact side is brute force by contract (the "
         "quantized_dot_recall shape; broadcast 5-query side)",
+    ("pq_adc_recall", "cartesian"):
+        "the ADC ranking is compared to the exact full-dot baseline — "
+        "the exact side is brute force by contract (the "
+        "matryoshka_recall shape; broadcast 5-query side carrying its "
+        "m x ksub LUT maps); production serves PQ under an IVF cell "
+        "join instead",
     ("skew_profile", "cartesian"):
         "corpus total is a broadcast 1-row crossJoin onto the top-k "
         "rows (ppm denominator) — the alternative, a global window over "
