@@ -8379,15 +8379,24 @@ _GATE_PRIORITY = [
     # ------------------------------------------------------------------
     # Round-9 ordering.  The driver gates the first ~50 entries
     # (VERDICT r8 ask #2 — finish the staleness rotation):
-    #   1. new in r9 (3) and changed in r9 (3) — new/changed queries
-    #      must re-prove first;
+    #   1. new in r9 (12, incl. the late-session five) and changed in
+    #      r9 (6) — new/changed queries must re-prove first.  The PNG
+    #      decode refactor (16-bit/Adam7/tRNS generalization) and the
+    #      GIF frame-walk rewrite touch png_pixels / png_palette_pixels
+    #      / png_meta / gif_pixels internals, so those re-lead too;
     #   2. the 15 remaining r4-stale queries — after this window no
     #      catalog query's latest driver row is older than r5;
-    #   3. the 25 OLDEST r5-stale queries (45 exist; the ~50-slot
-    #      window reaches these, the rest keep three-scale replica
-    #      evidence and rotate next round).
+    #   3. the OLDEST r5-stale queries up to the 50-slot budget (the
+    #      rest keep three-scale replica evidence and rotate next
+    #      round).
     # ------------------------------------------------------------------
-    # -- 1. new in r9 (7) + changed in r9 (3) --
+    # -- 1a. new late-r9 (5) --
+    "pq_adc_recall",  # new r9: product-quantization ADC recall gate
+    "gif_frames",  # new r9: animated GIF + LCT + interlace decode
+    "png_deep_pixels",  # new r9: 16-bit/Adam7/tRNS PNG decode
+    "weighted_sample",  # new r9: deterministic A-ES weighted reservoir
+    "gopher_repetition",  # new r9: char-coverage repetition filters
+    # -- 1b. new early-r9 (7) --
     "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
     "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
     "streaming_bpe_encode",  # new r9: stateless tokenizer serving on a stream
@@ -8395,9 +8404,13 @@ _GATE_PRIORITY = [
     "streaming_exact_dedup",  # new r9: update-mode digest aggregation
     "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
     "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
-    "gif_pixels",  # changed r9: truncation bounds-checks in decode_gif
+    # -- 1c. changed in r9 (6) --
+    "png_pixels",  # changed r9: decode_png generalized to 8/16-bit + Adam7
+    "png_palette_pixels",  # changed r9: PLTE path now shares the tRNS-aware branch
+    "gif_pixels",  # changed r9: decode_gif rewrapped over the frame walker
     "png_meta",  # changed r9: palette header channels now match decode
     "dsir_weights",  # changed r9: one-sided toks_col guard
+    "image_meta",  # changed r9: tRNS-aware header channels (was also r5-stale)
     # -- 2. r4-stale (15) --
     "binary_fns",
     "embedding_mean_pool",
@@ -8414,7 +8427,7 @@ _GATE_PRIORITY = [
     "string_agg_nations",
     "struct_to_json_fn",
     "value_histogram",
-    # -- 3. oldest r5-stale (29) --
+    # -- 3. oldest r5-stale (17) --
     "anomaly_zscore",
     "array_access_fn",
     "array_sum_fn",
@@ -8432,14 +8445,6 @@ _GATE_PRIORITY = [
     "gcd",
     "gcd_async",
     "hex_to_dec_fn",
-    "image_meta",
-    "image_resize",
-    "inverted_index",
-    "ivf_topk",
-    "json_array_elements_udtf",
-    "key_value_fn",
-    "key_values_udtf",
-    "length_fn",
 ]
 
 
