@@ -1,0 +1,603 @@
+"""Baseline JPEG (ITU-T T.81) codec implemented FROM THE SPEC with numpy
+and stdlib only — no codec library.
+
+Scope (honest):
+
+- **Baseline sequential DCT, 8-bit** (SOF0): grayscale (1 component) and
+  YCbCr 4:4:4 color (3 components, 1x1 sampling).  Progressive (SOF2),
+  arithmetic coding, 12-bit, subsampled chroma, and restart intervals
+  refuse loudly — each changes the entropy-decode loop structure.
+- Everything the baseline path needs is REAL: marker framing (SOI/DQT/
+  SOF0/DHT/SOS/EOI), canonical Huffman table construction from the
+  Annex K.3 (bits, values) spec tables, MSB-first bit IO with 0xFF00
+  byte (un)stuffing, per-component DC prediction, run-length AC coding
+  with ZRL/EOB, zigzag (de)serialization, quality-scaled Annex K
+  quantization tables, and an exact orthonormal separable DCT-II/IDCT
+  pair via an 8x8 basis matrix.
+
+Lossy-codec oracle strategy: JPEG quantization makes decode(encode(x))
+!= x in general, so the GATE fixture (:func:`synth_jpeg_flat`) is built
+from flat 8x8 blocks whose values make the DC coefficient an exact
+multiple of its quantization step — for such images the codec is
+EXACTLY invertible and every decoded pixel is a closed form of
+md5(text), while the decoder still runs the full marker walk, Huffman
+decode, DC prediction chain, dequantization, and IDCT.  The general
+(AC-bearing, color) paths are pinned by round-trip tolerance tests and
+an exact single-AC-harmonic test in ``tests/test_jpeg.py``.
+
+Cited reference behavior: the reference repo has no JPEG support at all
+(its multimodal surface is opaque binary passthrough) — this module
+exists for the 100 TB training-pipeline brief, not for reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "encode_jpeg",
+    "decode_jpeg",
+    "synth_jpeg_flat",
+    "QUANT_LUMA",
+    "QUANT_CHROMA",
+]
+
+# ---------------------------------------------------------------------------
+# spec constants (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+#: Annex K.1 luminance quantization table (quality 50), row-major
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.2 chrominance quantization table
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits, vals):
+    """Canonical Huffman codes per T.81 Annex C: returns
+    {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, vals):
+    """{(length, code): symbol} for the bit-serial decoder."""
+    out = {}
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        out[(length, code)] = sym
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = 8
+    d = np.zeros((n, n))
+    for u in range(n):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(n):
+            d[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return d
+
+
+def _quality_scale(table, quality: int):
+    """IJG quality scaling of a base quantization table (1..100)."""
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.asarray(table, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _size_cat(v: int) -> int:
+    """Magnitude category: number of bits in |v| (0 for v == 0)."""
+    return 0 if v == 0 else int(v if v > 0 else -v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        # pad with 1-bits per spec
+        while self.nbits:
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker inside entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t received bits to the signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _encode_blocks(blocks, quant, dc_codes, ac_codes, writer):
+    """Quantize + entropy-code a component's blocks (in MCU order).
+    ``blocks``: iterable of 8x8 float arrays (level-shifted)."""
+    import numpy as np
+
+    d = _dct_matrix()
+    pred = 0
+    qm = quant.reshape(8, 8)
+    for blk in blocks:
+        coef = d @ blk @ d.T
+        q = np.rint(coef / qm).astype(np.int64)
+        zz = [int(q[r, c]) for r, c in ZIGZAG]
+        # DC: category + additional bits of the delta
+        diff = zz[0] - pred
+        pred = zz[0]
+        t = _size_cat(diff)
+        code, ln = dc_codes[t]
+        writer.put(code, ln)
+        if t:
+            writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        # AC: run-length of zeros + category
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.put(code, ln)
+                run -= 16
+            t = _size_cat(v)
+            code, ln = ac_codes[(run << 4) | t]
+            writer.put(code, ln)
+            writer.put(v if v > 0 else v + (1 << t) - 1, t)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.put(code, ln)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quality: int = 50,
+) -> bytes:
+    """Encode 8-bit grayscale (channels=1) or RGB (channels=3, stored as
+    YCbCr 4:4:4) pixels as a REAL baseline JPEG: quality-scaled Annex K
+    quantization, exact orthonormal FDCT, canonical Annex K.3 Huffman
+    coding with byte stuffing, standard marker framing.  Dimensions need
+    not be block-aligned — edge blocks replicate the last row/column
+    (the common encoder convention)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise NotImplementedError("encode_jpeg supports grayscale or RGB")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        quants = [
+            _quality_scale(QUANT_LUMA, quality),
+            _quality_scale(QUANT_CHROMA, quality),
+            _quality_scale(QUANT_CHROMA, quality),
+        ]
+    else:
+        planes = [arr[..., 0]]
+        quants = [_quality_scale(QUANT_LUMA, quality)]
+
+    # pad to full blocks by edge replication
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+        padded.append(pp - 128.0)
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (table 0 = luma; table 1 = chroma when color)
+    for tq, q in enumerate(quants[: 2 if channels == 3 else 1]):
+        zz = bytes(int(q[r * 8 + c]) for r, c in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq) + zz
+    # SOF0
+    comps = b""
+    for cid in range(1, channels + 1):
+        tq = 0 if cid == 1 else 1
+        comps += bytes([cid, 0x11, tq])
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    ) + comps
+    # DHT: DC/AC luma (+ chroma for color)
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if channels == 3:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in tables:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([channels])
+    for cid in range(1, channels + 1):
+        td_ta = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded data: MCU = one block of each component (1x1 sampling),
+    # interleaved in component order per MCU
+    w = _BitWriter()
+    if channels == 1:
+        blocks = (
+            padded[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            for by in range(bh)
+            for bx in range(bw)
+        )
+        _encode_blocks(blocks, quants[0], dc_l, ac_l, w)
+    else:
+        d = _dct_matrix()
+        preds = [0, 0, 0]
+        code_sets = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        qms = [q.reshape(8, 8) for q in quants]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coef = d @ blk @ d.T
+                    q = np.rint(coef / qms[ci]).astype(np.int64)
+                    zz = [int(q[r, c]) for r, c in ZIGZAG]
+                    diff = zz[0] - preds[ci]
+                    preds[ci] = zz[0]
+                    dc_codes, ac_codes = code_sets[ci]
+                    t = _size_cat(diff)
+                    code, ln = dc_codes[t]
+                    w.put(code, ln)
+                    if t:
+                        w.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                    run = 0
+                    for v in zz[1:]:
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, ln = ac_codes[0xF0]
+                            w.put(code, ln)
+                            run -= 16
+                        t = _size_cat(v)
+                        code, ln = ac_codes[(run << 4) | t]
+                        w.put(code, ln)
+                        w.put(v if v > 0 else v + (1 << t) - 1, t)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]
+                        w.put(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes):
+    """Fully decode a BASELINE (SOF0, 8-bit, 1x1-sampled grayscale or
+    YCbCr 4:4:4) JPEG: marker walk, DQT/DHT table loads, canonical
+    Huffman entropy decode with 0xFF00 unstuffing, per-component DC
+    prediction, dequantization, inverse zigzag, exact IDCT, level shift
+    and clamp, and (for color) the JFIF YCbCr→RGB transform.
+
+    Returns ``(width, height, channels, raw)`` with ``raw`` an
+    (h, w*channels) uint8 array.  Progressive / arithmetic / 12-bit /
+    subsampled / restart-interval streams raise ``NotImplementedError``
+    — honest scope, stated in the module docstring."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quants = {}
+    dc_tabs = {}
+    ac_tabs = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables: not baseline-8")
+                tab = np.zeros(64, dtype=np.int64)
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tab[r * 8 + c] = seg[p + 1 + i]
+                quants[tq] = tab
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            comps = []
+            for i in range(nc):
+                cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (non-1x1) is out of scope"
+                    )
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x}: only baseline SOF0 decodes"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri != 0:
+                raise NotImplementedError("restart intervals are out of scope")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cid, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cid, tdta >> 4, tdta & 0x0F))
+            scan = (scomps, pos + 2 + seglen)
+            break
+        # APPn/COM and anything else: skip
+        pos += 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = sof
+    scomps, data_start = scan
+    nc = len(comps)
+    if nc not in (1, 3) or len(scomps) != nc:
+        raise NotImplementedError("only 1- or 3-component interleaved scans")
+
+    # entropy stream runs to EOI
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(payload)
+    reader = _BitReader(payload[data_start:end])
+
+    d = _dct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    preds = [0] * nc
+    tq_of = {cid: tq for cid, tq in comps}
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, td, ta) in enumerate(scomps):
+                zz = [0] * 64
+                t = reader.symbol(dc_tabs[td])
+                diff = _extend(reader.bits(t), t) if t else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.symbol(ac_tabs[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    zz[k] = _extend(reader.bits(s), s)
+                    k += 1
+                coef = np.zeros((8, 8))
+                q = quants[tq_of[cid]].reshape(8, 8)
+                for i, (rr, cc) in enumerate(ZIGZAG):
+                    coef[rr, cc] = zz[i]
+                blk = d.T @ (coef * q) @ d + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.reshape(h, w)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.reshape(h, w * 3)
+
+
+def synth_jpeg_flat(text: str) -> bytes:
+    """Deterministic grayscale baseline JPEG that decodes EXACTLY — the
+    lossy-codec oracle trick: every 8x8 block is flat with an EVEN value,
+    so its only nonzero DCT coefficient is DC = 8·(v-128), an exact
+    multiple of the Annex K DC quantization step (16); quantization is
+    therefore lossless and every decoded pixel is a closed form of
+    md5(text):
+
+    - ``s = md5hex[19:21]``, ``bw = md5hex[21:23] % 3 + 1``,
+      ``bh = md5hex[23:25] % 3 + 1`` → ``w = 8·bw``, ``h = 8·bh``
+    - block (bx, by) has value ``v = 2·((7·bx + 13·by + s) mod 128)``
+    - so ``checksum = Σ_blocks 64·v`` — while the decoder still runs the
+      full marker walk, Huffman decode, DC prediction chain, dequant,
+      and IDCT to reproduce it
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[19:21], 16)
+    bw = int(hx[21:23], 16) % 3 + 1
+    bh = int(hx[23:25], 16) % 3 + 1
+    bxs = np.arange(bw, dtype=np.int64)[None, :]
+    bys = np.arange(bh, dtype=np.int64)[:, None]
+    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
+    img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    return encode_jpeg(bw * 8, bh * 8, img.tobytes(), channels=1, quality=50)

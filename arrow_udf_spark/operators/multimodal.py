@@ -29,8 +29,14 @@ Decode status by format:
   (``decode_gif_frames`` — per-frame sub-rectangles, graphic-control
   extensions), per-frame LOCAL color tables (palette scoping), and
   INTERLACE row reordering, both directions.
-- **Lossy codecs (JPEG/MP3/H.264 …)**: STUBBED — this container has no
-  codec libraries; ``decode_image_meta(real_decode=True)`` parses
+- **JPEG (baseline, 8-bit, 1x1 sampling)**: REAL encode + decode since
+  late r9, implemented from ITU-T T.81 with numpy in
+  ``operators/jpeg.py`` — Annex K quant/Huffman tables, canonical code
+  construction, byte-stuffed entropy IO, exact DCT/IDCT, grayscale and
+  YCbCr 4:4:4.  Progressive/arithmetic/subsampled streams refuse.
+  ``parse_image_header`` reads dims from any SOF frame header.
+- **Remaining lossy codecs (MP3/H.264 …)**: STUBBED — this container has
+  no codec libraries; ``decode_image_meta(real_decode=True)`` parses
   PPM/BMP/PNG payloads for real and raises ``NotImplementedError`` for
   codec magics, and the default fake path derives deterministic metadata
   from payload bytes so the full pipeline stays oracle-checkable.
@@ -214,6 +220,32 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
             return {"width": w, "height": h, "channels": 3, "n_bytes": len(payload)}
         except (ValueError, IndexError):
             return None
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the SOF frame header (dims live
+        # there whatever the coding process); full pixel decode for
+        # BASELINE streams lives in operators/jpeg.py
+        pos = 2
+        sof_markers = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker in sof_markers and pos + 9 <= len(payload):
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                nc = payload[pos + 9]
+                return {
+                    "width": w,
+                    "height": h,
+                    "channels": nc,
+                    "n_bytes": len(payload),
+                }
+            if marker == 0xDA:
+                break  # entropy data; no SOF seen -> malformed
+            pos += 2 + seglen
+        return None
     if payload[:2] == b"BM" and len(payload) >= 30:
         w, h = struct.unpack_from("<ii", payload, 18)
         (bpp,) = struct.unpack_from("<H", payload, 28)
@@ -363,9 +395,8 @@ def decode_image_meta(
     Fake path (default): width/height/channels derived from the first
     payload bytes — bit-identical to the SQL oracle (works on ANY binary
     payload, including the 16-byte synthetic digests).  Real path: parses
-    PPM/BMP headers with :func:`parse_image_header`; compressed codec
-    payloads (JPEG/PNG magic) raise ``NotImplementedError`` — this
-    container ships no codec library.
+    PPM/BMP/PNG/JPEG headers with :func:`parse_image_header`; payloads of
+    any other codec raise ``NotImplementedError``.
     """
     out_schema = T.StructType(
         [df.schema[c] for c in passthrough]
@@ -380,7 +411,7 @@ def decode_image_meta(
             m = parse_image_header(b)
             if m is None:
                 raise NotImplementedError(
-                    "payload is not PPM/BMP/PNG; lossy codecs (JPEG/...) "
+                    "payload is not PPM/BMP/PNG/JPEG; other codecs "
                     "require an image library not present in this environment"
                 )
             return m

@@ -2412,6 +2412,54 @@ def q_png_deep_pixels(spark, sf):
 
 
 @query(
+    "jpeg_pixels",
+    # the lossy-codec oracle trick: flat 8x8 blocks with EVEN values make
+    # the DC coefficient an exact multiple of its quantization step (16),
+    # so baseline JPEG becomes exactly invertible and every decoded pixel
+    # is closed-form — while the decoder still runs the full marker walk,
+    # Huffman decode, DC prediction, dequant, and IDCT.  s/bw/bh from md5
+    # hex nibbles 20-21/22-23/24-25; block value v = 2*((7bx+13by+s)%128);
+    # checksum = sum over blocks of 64*v.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 20, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 22, 2)) AS INT) % 3 + 1 AS bw,
+             CAST(('0x' || substr(md5(text), 24, 2)) AS INT) % 3 + 1 AS bh
+      FROM documents
+    ),
+    bx AS (SELECT *, unnest(range(0, bw)) AS x FROM b),
+    bxy AS (SELECT *, unnest(range(0, bh)) AS y FROM bx)
+    SELECT doc_id,
+           CAST(MIN(bw) * 8 AS INT) AS w, CAST(MIN(bh) * 8 AS INT) AS h,
+           CAST(1 AS INT) AS channels,
+           CAST(SUM(64 * (2 * ((7 * x + 13 * y + s) % 128))) AS BIGINT)
+               AS checksum
+    FROM bxy GROUP BY doc_id
+    """,
+)
+def q_jpeg_pixels(spark, sf):
+    """BASELINE JPEG decode gate — the codec formerly stubbed as
+    library-blocked, now implemented from ITU-T T.81 with numpy
+    (operators/jpeg.py): per doc, synthesize a real baseline JPEG
+    (Annex K quant/Huffman tables, exact FDCT, byte-stuffed entropy
+    stream) and fully decode it back — marker walk, canonical Huffman
+    decode, DC prediction chain, dequantization, inverse zigzag, IDCT.
+    The flat-block fixture makes the lossy codec exactly invertible
+    (see the oracle comment); general AC/color paths are pinned by
+    round-trip tests in tests/test_jpeg.py.  Same embarrassingly
+    parallel scan shape as ``png_pixels``."""
+    from .operators.jpeg import decode_jpeg, synth_jpeg_flat
+    from .operators.multimodal import png_pipeline
+
+    return png_pipeline(
+        t(spark, sf, "documents", spread=True),
+        synth=synth_jpeg_flat,
+        decode=decode_jpeg,
+    )
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
@@ -8390,7 +8438,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (5) --
+    # -- 1a. new late-r9 (6) --
+    "jpeg_pixels",  # new r9: baseline JPEG decode from the T.81 spec
     "pq_adc_recall",  # new r9: product-quantization ADC recall gate
     "gif_frames",  # new r9: animated GIF + LCT + interlace decode
     "png_deep_pixels",  # new r9: 16-bit/Adam7/tRNS PNG decode
@@ -8444,7 +8493,6 @@ _GATE_PRIORITY = [
     "funnel_conversion",
     "gcd",
     "gcd_async",
-    "hex_to_dec_fn",
 ]
 
 
