@@ -16,7 +16,7 @@ from .operators.table import TableFunction, udtf
 from .operators.aggregate import AggregateFunction, udaf
 from .session import bootstrap, configure, get_spark
 from .operators.temporal import asof_join, range_join, sessionize
-from .operators.sampling import hash_sample, pack_sequences
+from .operators.sampling import hash_sample, pack_sequences, weighted_sample
 from .operators.skew import salted_join, skew_agg
 from .operators.dedup import dup_clusters, exact_dedup
 from . import functions  # noqa: F401  (self-registers the built-in corpus)
@@ -27,6 +27,7 @@ __all__ = [
     "range_join",
     "hash_sample",
     "pack_sequences",
+    "weighted_sample",
     "salted_join",
     "skew_agg",
     "dup_clusters",

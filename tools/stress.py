@@ -346,6 +346,20 @@ def main() -> int:
         lambda: png_pipeline(docs, synth=synth_gif, decode=decode_gif),
     )
 
+    print("round-9 codec additions:")
+    from arrow_udf_spark.operators.jpeg import decode_jpeg, synth_jpeg_flat
+    from arrow_udf_spark.operators.multimodal import (
+        gif_frames_pipeline,
+        png_deep_pipeline,
+    )
+
+    run(f"jpeg_pipeline({rep}x docs)",
+        lambda: png_pipeline(docs, synth=synth_jpeg_flat, decode=decode_jpeg))
+    run(f"png_deep_pipeline({rep}x docs, 3 decodes/row)",
+        lambda: png_deep_pipeline(docs))
+    run(f"gif_frames_pipeline({rep}x docs, 2-4 frames/row)",
+        lambda: gif_frames_pipeline(docs))
+
     # SemDeDup over replicated embeddings: every vector has `rep` exact
     # copies, so every cell is maximally dup-heavy — the k knob (here
     # k=32 for rep*5000 vectors) is what keeps the cell-confined pair
