@@ -77,3 +77,62 @@ def test_short_and_empty_docs(spark):
     assert out[6].frac_dup5 == 0.0  # shorter than 5 words
     assert out[7].total_chars == 0
     assert out[7].frac_top2 == 0.0 and out[7].frac_dup5 == 0.0
+
+
+def test_hypothesis_referee_vs_bruteforce(spark):
+    """Randomized referee: gopher_repetition's char-coverage metrics must
+    equal a brute-force dict/set reference on arbitrary small token
+    streams (including engineered duplicates)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff", "g"]),
+        min_size=0,
+        max_size=24,
+    )
+
+    def brute(toks):
+        total = sum(len(w) for w in toks)
+        n = len(toks)
+        # top 2-gram chars
+        counts = {}
+        for i in range(n - 1):
+            g = toks[i] + " " + toks[i + 1]
+            counts[g] = counts.get(g, 0) + 1
+        top2 = 0
+        if counts:
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            w1, w2 = best[0].split(" ")
+            top2 = best[1] * (len(w1) + len(w2))
+        # duplicated 5-gram coverage (positions once)
+        g5 = {}
+        for i in range(n - 4):
+            g = " ".join(toks[i : i + 5])
+            g5.setdefault(g, []).append(i)
+        covered = set()
+        for g, starts in g5.items():
+            if len(starts) > 1:
+                for s_ in starts:
+                    covered.update(range(s_, s_ + 5))
+        dup5 = sum(len(toks[i]) for i in covered)
+
+        def rnd(num):
+            import math
+
+            return math.floor(num / total * 1e6 + 0.5) / 1e6 if total else 0.0
+
+        return rnd(top2), rnd(dup5)
+
+    @settings(max_examples=25, deadline=None)
+    @given(words, words)
+    def check(t1, t2):
+        rows = [(1, " ".join(t1)), (2, " ".join(t2))]
+        out = _run(spark, rows)
+        for did, toks in [(1, t1), (2, t2)]:
+            # empty text splits to [''] on both engines; mirror that
+            eff = toks if toks else [""]
+            exp_top2, exp_dup5 = brute(eff)
+            assert out[did].frac_top2 == exp_top2, (toks, out[did])
+            assert out[did].frac_dup5 == exp_dup5, (toks, out[did])
+
+    check()
