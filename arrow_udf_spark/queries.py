@@ -994,6 +994,44 @@ def q_identity(spark, sf):
     )
 
 
+@query(
+    "wildcard_widths",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS TINYINT) AS i8,
+           CAST(l_linenumber * 100 AS SMALLINT) AS i16,
+           CAST(l_orderkey % 100000 AS INT) AS i32,
+           l_orderkey AS i64,
+           CAST(l_discount AS FLOAT) AS f32,
+           l_extendedprice AS f64
+    FROM lineitem
+    """,
+)
+def q_wildcard_widths(spark, sf):
+    """§2.A14 wildcard signature expansion, driver-gated: ONE ``number*``
+    registration (`identity`, functions/corpus.py) must have expanded to
+    all six concrete widths — the same-wildcard-binds-same-type rule of
+    reference arrow-udf-macros/src/types.rs:138-151 — and each resolved
+    overload must round-trip its exact width through the Arrow boundary.
+    A missing expansion fails resolution; a width-coercing one breaks the
+    schema/hash gate."""
+    from arrow_udf_spark import GLOBAL
+
+    li = t(spark, sf, "lineitem")
+    ids = {w: GLOBAL.get("identity", (w,)) for w in
+           ["int8", "int16", "int32", "int64", "float32", "float64"]}
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ids["int8"](F.col("l_linenumber").cast("tinyint")).alias("i8"),
+        ids["int16"]((F.col("l_linenumber") * 100).cast("smallint")).alias("i16"),
+        ids["int32"]((F.col("l_orderkey") % 100000).cast("int")).alias("i32"),
+        ids["int64"]("l_orderkey").alias("i64"),
+        ids["float32"](F.col("l_discount").cast("float")).alias("f32"),
+        ids["float64"]("l_extendedprice").alias("f64"),
+    )
+
+
 def _fib_case() -> str:
     vals = [0, 1]
     for _ in range(30):
@@ -8438,7 +8476,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (6) --
+    # -- 1a. new late-r9 (7) --
+    "wildcard_widths",  # new r9: A14 number* expansion, all six widths
     "jpeg_pixels",  # new r9: baseline JPEG decode from the T.81 spec
     "pq_adc_recall",  # new r9: product-quantization ADC recall gate
     "gif_frames",  # new r9: animated GIF + LCT + interlace decode
@@ -8492,7 +8531,6 @@ _GATE_PRIORITY = [
     "fib_fn",
     "funnel_conversion",
     "gcd",
-    "gcd_async",
 ]
 
 
