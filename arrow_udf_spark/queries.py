@@ -7415,14 +7415,24 @@ def q_matryoshka_recall(spark, sf):
     )
 
 
-def _pq_oracle_sql(m: int = 4, sub: int = 16, ksub: int = 8, k: int = 5) -> str:
-    """The pq_adc_recall oracle, generated: per subspace j an unrolled
-    1-round Lloyd chain (seed = first ksub subvectors by vec_id, the
+def _pq_oracle_sql(
+    m: int = 4,
+    sub: int = 16,
+    ksub: int = 8,
+    k: int = 5,
+    emit: str = "recall",
+) -> str:
+    """The PQ oracles, generated: per subspace j an unrolled 1-round
+    Lloyd chain (seed = first ksub subvectors by vec_id, the
     kmeans_train_assign pattern), code assignment, and a per-query LUT;
     the ADC score is the FIXED j-order sum of the m looked-up parts
     (matching Spark's left-assoc + chain), rounded 6dp before ranking.
-    AS MATERIALIZED throughout — DuckDB's default CTE inlining recomputes
-    chained stages exponentially (the bpe_train_encode lesson)."""
+    ``emit="recall"`` yields pq_adc_recall's (q_id, n_overlap);
+    ``emit="codes"`` stops at the integer code assignment — the
+    streaming_pq_encode gate (integer output, float-robust by the
+    kmeans tie-break argument).  AS MATERIALIZED throughout — DuckDB's
+    default CTE inlining recomputes chained stages exponentially (the
+    bpe_train_encode lesson)."""
     parts = [
         "WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[])"
         " AS e FROM embeddings)"
@@ -7472,6 +7482,16 @@ def _pq_oracle_sql(m: int = 4, sub: int = 16, ksub: int = 8, k: int = 5) -> str:
         for j in range(m)
     )
     code_cols = ", ".join(f"code{j}.cid AS k{j}" for j in range(m))
+    if emit == "codes":
+        # the per-subspace lut CTEs stay defined but unreferenced —
+        # DuckDB only evaluates CTEs the final query reaches
+        kcols = ", ".join(f"CAST(k{j} AS INT) AS k{j}" for j in range(m))
+        return (
+            ",\n    ".join(parts)
+            + f""",
+    codes AS (SELECT vec_id, {code_cols} FROM {code_joins})
+    SELECT vec_id, {kcols} FROM codes"""
+        )
     lut_joins = " ".join(
         f"JOIN lut{j} l{j} ON l{j}.code = codes.k{j}"
         + ("" if j == 0 else f" AND l{j}.q_id = l0.q_id")
@@ -7510,6 +7530,61 @@ def _pq_oracle_sql(m: int = 4, sub: int = 16, ksub: int = 8, k: int = 5) -> str:
     FROM (SELECT vec_id AS q_id FROM v WHERE vec_id < 5) qs
     LEFT JOIN o USING (q_id)"""
     )
+
+
+@query("streaming_pq_encode", _pq_oracle_sql(emit="codes"))
+def q_streaming_pq_encode(spark, sf):
+    """VECTOR QUANTIZATION AS INCREMENTAL INGESTION — the PQ twin of
+    ``streaming_bpe_encode``: the m=4 subspace codebooks train
+    batch-side (yesterday's corpus, the same 1-round Lloyd chains the
+    pq_adc_recall oracle replays), then ride into the stream as parsed
+    SQL literals; every arriving vector is encoded to its m codes by
+    pure argmin-fold expressions — append mode, ZERO state-store state,
+    no join.  This is how a production embedding pipeline compresses a
+    firehose: O(m·ksub·dim/m) broadcast codebook state, m 1-byte codes
+    per vector out.  The gate pins the drained stream against the SAME
+    generated Lloyd-CTE oracle as the batch gate (integer codes —
+    float-robust by the kmeans tie-break argument)."""
+    import tempfile
+    import uuid
+
+    from .operators.clustering import _dist_pairs, kmeans_fit
+
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    m, sub = 4, 16
+    codebooks = []
+    for j in range(m):
+        sliced = e.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"), j * sub + 1, sub
+            ).alias("embedding"),
+        )
+        codebooks.append(kmeans_fit(sliced, k=8, iters=1))
+
+    d = tempfile.mkdtemp(prefix="stream_pq_")
+    e.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(e.schema).parquet(d)
+    nv = F.col("embedding").cast("array<double>")
+    out = stream.select(
+        "vec_id",
+        *[
+            F.array_min(
+                _dist_pairs(F.slice(nv, j * sub + 1, sub), codebooks[j])
+            )["cid"].alias(f"k{j}")
+            for j in range(m)
+        ],
+    )
+    sink = f"stream_pq_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
 
 
 @query("pq_adc_recall", _pq_oracle_sql())
@@ -8476,7 +8551,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (7) --
+    # -- 1a. new late-r9 (8) --
+    "streaming_pq_encode",  # new r9: frozen-codebook PQ encode on a stream
     "wildcard_widths",  # new r9: A14 number* expansion, all six widths
     "jpeg_pixels",  # new r9: baseline JPEG decode from the T.81 spec
     "pq_adc_recall",  # new r9: product-quantization ADC recall gate
@@ -8530,7 +8606,6 @@ _GATE_PRIORITY = [
     "extract_tcp_info_fn",
     "fib_fn",
     "funnel_conversion",
-    "gcd",
 ]
 
 
