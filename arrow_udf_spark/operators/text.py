@@ -454,6 +454,39 @@ def gopher_repetition(
     )
 
 
+def char_entropy(df, text_col: str = "text", key: str = "doc_id"):
+    """Per-document Shannon entropy of the character distribution (nats)
+    — the classic cheap garbage detector: binary blobs / base64 / key
+    dumps sit near ln(alphabet) while natural language sits well below;
+    mojibake and single-char spam sit near zero.  Rounded half-up at 6dp
+    (cross-engine float discipline).
+
+    Plan: explode characters, ONE (doc, char) count with map-side
+    combine (the per-doc combine collapses each document's characters
+    to its alphabet size before the shuffle), then a per-doc fold —
+    shuffled rows are O(docs · alphabet), never O(total chars)."""
+    chars = df.select(
+        key,
+        F.explode(F.split(F.col(text_col), "")).alias("__c"),
+    ).where(F.col("__c") != "")
+    counts = chars.groupBy(key, "__c").agg(F.count("*").alias("__n"))
+    per_doc = counts.groupBy(key).agg(
+        F.sum("__n").alias("__total"),
+        F.collect_list("__n").alias("__ns"),
+    )
+    p = lambda n: n / F.col("__total")  # noqa: E731
+    h = -F.aggregate(
+        F.col("__ns"),
+        F.lit(0.0),
+        lambda acc, n: acc + p(n) * F.log(p(n)),
+    )
+    return per_doc.select(
+        key,
+        F.col("__total").cast("long").alias("n_chars_counted"),
+        (F.floor(h * 1e6 + F.lit(0.5)) / 1e6).alias("entropy"),
+    )
+
+
 def redact_pii(df, text_col: str = "text", key: str = "doc_id"):
     """Scrub emails and long digit runs from text — the standard PII pass
     before training-data release.  Two chained regexp_replace expressions

@@ -6415,6 +6415,37 @@ def q_gopher_repetition(spark, sf):
 
 
 @query(
+    "char_entropy",
+    r"""
+    WITH ch AS (
+        SELECT doc_id, c FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents) WHERE c != ''
+    ), cnt AS (
+        SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+    ), tot AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS total
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT cnt.doc_id,
+           tot.total AS n_chars_counted,
+           floor(-sum((1.0 * n / total) * ln(1.0 * n / total)) * 1e6 + 0.5)
+               / 1e6 AS entropy
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id, tot.total
+    """,
+)
+def q_char_entropy(spark, sf):
+    """Per-doc character-distribution Shannon entropy (nats, 6dp) — the
+    cheap garbage/mojibake detector of the quality family.  Shuffled
+    rows are O(docs · alphabet) after map-side combine, never O(total
+    chars)."""
+    from .operators.text import char_entropy
+
+    return char_entropy(t(spark, sf, "documents"))
+
+
+@query(
     "redact_pii",
     """
     SELECT doc_id,
@@ -8551,7 +8582,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (8) --
+    # -- 1a. new late-r9 (9) --
+    "char_entropy",  # new r9: per-doc character-entropy quality signal
     "streaming_pq_encode",  # new r9: frozen-codebook PQ encode on a stream
     "wildcard_widths",  # new r9: A14 number* expansion, all six widths
     "jpeg_pixels",  # new r9: baseline JPEG decode from the T.81 spec
@@ -8605,7 +8637,6 @@ _GATE_PRIORITY = [
     "dedup_keep_best",
     "extract_tcp_info_fn",
     "fib_fn",
-    "funnel_conversion",
 ]
 
 
