@@ -6393,7 +6393,9 @@ def q_gopher_repetition(spark, sf):
     regimes are load-bearing in the gate."""
     from .operators.text import gopher_repetition
 
-    d = t(spark, sf, "documents")
+    # spread: the tagged-gram explode is CPU-dominated map work and the
+    # fixture scans as ONE task (measured 3.6 -> 1.7-3.3 s at sf0.1)
+    d = t(spark, sf, "documents", spread=True)
     # substring_index, not a second split(trim): the doctoring must not
     # add a tokenization to the scan segment (plan-lint retokenize rule);
     # the fixture is single-space separated so the two forms agree

@@ -110,6 +110,14 @@ BENCH_QUERIES = [
     "sql_agg_correlated_two_phase",  # q17-shape decorrelated, 2x two-phase
     "bpe_train_encode",         # full BPE train+apply (8 argmax rounds)
     "dup_substring_max",        # capped suffix-array adjacency LCP
+    # new late-r9 (compare the shared cohort, not the raw total):
+    "jpeg_pixels",              # baseline JPEG decode from the T.81 spec
+    "png_deep_pixels",          # 16-bit / Adam7 / tRNS PNG decode (3/row)
+    "gif_frames",               # animated GIF + LCT + interlace decode
+    "pq_adc_recall",            # product-quantization ADC vs exact
+    "gopher_repetition",        # char-coverage repetition rules
+    "weighted_sample",          # A-ES weighted reservoir (TakeOrdered)
+    "char_entropy",             # per-doc character entropy
 ]
 
 #: SESSION SPLIT (VERDICT r8 ask #6): queries whose r8 best-of-3 exceeded
@@ -132,6 +140,12 @@ HEAVY_QUERIES = {
     "semdedup_prune_numpy",
     "sql_agg_correlated_two_phase", "bpe_train_encode",
     "dup_substring_max",
+    # late-r9 additions, assigned by single-pass sf0.1 noop-write
+    # measurement (jpeg 2.3s, png_deep 1.7s, pq 7.0s, gopher 4.5s/1.7s
+    # spread; gif_frames 1.1s, weighted_sample 0.4s, char_entropy 1.0s
+    # stay light)
+    "jpeg_pixels", "png_deep_pixels", "pq_adc_recall",
+    "gopher_repetition",
 }
 
 #: timing repetitions per query (best-of).  PINNED at 3 as the permanent
