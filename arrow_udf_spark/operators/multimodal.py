@@ -91,6 +91,11 @@ __all__ = [
     "decode_gif_frames",
     "synth_gif_anim",
     "gif_frames_pipeline",
+    "ulaw_encode",
+    "ulaw_decode",
+    "alaw_encode",
+    "alaw_decode",
+    "g711_pipeline",
 ]
 
 #: metadata struct produced by decode
@@ -1604,6 +1609,116 @@ def gif_frames_pipeline(
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "frame_idx", "x0", "y0", "fw", "fh", "checksum"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# G.711 (ITU-T) companded audio: μ-law and A-law, both directions
+# ---------------------------------------------------------------------------
+
+
+def ulaw_encode(samples) -> bytes:
+    """REAL ITU-T G.711 μ-law compression of int16 PCM: clip to 32635,
+    add the 132 bias, quantize to (sign, 3-bit segment = MSB position,
+    4-bit mantissa), complement.  Vectorized numpy; no audio library."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = (x < 0).astype(np.int32)
+    m = np.minimum(np.abs(x), 32635) + 132
+    # segment = bit length of m minus 8 (m >= 132 so bit length >= 8)
+    seg = (np.floor(np.log2(m)).astype(np.int32) - 7).clip(0, 7)
+    mant = (m >> (seg + 3)) & 0x0F
+    code = ~(sign << 7 | seg << 4 | mant) & 0xFF
+    return code.astype(np.uint8).tobytes()
+
+
+def ulaw_decode(payload: bytes):
+    """μ-law expansion back to int16 PCM: invert the complement, rebuild
+    ``((mantissa·8 + 132) << segment) - 132`` with the sign."""
+    import numpy as np
+
+    c = ~np.frombuffer(payload, dtype=np.uint8).astype(np.int32) & 0xFF
+    sign = (c >> 7) & 1
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = ((mant * 8 + 132) << seg) - 132
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples) -> bytes:
+    """REAL G.711 A-law compression: clip to 32767, segments from the
+    MSB above bit 8 (segment 0 covers two linear chords), XOR 0x55."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int32)
+    sign = (x >= 0).astype(np.int32)  # A-law: 1 = positive
+    m = np.minimum(np.abs(x), 32767)
+    seg = np.maximum(
+        (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 7), 0
+    ).clip(0, 7)
+    mant = np.where(seg == 0, m >> 4, (m >> (seg + 3)) & 0x0F)
+    return (((sign << 7) | (seg << 4) | mant) ^ 0x55).astype(
+        np.uint8
+    ).tobytes()
+
+
+def alaw_decode(payload: bytes):
+    """A-law expansion: segment 0 is linear ``mant·16 + 8``; others are
+    ``((mant·16 + 264) << (segment - 1)) - ... `` — in the canonical
+    integer form ``((mant << 4) + 8) << max(seg - 1, 0)`` with the +256
+    chord offset for seg >= 1."""
+    import numpy as np
+
+    c = (np.frombuffer(payload, dtype=np.uint8).astype(np.int32)) ^ 0x55
+    sign = (c >> 7) & 1
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    base = (mant << 4) + 8
+    mag = np.where(seg == 0, base, (base + 256) << (seg - 1))
+    return np.where(sign == 1, mag, -mag).astype(np.int16)
+
+
+def g711_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """G.711 roundtrip gate: per row, synthesize closed-form int16 PCM
+    (``sample(i) = ((s·4093 + i·3797) mod 65536) - 32768`` with ``s`` and
+    the length from md5(text)), compress through BOTH laws, decode, and
+    emit each law's decoded-sample sum — the companding quantization is
+    pure integer math, so a SQL oracle predicts every decoded sample.
+    Per-row map work, no shuffle (the png_pipeline contract)."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("ulaw_sum", T.LongType()),
+            T.StructField("alaw_sum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hx = hashlib.md5(str(text).encode()).hexdigest()
+                s = int(hx[25:27], 16)
+                n = int(hx[27:29], 16) % 64 + 32
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((s * 4093 + i * 3797) % 65536 - 32768).astype(
+                    np.int16
+                )
+                u = int(ulaw_decode(ulaw_encode(pcm)).astype(np.int64).sum())
+                a = int(alaw_decode(alaw_encode(pcm)).astype(np.int64).sum())
+                rows.append((did, n, u, a))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_samples", "ulaw_sum", "alaw_sum"]
             )
 
     return df.select(id_col, text_col).mapInPandas(work, out_schema)

@@ -2498,6 +2498,75 @@ def q_jpeg_pixels(spark, sf):
 
 
 @query(
+    "g711_roundtrip",
+    # G.711 companding is pure integer quantization, so decode(encode(x))
+    # has a closed form: mu-law m = min(|x|,32635)+132, segment by
+    # threshold, mantissa 4 bits, decode (mant*8+132)<<seg - 132; A-law
+    # m = min(|x|,32767), segment 0 linear (mant = m//16, decode
+    # mant*16+8), else ((mant*16+8)+256)<<(seg-1).  PCM samples are the
+    # md5 closed form sample(i) = (s*4093 + i*3797) % 65536 - 32768,
+    # s/n from hex nibbles 26-27/28-29.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 26, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 28, 2)) AS INT) % 64 + 32 AS n
+      FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n, ((s * 4093 + i * 3797) % 65536 - 32768) AS pcm
+      FROM (SELECT *, unnest(range(0, n)) AS i FROM b)
+    ),
+    seg AS (
+      SELECT doc_id, n, pcm,
+             least(abs(pcm), 32635) + 132 AS um,
+             least(abs(pcm), 32767) AS am
+      FROM sm
+    ),
+    q AS (
+      SELECT doc_id, n, pcm, um, am,
+             CASE WHEN um < 256 THEN 0 WHEN um < 512 THEN 1
+                  WHEN um < 1024 THEN 2 WHEN um < 2048 THEN 3
+                  WHEN um < 4096 THEN 4 WHEN um < 8192 THEN 5
+                  WHEN um < 16384 THEN 6 ELSE 7 END AS useg,
+             CASE WHEN am < 256 THEN 0 WHEN am < 512 THEN 1
+                  WHEN am < 1024 THEN 2 WHEN am < 2048 THEN 3
+                  WHEN am < 4096 THEN 4 WHEN am < 8192 THEN 5
+                  WHEN am < 16384 THEN 6 ELSE 7 END AS aseg
+      FROM seg
+    ),
+    d AS (
+      SELECT doc_id, n,
+             (CASE WHEN pcm < 0 THEN -1 ELSE 1 END) *
+             (((um // (8 * (1 << useg))) % 16) * 8 + 132) * (1 << useg)
+               - (CASE WHEN pcm < 0 THEN -132 ELSE 132 END) AS udec,
+             (CASE WHEN pcm >= 0 THEN 1 ELSE -1 END) *
+             (CASE WHEN aseg = 0 THEN (am // 16) * 16 + 8
+                   ELSE (((am // (8 * (1 << aseg))) % 16) * 16 + 8 + 256)
+                        * (1 << (aseg - 1)) END) AS adec
+      FROM q
+    )
+    SELECT doc_id, CAST(MIN(n) AS INT) AS n_samples,
+           CAST(SUM(udec) AS BIGINT) AS ulaw_sum,
+           CAST(SUM(adec) AS BIGINT) AS alaw_sum
+    FROM d GROUP BY doc_id
+    """,
+)
+def q_g711_roundtrip(spark, sf):
+    """REAL audio codec gate: per doc, closed-form int16 PCM compressed
+    and expanded through BOTH ITU-T G.711 laws (mu-law: bias-132
+    segment/mantissa quantization with complemented code bytes; A-law:
+    linear chord 0 + XOR 0x55) — the telephony wire format every speech
+    corpus pipeline ingests.  The companding is pure integer math, so
+    the oracle predicts every decoded sample; the Spark side runs the
+    actual byte-level encoders and decoders.  Per-row map work, no
+    shuffle (the png_pipeline contract)."""
+    from .operators.multimodal import g711_pipeline
+
+    return g711_pipeline(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "sample_frames",
     """
     SELECT event_id, CAST(f AS INT) AS frame_idx, CAST(f * 500 AS BIGINT) AS t_ms
@@ -8584,7 +8653,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (9) --
+    # -- 1a. new late-r9 (10) --
+    "g711_roundtrip",  # new r9: ITU-T G.711 mu-law/A-law both directions
     "char_entropy",  # new r9: per-doc character-entropy quality signal
     "streaming_pq_encode",  # new r9: frozen-codebook PQ encode on a stream
     "wildcard_widths",  # new r9: A14 number* expansion, all six widths
@@ -8638,7 +8708,6 @@ _GATE_PRIORITY = [
     "dedup_exact",
     "dedup_keep_best",
     "extract_tcp_info_fn",
-    "fib_fn",
 ]
 
 
