@@ -19,9 +19,11 @@ Decode status by format:
   subtraction over RAW neighbors; unfiltering is the inverse sequential
   reconstruction).  Covers 8- AND 16-bit grey/grey+alpha/RGB/RGBA,
   PALETTE (color type 3) opaque or tRNS-translucent (unfilter at bpp=1,
-  then PLTE→RGB/RGBA indirection), and Adam7 INTERLACE both directions
-  (r9 — each pass its own filtered sub-image).  Only bit-packed depths
-  (1/2/4) still raise ``NotImplementedError``.
+  then PLTE→RGB/RGBA indirection), Adam7 INTERLACE both directions
+  (r9 — each pass its own filtered sub-image), and BIT-PACKED depths
+  1/2/4 for grey/palette (late r9 — MSB-first sample packing after the
+  byte-level unfilter, compounded with interlace).  The full legal PNG
+  matrix decodes; only the spec-illegal 16-bit palette refuses.
 - **GIF87a/89a**: REAL encode + decode since r8 — a genuine
   variable-width LZW compressor AND decompressor (dictionary building,
   CLEAR resets, the cScSc case), sub-block framing, 89a extension
@@ -696,12 +698,13 @@ def encode_png(
 ) -> bytes:
     """Encode raw grey/grey+alpha/RGB/RGBA samples as a real PNG.
 
-    - ``depth`` 8 or 16; 16-bit ``pixels`` are big-endian sample bytes
-      (the wire order, so filtering is plain byte math either way).
+    - ``depth`` 1/2/4 (single-channel grey or palette; ``pixels`` is ONE
+      sample per byte, packed MSB-first here), 8, or 16 (big-endian
+      sample bytes — the wire order, so filtering is plain byte math).
     - With ``palette`` (a flat RGB byte string, ≤256 triples), ``pixels``
-      are 1-byte palette INDICES (``channels`` must be 1, depth 8) and
-      the output is a color-type-3 PNG carrying a PLTE chunk; ``trns``
-      optionally adds per-entry alpha (entries beyond it are opaque).
+      are palette INDICES (``channels`` must be 1) and the output is a
+      color-type-3 PNG carrying a PLTE chunk; ``trns`` optionally adds
+      per-entry alpha (entries beyond it are opaque).
     - ``interlace`` emits the Adam7 seven-pass layout: each pass is its
       own independently-filtered sub-image, exactly the spec's scanline
       regrouping.
@@ -712,8 +715,10 @@ def encode_png(
     import zlib
 
     if palette is not None:
-        if channels != 1 or depth != 8:
-            raise ValueError("palette PNGs carry 1-byte indices at depth 8")
+        if channels != 1 or depth not in (1, 2, 4, 8):
+            raise ValueError(
+                "palette PNGs carry 1..8-bit indices on one channel"
+            )
         if len(palette) % 3 or not 3 <= len(palette) <= 768:
             raise ValueError("PLTE must be 1..256 RGB triples")
         if trns is not None and len(trns) > len(palette) // 3:
@@ -725,24 +730,52 @@ def encode_png(
             raise NotImplementedError(
                 "encode_png supports grey/grey+alpha/RGB/RGBA only"
             )
-        if depth not in (8, 16):
-            raise NotImplementedError("encode_png supports depth 8/16 only")
-    sb = depth // 8
-    bpp = channels * sb
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
-        height, width * bpp
-    ).astype(np.int32)
-    if not interlace:
-        out = _filter_rows(arr, bpp)
+        if depth not in (1, 2, 4, 8, 16) or (depth < 8 and channels != 1):
+            raise NotImplementedError(
+                "bit-packed depths are single-channel (grey/palette) only"
+            )
+    if depth < 8:
+        # bit-packed path: `pixels` is ONE sample per byte (< 2^depth);
+        # pack each scanline MSB-first (the spec's bit order), filter at
+        # bpp=1 (the "left neighbor" for sub-byte depths is the previous
+        # BYTE per the filter spec)
+        samples = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width
+        )
+        if samples.size and int(samples.max()) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
+
+        def pack(rows):
+            bits = (
+                (rows[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(rows.shape[0], rows.shape[1] * depth)
+            return np.packbits(bits, axis=1).astype(np.int32)
+
+        if not interlace:
+            out = _filter_rows(pack(samples), 1)
+        else:
+            out = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = samples[y0::dy, x0::dx]
+                if sub.size:
+                    out += _filter_rows(pack(sub), 1)
     else:
-        arr3 = arr.reshape(height, width, bpp)
-        out = bytearray()
-        for x0, y0, dx, dy in _ADAM7:
-            sub = arr3[y0::dy, x0::dx, :]
-            if sub.size:
-                out += _filter_rows(
-                    sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp
-                )
+        sb = depth // 8
+        bpp = channels * sb
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width * bpp
+        ).astype(np.int32)
+        if not interlace:
+            out = _filter_rows(arr, bpp)
+        else:
+            arr3 = arr.reshape(height, width, bpp)
+            out = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = arr3[y0::dy, x0::dx, :]
+                if sub.size:
+                    out += _filter_rows(
+                        sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp
+                    )
     color_type = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(
         ">IIBBBBB", width, height, depth, color_type, 0, 0, int(interlace)
@@ -868,15 +901,16 @@ def decode_png(payload: bytes):
     if w is None:
         raise ValueError("PNG missing IHDR")
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or color not in (0, 2, 3, 4, 6)
         or interlace not in (0, 1)
-        or (color == 3 and depth != 8)
+        or (color == 3 and depth == 16)
+        or (depth < 8 and color not in (0, 3))
     ):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace}: "
-            "bit-packed depths (1/2/4) and 16-bit palettes are out of "
-            "scope without a codec library"
+            "16-bit palettes and sub-byte multi-channel layouts are "
+            "illegal per spec; anything else decodes here"
         )
     if color == 3:
         if plte is None or len(plte) % 3 or len(plte) > 768:
@@ -890,7 +924,40 @@ def decode_png(payload: bytes):
         sb = depth // 8
     bpp = channels * sb
     flat = zlib.decompress(bytes(idat))
-    if interlace == 0:
+    if depth < 8:
+        # bit-packed scanlines: unfilter at bpp=1 over the PACKED bytes
+        # (the spec's sub-byte "left neighbor" is the previous byte),
+        # THEN unpack MSB-first bits to one sample per pixel
+        def unpack(packed, pw):
+            bits = np.unpackbits(packed, axis=1)[:, : pw * depth]
+            bits = bits.reshape(packed.shape[0], pw, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            return (bits * weights[None, None, :]).sum(axis=2).astype(
+                np.uint8
+            )
+
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            packed, used = _unfilter_rows(flat, 0, h, stride, 1)
+            if used != len(flat):
+                raise ValueError("PNG scanline payload length mismatch")
+            raw = unpack(packed, w)
+        else:
+            img = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                packed, used = _unfilter_rows(flat, off, ph, stride, 1)
+                off += used
+                img[y0::dy, x0::dx] = unpack(packed, pw)
+            if off != len(flat):
+                raise ValueError("PNG scanline payload length mismatch")
+            raw = img
+    elif interlace == 0:
         raw, used = _unfilter_rows(flat, 0, h, w, bpp)
         if used != len(flat):
             raise ValueError("PNG scanline payload length mismatch")
@@ -1086,12 +1153,83 @@ def synth_png_trns(text: str) -> bytes:
     )
 
 
+def synth_png_bit2(text: str) -> bytes:
+    """Deterministic 2-bit grayscale INTERLACED PNG — bit packing under
+    Adam7, the compounded sub-byte path (per-pass strides are
+    ceil(pw·2/8) bytes, every pass its own packed+filtered sub-image):
+
+    - ``s = md5hex[2:4]``, ``w = md5hex[4:6] % 16 + 8``,
+      ``h = md5hex[8:10] % 16 + 8``
+    - ``sample(x, y) = (x + 2y + s) mod 4``
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[2:4], 16)
+    w = int(hx[4:6], 16) % 16 + 8
+    h = int(hx[8:10], 16) % 16 + 8
+    samples = (
+        np.arange(w, dtype=np.int64)[None, :]
+        + 2 * np.arange(h, dtype=np.int64)[:, None]
+        + s
+    ) % 4
+    return encode_png(
+        w,
+        h,
+        samples.astype(np.uint8).tobytes(),
+        channels=1,
+        depth=2,
+        interlace=True,
+    )
+
+
+def synth_png_pal4(text: str) -> bytes:
+    """Deterministic 4-bit PALETTE PNG (16-entry PLTE, two indices per
+    byte on the wire):
+
+    - ``s = md5hex[10:12]``, ``w = md5hex[12:14] % 16 + 8``,
+      ``h = md5hex[14:16] % 16 + 8``
+    - ``plte[i][c] = (11i + 17c + s) mod 256``, ``index(x, y) =
+      (3x + 5y + s) mod 16``
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[10:12], 16)
+    w = int(hx[12:14], 16) % 16 + 8
+    h = int(hx[14:16], 16) % 16 + 8
+    plte = (
+        11 * np.arange(16, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+        + s
+    ) % 256
+    idx = (
+        3 * np.arange(w, dtype=np.int64)[None, :]
+        + 5 * np.arange(h, dtype=np.int64)[:, None]
+        + s
+    ) % 16
+    return encode_png(
+        w,
+        h,
+        idx.astype(np.uint8).tobytes(),
+        channels=1,
+        depth=4,
+        palette=plte.astype(np.uint8).tobytes(),
+    )
+
+
 #: (variant, synth) table for the deep-decode gate — module level so the
 #: closure shipped to executors stays tiny
 _PNG_DEEP_VARIANTS = (
     ("16bit", synth_png16),
     ("adam7", synth_png_adam7),
     ("trns", synth_png_trns),
+    ("bit2", synth_png_bit2),
+    ("pal4", synth_png_pal4),
 )
 
 
@@ -1099,12 +1237,13 @@ def png_deep_pipeline(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """The deep-format PNG gate: per row, synthesize and FULLY decode all
-    three residual-format variants — 16-bit RGB, Adam7-interlaced RGBA,
-    and tRNS-translucent palette — and emit one row per variant with the
-    decoded dims/channels and pixel checksum.  Every variant's pixels are
-    a closed-form function of md5(text), so one SQL oracle covers the
-    byte-pair recombination, the seven-pass reassembly, and the
-    palette+alpha indirection at once.
+    five residual-format variants — 16-bit RGB, Adam7-interlaced RGBA,
+    tRNS-translucent palette, 2-bit interlaced grayscale, and 4-bit
+    palette — and emit one row per variant with the decoded
+    dims/channels and pixel checksum.  Every variant's pixels are a
+    closed-form function of md5(text), so one SQL oracle covers the
+    byte-pair recombination, the seven-pass reassembly, the
+    palette+alpha indirection, and the MSB-first bit unpacking at once.
 
     Scale shape: per-row CPU work, no shuffle — the :func:`png_pipeline`
     contract with a 3-way fan-out."""

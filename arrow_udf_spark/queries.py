@@ -2428,22 +2428,56 @@ def q_gif_frames(spark, sf):
            LATERAL (SELECT unnest(range(0, h)) AS y) t2,
            LATERAL (SELECT unnest(range(0, 4)) AS c) t3
       GROUP BY doc_id, w, h
+    ),
+    bb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    pb AS (
+      SELECT doc_id, 'bit2' AS variant, w, h, CAST(1 AS INT) AS channels,
+             CAST(SUM((x + 2 * y + s) % 4) AS BIGINT) AS checksum
+      FROM (SELECT *, unnest(range(0, w)) AS x FROM bb) t1,
+           LATERAL (SELECT unnest(range(0, h)) AS y) t2
+      GROUP BY doc_id, w, h
+    ),
+    bp4 AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 11, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) % 16 + 8 AS w,
+             CAST(('0x' || substr(md5(text), 15, 2)) AS INT) % 16 + 8 AS h
+      FROM documents
+    ),
+    pp4 AS (
+      SELECT doc_id, 'pal4' AS variant, w, h, CAST(3 AS INT) AS channels,
+             CAST(SUM((11 * ((3 * x + 5 * y + s) % 16) + 17 * c + s) % 256)
+                  AS BIGINT) AS checksum
+      FROM (SELECT *, unnest(range(0, w)) AS x FROM bp4) t1,
+           LATERAL (SELECT unnest(range(0, h)) AS y) t2,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) t3
+      GROUP BY doc_id, w, h
     )
     SELECT doc_id, variant, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
            channels, checksum
     FROM (SELECT * FROM p16 UNION ALL SELECT * FROM pa
-          UNION ALL SELECT * FROM pt)
+          UNION ALL SELECT * FROM pt UNION ALL SELECT * FROM pb
+          UNION ALL SELECT * FROM pp4)
     """,
 )
 def q_png_deep_pixels(spark, sf):
-    """PNG deep-format decode gate (closes the r8 residuals in one
-    query): per doc, synthesize and FULLY decode a 16-bit RGB PNG
-    (byte-level unfilter, big-endian sample recombination), an
-    Adam7-interlaced RGBA PNG (seven pass-local filtered sub-images
-    scattered back), and a tRNS-translucent palette PNG (PLTE→RGB plus
-    the alpha indirection with opaque padding) — three rows per doc,
-    each checksummed against its closed-form oracle.  Same
-    embarrassingly-parallel scan shape as ``png_pixels``."""
+    """PNG deep-format decode gate (closes EVERY PNG residual): per doc,
+    synthesize and FULLY decode a 16-bit RGB PNG (byte-level unfilter,
+    big-endian sample recombination), an Adam7-interlaced RGBA PNG
+    (seven pass-local filtered sub-images scattered back), a
+    tRNS-translucent palette PNG (PLTE→RGB plus the alpha indirection
+    with opaque padding), a 2-BIT grayscale INTERLACED PNG (bit packing
+    compounded with per-pass sub-byte strides), and a 4-bit palette PNG
+    (two indices per wire byte) — five rows per doc, each checksummed
+    against its closed-form oracle.  With these, decode_png covers the
+    full legal PNG matrix except 16-bit palettes (illegal per spec).
+    Same embarrassingly-parallel scan shape as ``png_pixels``."""
     from .operators.multimodal import png_deep_pipeline
 
     return png_deep_pipeline(t(spark, sf, "documents", spread=True))

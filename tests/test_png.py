@@ -92,18 +92,20 @@ def test_not_png_rejected():
 
 
 def test_unsupported_shapes_refused():
-    # bit-packed depths (1/2/4) stay a loud refusal, not a mis-decode
-    # (16-bit decodes for real since r9)
-    p = bytearray(synth_png("deep"))
-    # IHDR data starts at offset 16; bit depth at 16+8=24
+    # the one illegal-per-spec combo left: a 16-bit PALETTE must refuse
+    # loudly (every legal depth/color/interlace combination decodes
+    # since late r9)
     import struct, zlib
 
+    from arrow_udf_spark.operators.multimodal import synth_png_pal
+
+    p = bytearray(synth_png_pal("deep"))
     ihdr = bytearray(p[16:29])
-    ihdr[8] = 4
+    ihdr[8] = 16  # bit depth byte of the IHDR
     crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
     p[16:29] = ihdr
     p[29:33] = struct.pack(">I", crc)
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    with pytest.raises(NotImplementedError, match="16-bit palettes"):
         decode_png(bytes(p))
 
 
@@ -313,3 +315,67 @@ def test_png_deep_pipeline_spark(spark):
             r = rows[(did, variant)]
             assert (r.w, r.h, r.channels) == (w, h, ch)
             assert r.checksum == int(raw.astype("int64").sum())
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_bit_packed_roundtrip(depth):
+    from arrow_udf_spark.operators.multimodal import encode_png as enc
+
+    rng = np.random.default_rng(depth)
+    for (w, h) in [(1, 1), (3, 2), (13, 5), (17, 11)]:
+        px = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+        for il in (False, True):
+            pw, ph, ch, raw = decode_png(
+                enc(w, h, px.tobytes(), channels=1, depth=depth, interlace=il)
+            )
+            assert (pw, ph, ch) == (w, h, 1) and (raw == px).all()
+
+
+def test_bit_packed_palette_trns_roundtrip():
+    from arrow_udf_spark.operators.multimodal import encode_png as enc
+
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, 768, dtype=np.uint8).tobytes()
+    trns = rng.integers(0, 256, 5, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, 16, size=(7, 9), dtype=np.uint8)
+    for il in (False, True):
+        w, h, ch, raw = decode_png(
+            enc(9, 7, idx.tobytes(), channels=1, depth=4, palette=plte,
+                trns=trns, interlace=il)
+        )
+        assert ch == 4
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        alpha = np.full(256, 255, dtype=np.uint8)
+        alpha[:5] = np.frombuffer(trns, dtype=np.uint8)
+        exp = np.concatenate([pal[idx], alpha[idx][:, :, None]], axis=2)
+        assert (raw.reshape(7, 9, 4) == exp).all()
+
+
+def test_bit_packed_sample_range_enforced():
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(2, 1, bytes([3, 1]), channels=1, depth=1)
+
+
+def test_deep_synths_bitpacked_closed_form():
+    from arrow_udf_spark.operators.multimodal import (
+        synth_png_bit2,
+        synth_png_pal4,
+    )
+
+    for text in ["", "hello"]:
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w, h, ch, raw = decode_png(synth_png_bit2(text))
+        s = int(hx[2:4], 16)
+        ew, eh = int(hx[4:6], 16) % 16 + 8, int(hx[8:10], 16) % 16 + 8
+        exp = (
+            np.arange(ew)[None, :] + 2 * np.arange(eh)[:, None] + s
+        ) % 4
+        assert (w, h, ch) == (ew, eh, 1) and (raw == exp).all()
+
+        w, h, ch, raw = decode_png(synth_png_pal4(text))
+        s = int(hx[10:12], 16)
+        ew, eh = int(hx[12:14], 16) % 16 + 8, int(hx[14:16], 16) % 16 + 8
+        idx = (3 * np.arange(ew)[None, :] + 5 * np.arange(eh)[:, None] + s) % 16
+        exp = (11 * idx[:, :, None] + 17 * np.arange(3)[None, None, :] + s) % 256
+        assert (w, h, ch) == (ew, eh, 3)
+        assert (raw.reshape(h, w, 3) == exp).all()
