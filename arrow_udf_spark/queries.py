@@ -2324,6 +2324,66 @@ def q_gif_pixels(spark, sf):
 
 
 @query(
+    "source_formats_roundtrip",
+    # one row per source format; every aggregate must be identical across
+    # formats AND equal to the parquet truth — CSV quoting, JSON string
+    # escaping, and ORC encoding all have to round-trip the text
+    # byte-exactly for the sum(length(text)) leg to match
+    """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents
+    )
+    SELECT fmt, n_rows, sum_id, sum_chars, sum_text_len
+    FROM agg CROSS JOIN (
+        SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+    """,
+)
+def q_source_formats_roundtrip(spark, sf):
+    """Source-format integrity gate: the documents table is written to
+    ORC, JSONL, and CSV and read back through Spark's native readers
+    (explicit schema — inference is not the contract), then aggregated
+    per format.  The three rows must be identical to the parquet truth:
+    CSV quoting/escaping, JSON string escaping, and ORC encoding each
+    have to preserve every text byte for the length-sum leg to match.
+    Scale shape: each leg is one columnar scan + one map-side-combined
+    aggregate; formats differ only in the scan node."""
+    import tempfile
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="srcfmt_")
+    d.write.mode("overwrite").orc(f"{base}/orc")
+    d.write.mode("overwrite").json(f"{base}/json")
+    d.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    schema = d.schema
+    reads = {
+        "orc": spark.read.orc(f"{base}/orc"),
+        "json": spark.read.schema(schema).json(f"{base}/json"),
+        "csv": spark.read.schema(schema)
+        .option("header", True)
+        .csv(f"{base}/csv"),
+    }
+    outs = [
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+        for fmt, df in reads.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
     "gif_frames",
     # animated GIF: n_frames = s%3+2; frame f = sub-rectangle (f,f)..(w,h)
     # with GLOBAL-coordinate indices idx=(3x+5y+7f+s)%256; EVEN frames
@@ -8687,7 +8747,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (10) --
+    # -- 1a. new late-r9 (11) --
+    "source_formats_roundtrip",  # new r9: ORC/JSONL/CSV scan integrity
     "g711_roundtrip",  # new r9: ITU-T G.711 mu-law/A-law both directions
     "char_entropy",  # new r9: per-doc character-entropy quality signal
     "streaming_pq_encode",  # new r9: frozen-codebook PQ encode on a stream
@@ -8741,7 +8802,6 @@ _GATE_PRIORITY = [
     "decimal_wide_add",
     "dedup_exact",
     "dedup_keep_best",
-    "extract_tcp_info_fn",
 ]
 
 
