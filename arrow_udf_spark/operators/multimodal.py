@@ -98,6 +98,9 @@ __all__ = [
     "alaw_encode",
     "alaw_decode",
     "g711_pipeline",
+    "encode_bmp",
+    "decode_bmp",
+    "synth_bmp",
 ]
 
 #: metadata struct produced by decode
@@ -1861,3 +1864,89 @@ def g711_pipeline(
             )
 
     return df.select(id_col, text_col).mapInPandas(work, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 24-bit BI_RGB) — full pixel decode
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes as a real 24-bit uncompressed BMP: 14-byte
+    file header + 40-byte BITMAPINFOHEADER, rows stored BOTTOM-UP in
+    BGR order, each padded to a 4-byte boundary — the three traps every
+    hand-rolled BMP reader hits."""
+    import numpy as np
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    pad = (-(width * 3)) % 4
+    rows = bytearray()
+    for y in range(height):
+        rows += bgr[y].tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    total = data_off + len(rows)
+    fh = b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return fh + ih + bytes(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Fully decode a 24-bit uncompressed (BI_RGB) BMP: header walk via
+    the declared pixel-data offset, per-row 4-byte padding strip, BGR →
+    RGB, and bottom-up (positive height) or top-down (negative height)
+    row order.  Returns ``(width, height, 3, raw)`` with raw an
+    (h, w*3) uint8 RGB array.  Other bit depths / compressions raise
+    ``NotImplementedError``."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs are out of scope")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decodes"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if need > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, rows[:, :, ::-1].reshape(h, w * 3)  # BGR -> RGB
+
+
+def synth_bmp(text: str) -> bytes:
+    """Deterministic 24-bit BMP with synth_png's pixel formula on fresh
+    digest nibbles: ``s = md5hex[29:31]``, ``w = md5hex[31] % 12 + 6``,
+    ``h = md5hex[0] % 12 + 6``; ``pixel(x,y,c) = (7x+13y+31c+s) mod
+    256`` (RGB order — the encoder does the BGR/bottom-up/padding
+    dance)."""
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[29:31], 16)
+    w = int(hx[31], 16) % 12 + 6
+    h = int(hx[0], 16) % 12 + 6
+    arr = (
+        7 * np.arange(w, dtype=np.int64)[None, :, None]
+        + 13 * np.arange(h, dtype=np.int64)[:, None, None]
+        + 31 * np.arange(3, dtype=np.int64)[None, None, :]
+        + s
+    ) % 256
+    return encode_bmp(w, h, arr.astype(np.uint8).tobytes())

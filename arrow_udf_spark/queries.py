@@ -2592,6 +2592,46 @@ def q_jpeg_pixels(spark, sf):
 
 
 @query(
+    "bmp_pixels",
+    # synth_png's pixel formula on the BMP container (s/w/h from md5 hex
+    # nibbles 30-31 / 32 / 1): the Spark side must strip per-row 4-byte
+    # padding, reverse the bottom-up row order, and swap BGR back to RGB
+    # to reproduce the closed-form checksum
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 30, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 32, 1)) AS INT) % 12 + 6 AS w,
+             CAST(('0x' || substr(md5(text), 1, 1)) AS INT) % 12 + 6 AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, s, w, h, unnest(range(0, w)) AS x FROM b),
+    pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+    pxyc AS (SELECT *, unnest(range(0, 3)) AS c FROM pxy)
+    SELECT doc_id, CAST(MIN(w) AS INT) AS w, CAST(MIN(h) AS INT) AS h,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM((7 * x + 13 * y + 31 * c + s) % 256) AS BIGINT)
+               AS checksum
+    FROM pxyc GROUP BY doc_id
+    """,
+)
+def q_bmp_pixels(spark, sf):
+    """Full BMP pixel decode gate (the header already parsed; now the
+    pixels do too): per doc, synthesize a real 24-bit BMP — bottom-up
+    BGR rows, 4-byte padding — and decode it back, checksumming the RGB
+    pixels against the closed-form oracle.  A decoder that forgets the
+    padding, the row order, or the channel swap breaks the hash.  Same
+    embarrassingly-parallel scan shape as ``png_pixels``."""
+    from .operators.multimodal import decode_bmp, png_pipeline, synth_bmp
+
+    return png_pipeline(
+        t(spark, sf, "documents", spread=True),
+        synth=synth_bmp,
+        decode=decode_bmp,
+    )
+
+
+@query(
     "g711_roundtrip",
     # G.711 companding is pure integer quantization, so decode(encode(x))
     # has a closed form: mu-law m = min(|x|,32635)+132, segment by
@@ -8747,7 +8787,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (11) --
+    # -- 1a. new late-r9 (12) --
+    "bmp_pixels",  # new r9: full 24-bit BMP decode (padding/BGR/bottom-up)
     "source_formats_roundtrip",  # new r9: ORC/JSONL/CSV scan integrity
     "g711_roundtrip",  # new r9: ITU-T G.711 mu-law/A-law both directions
     "char_entropy",  # new r9: per-doc character-entropy quality signal
@@ -8801,7 +8842,6 @@ _GATE_PRIORITY = [
     "datetime_fn",
     "decimal_wide_add",
     "dedup_exact",
-    "dedup_keep_best",
 ]
 
 
