@@ -233,6 +233,10 @@ class _BitReader:
                 raise ValueError("unexpected marker inside entropy stream")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # trim consumed high bits: without this the accumulator grows to
+        # the whole entropy-stream length and every shift goes O(stream)
+        # — measured quadratic (20 KB: 0.44 s -> 80 KB: 7.6 s)
+        self.acc &= (1 << self.nbits) - 1
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -261,44 +265,54 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _encode_one_block(blk, qm, d, dc_codes, ac_codes, pred, writer):
+    """FDCT + quantize + entropy-code ONE level-shifted 8x8 block; the
+    single implementation of the DC-delta / AC run-length coder, shared
+    by the grayscale stream and the interleaved color MCU loop.
+    Returns the new DC predictor."""
+    import numpy as np
+
+    coef = d @ blk @ d.T
+    q = np.rint(coef / qm).astype(np.int64)
+    zz = [int(q[r, c]) for r, c in ZIGZAG]
+    # DC: category + additional bits of the delta
+    diff = zz[0] - pred
+    t = _size_cat(diff)
+    code, ln = dc_codes[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    # AC: run-length of zeros + category
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.put(code, ln)
+            run -= 16
+        t = _size_cat(v)
+        code, ln = ac_codes[(run << 4) | t]
+        writer.put(code, ln)
+        writer.put(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.put(code, ln)
+    return zz[0]
+
+
 def _encode_blocks(blocks, quant, dc_codes, ac_codes, writer):
     """Quantize + entropy-code a component's blocks (in MCU order).
     ``blocks``: iterable of 8x8 float arrays (level-shifted)."""
-    import numpy as np
-
     d = _dct_matrix()
     pred = 0
     qm = quant.reshape(8, 8)
     for blk in blocks:
-        coef = d @ blk @ d.T
-        q = np.rint(coef / qm).astype(np.int64)
-        zz = [int(q[r, c]) for r, c in ZIGZAG]
-        # DC: category + additional bits of the delta
-        diff = zz[0] - pred
-        pred = zz[0]
-        t = _size_cat(diff)
-        code, ln = dc_codes[t]
-        writer.put(code, ln)
-        if t:
-            writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-        # AC: run-length of zeros + category
-        run = 0
-        for v in zz[1:]:
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = ac_codes[0xF0]  # ZRL
-                writer.put(code, ln)
-                run -= 16
-            t = _size_cat(v)
-            code, ln = ac_codes[(run << 4) | t]
-            writer.put(code, ln)
-            writer.put(v if v > 0 else v + (1 << t) - 1, t)
-            run = 0
-        if run:
-            code, ln = ac_codes[0x00]  # EOB
-            writer.put(code, ln)
+        pred = _encode_one_block(
+            blk, qm, d, dc_codes, ac_codes, pred, writer
+        )
 
 
 def encode_jpeg(
@@ -398,34 +412,10 @@ def encode_jpeg(
             for bx in range(bw):
                 for ci in range(3):
                     blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                    coef = d @ blk @ d.T
-                    q = np.rint(coef / qms[ci]).astype(np.int64)
-                    zz = [int(q[r, c]) for r, c in ZIGZAG]
-                    diff = zz[0] - preds[ci]
-                    preds[ci] = zz[0]
                     dc_codes, ac_codes = code_sets[ci]
-                    t = _size_cat(diff)
-                    code, ln = dc_codes[t]
-                    w.put(code, ln)
-                    if t:
-                        w.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-                    run = 0
-                    for v in zz[1:]:
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run >= 16:
-                            code, ln = ac_codes[0xF0]
-                            w.put(code, ln)
-                            run -= 16
-                        t = _size_cat(v)
-                        code, ln = ac_codes[(run << 4) | t]
-                        w.put(code, ln)
-                        w.put(v if v > 0 else v + (1 << t) - 1, t)
-                        run = 0
-                    if run:
-                        code, ln = ac_codes[0x00]
-                        w.put(code, ln)
+                    preds[ci] = _encode_one_block(
+                        blk, qms[ci], d, dc_codes, ac_codes, preds[ci], w
+                    )
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -243,7 +243,7 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
                 pos += 2
                 continue
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-            if marker in sof_markers and pos + 9 <= len(payload):
+            if marker in sof_markers and pos + 10 <= len(payload):
                 h, w = struct.unpack_from(">HH", payload, pos + 5)
                 nc = payload[pos + 9]
                 return {
@@ -924,6 +924,8 @@ def decode_png(payload: bytes):
         sb = 1
     else:
         channels = _PNG_CHANNELS[color]  # 0/2/4/6: wire == decoded
+        if trns is not None and color in (4, 6):
+            raise ValueError("tRNS is prohibited for alpha color types")
         sb = depth // 8
     bpp = channels * sb
     flat = zlib.decompress(bytes(idat))
@@ -994,7 +996,27 @@ def decode_png(payload: bytes):
         # big-endian sample recombination AFTER unfiltering (spec order)
         hi = raw[:, 0::2].astype(np.uint16)
         lo = raw[:, 1::2].astype(np.uint16)
-        return w, h, channels, (hi << 8) | lo
+        raw = (hi << 8) | lo
+    if trns is not None and color in (0, 2):
+        # COLORKEY transparency (spec 11.3.2): tRNS stores one 16-bit
+        # value per channel; for depth < 16 only the low bits are
+        # significant.  Pixels matching the key on EVERY channel become
+        # fully transparent, everything else fully opaque — the decode
+        # grows an alpha channel so the transparency is never silently
+        # dropped (the r9 code-review catch).
+        if len(trns) != 2 * channels:
+            raise ValueError("tRNS colorkey length mismatch")
+        key = struct.unpack(f">{channels}H", trns)
+        maxv = (1 << depth) - 1
+        if depth < 16:
+            key = tuple(k & maxv for k in key)
+        px = raw.reshape(h, w, channels)
+        match = np.ones((h, w), dtype=bool)
+        for ci, kv in enumerate(key):
+            match &= px[:, :, ci] == kv
+        alpha = np.where(match, 0, maxv).astype(px.dtype)
+        out = np.concatenate([px, alpha[:, :, None]], axis=2)
+        return w, h, channels + 1, out.reshape(h, w * (channels + 1))
     return w, h, channels, raw
 
 

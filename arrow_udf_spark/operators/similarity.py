@@ -41,6 +41,8 @@ __all__ = [
     "quantized_dot_recall",
     "rrf_fuse",
     "pq_recall",
+    "pq_codebooks",
+    "pq_code_cols",
 ]
 
 
@@ -917,31 +919,22 @@ def pq_recall(
     production serves PQ under an IVF cell join (ivf_topk), which this
     operator deliberately leaves orthogonal.
     """
-    from .clustering import _dist_pairs, cents_expr, kmeans_fit
+    from .clustering import cents_expr
 
     sub = dim // m
     assert sub * m == dim, "dim must divide by m"
-    codebooks = []
-    for j in range(m):
-        sliced = items.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), j * sub + 1, sub
-            ).alias("embedding"),
-        )
-        codebooks.append(kmeans_fit(sliced, k=ksub, iters=iters))
+    codebooks = pq_codebooks(
+        items, m=m, sub=sub, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
 
     base = items.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
-    code_cols = [
-        F.array_min(
-            _dist_pairs(F.slice(F.col("nv"), j * sub + 1, sub), codebooks[j])
-        )["cid"].alias(f"k{j}")
-        for j in range(m)
-    ]
-    codes = base.select("n_id", "nv", *code_cols)
+    codes = base.select(
+        "n_id", "nv", *pq_code_cols(F.col("nv"), codebooks, sub)
+    )
 
     def dotf(a, b):
         return F.aggregate(
@@ -1011,3 +1004,46 @@ def pq_recall(
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"),
         )
     )
+
+
+def pq_codebooks(
+    items: DataFrame,
+    m: int,
+    sub: int,
+    ksub: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train the m per-subspace PQ codebooks (the kmeans_fit contract:
+    min-id seeds, broadcast-literal assignment, O(ksub·sub) driver
+    state each).  ONE implementation shared by the batch gate
+    (:func:`pq_recall`) and the streaming encoder — the slice offsets
+    and tie-break semantics must match the generated Lloyd-CTE oracle
+    in exactly one place."""
+    from .clustering import kmeans_fit
+
+    books = []
+    for j in range(m):
+        sliced = items.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+            ).alias("embedding"),
+        )
+        books.append(kmeans_fit(sliced, k=ksub, iters=iters))
+    return books
+
+
+def pq_code_cols(vec, codebooks: list, sub: int) -> list:
+    """The m PQ code columns (``k0``..``k{m-1}``) for a vector column —
+    one zero-shuffle argmin fold per subspace against the codebook
+    literals; ties to the lower cid (the oracle's ORDER BY ... cid)."""
+    from .clustering import _dist_pairs
+
+    return [
+        F.array_min(
+            _dist_pairs(F.slice(vec, j * sub + 1, sub), cb)
+        )["cid"].alias(f"k{j}")
+        for j, cb in enumerate(codebooks)
+    ]

@@ -376,7 +376,13 @@ def gopher_repetition(
     per_gram = ex.groupBy(key, "n", "gram").agg(
         F.count("*").alias("cnt"),
         F.min("glen").alias("glen"),
-        F.collect_list("start").alias("starts"),
+        # starts are only consumed for duplicated 5-grams — collect_list
+        # skips the NULLs this when() emits for 2-gram rows, so the
+        # shuffle carries no start payload for the (much larger) 2-gram
+        # population
+        F.collect_list(
+            F.when(F.col("n") == 5, F.col("start"))
+        ).alias("starts"),
     )
     # most frequent 2-gram via a struct-min (no window): min over
     # (-cnt, gram) is (highest count, lexicographically first)

@@ -7784,33 +7784,17 @@ def q_streaming_pq_encode(spark, sf):
     import tempfile
     import uuid
 
-    from .operators.clustering import _dist_pairs, kmeans_fit
+    from .operators.similarity import pq_code_cols, pq_codebooks
 
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
     m, sub = 4, 16
-    codebooks = []
-    for j in range(m):
-        sliced = e.select(
-            "vec_id",
-            F.slice(
-                F.col("embedding").cast("array<double>"), j * sub + 1, sub
-            ).alias("embedding"),
-        )
-        codebooks.append(kmeans_fit(sliced, k=8, iters=1))
+    codebooks = pq_codebooks(e, m=m, sub=sub, ksub=8, iters=1)
 
     d = tempfile.mkdtemp(prefix="stream_pq_")
     e.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(e.schema).parquet(d)
     nv = F.col("embedding").cast("array<double>")
-    out = stream.select(
-        "vec_id",
-        *[
-            F.array_min(
-                _dist_pairs(F.slice(nv, j * sub + 1, sub), codebooks[j])
-            )["cid"].alias(f"k{j}")
-            for j in range(m)
-        ],
-    )
+    out = stream.select("vec_id", *pq_code_cols(nv, codebooks, sub))
     sink = f"stream_pq_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
