@@ -379,3 +379,50 @@ def test_deep_synths_bitpacked_closed_form():
         exp = (11 * idx[:, :, None] + 17 * np.arange(3)[None, None, :] + s) % 256
         assert (w, h, ch) == (ew, eh, 3)
         assert (raw.reshape(h, w, 3) == exp).all()
+
+
+def test_colorkey_trns_grey_and_rgb():
+    # tRNS on color types 0/2 is COLORKEY transparency (spec 11.3.2):
+    # the decode must grow an alpha channel, 0 exactly on key-matching
+    # pixels (r9 code-review catch: previously silently dropped)
+    import struct, zlib
+
+    def splice(p, data):
+        chunk = (
+            struct.pack(">I", len(data))
+            + b"tRNS"
+            + data
+            + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+        )
+        p = bytearray(p)
+        at = p.find(b"IDAT") - 4
+        p[at:at] = chunk
+        return bytes(p)
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(4, 15), dtype=np.uint8)
+    px[1, 3:6] = [10, 20, 30]
+    p = splice(encode_png(5, 4, px.tobytes(), channels=3),
+               struct.pack(">3H", 10, 20, 30))
+    w, h, ch, raw = decode_png(p)
+    assert ch == 4
+    a = raw.reshape(4, 5, 4)[:, :, 3]
+    exp = np.full((4, 5), 255)
+    exp[1, 1] = 0
+    assert (a == exp).all()
+    assert (raw.reshape(4, 5, 4)[:, :, :3].reshape(4, 15) == px).all()
+    # 16-bit grey key
+    px16 = rng.integers(0, 65536, size=(3, 4), dtype=np.uint16)
+    px16[2, 0] = 513
+    p = splice(
+        encode_png(4, 3, px16.astype(">u2").tobytes(), channels=1, depth=16),
+        struct.pack(">H", 513),
+    )
+    w, h, ch, raw = decode_png(p)
+    assert ch == 2 and raw.dtype == np.uint16
+    assert raw.reshape(3, 4, 2)[2, 0, 1] == 0
+    # tRNS on an alpha color type is prohibited per spec
+    p = splice(encode_png(2, 2, bytes(16), channels=4),
+               struct.pack(">3H", 0, 0, 0))
+    with pytest.raises(ValueError, match="prohibited"):
+        decode_png(p)
