@@ -185,3 +185,44 @@ def kmeans_centroid_stats(assigned: DataFrame) -> DataFrame:
     return assigned.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list,
+    label_col: str,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> list:
+    """Train a logistic-regression quality classifier IN-ENGINE with
+    full-batch gradient descent — the fastText-style quality-filter
+    training step of a data-curation pipeline (score docs against a
+    trusted-source label), expressed in the :func:`kmeans_fit` shape:
+
+    - per iteration, the score ``z = w·x`` is ONE codegen'd expression
+      over broadcast weight literals (zero shuffle), and the gradient
+      ``g_j = Σ x_j·(y - σ(z)) / n`` is ONE map-side-combined aggregate
+      of ``len(features)+1`` sums;
+    - driver state is O(features) — data-size independent;
+    - deterministic: no RNG (w₀ = 0), full-batch (no sampling), fixed
+      iteration count — the trajectory is replayable as unrolled SQL
+      (the kmeans oracle pattern), with 6dp rounding absorbing
+      engine-level float-sum ordering drift.
+
+    Returns ``[(name, weight), ...]`` with a leading ``bias`` term.
+    """
+    names = ["bias"] + list(feature_cols)
+    w = [0.0] * len(names)
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    n = df.count()
+    for _ in range(iters):
+        z = feats[0] * F.lit(w[0])
+        for wi, xi in zip(w[1:], feats[1:]):
+            z = z + xi * F.lit(wi)
+        resid = y - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = df.agg(
+            *[F.sum(xi * resid).alias(f"g{j}") for j, xi in enumerate(feats)]
+        ).collect()[0]
+        w = [wj + lr * row[f"g{j}"] / n for j, wj in enumerate(w)]
+    return list(zip(names, w))

@@ -7885,6 +7885,85 @@ _KMEANS_MEANS_CTE = """
 
 
 @query(
+    "quality_classifier_fit",
+    # full-batch logistic-regression GD, 3 unrolled iterations: w0 = 0
+    # makes the first step's sigmoid EXACTLY 0.5 on both engines; later
+    # steps drift only by float-sum ordering + 1-ulp exp, absorbed by the
+    # 6dp half-up round on the emitted weights
+    r"""
+    WITH base AS MATERIALIZED (
+        SELECT (CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END) AS y,
+               n_chars / 400.0 AS x1,
+               len(regexp_split_to_array(trim(text), '\s+')) / 100.0 AS x2
+        FROM documents
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    w1 AS MATERIALIZED (
+        SELECT sum(1.0 * (y - 0.5)) / any_value(n) AS b,
+               sum(x1 * (y - 0.5)) / any_value(n) AS a1,
+               sum(x2 * (y - 0.5)) / any_value(n) AS a2
+        FROM base, nn
+    ),
+    w2 AS MATERIALIZED (
+        SELECT any_value(b) + sum(1.0 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS b,
+               any_value(a1) + sum(x1 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS a1,
+               any_value(a2) + sum(x2 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS a2
+        FROM base, w1, nn
+    ),
+    w3 AS MATERIALIZED (
+        SELECT any_value(b) + sum(1.0 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS b,
+               any_value(a1) + sum(x1 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS a1,
+               any_value(a2) + sum(x2 * (y - 1.0 /
+                   (1.0 + exp(-(b + a1 * x1 + a2 * x2))))) / any_value(n)
+                   AS a2
+        FROM base, w2, nn
+    )
+    SELECT 'bias' AS feature, floor(b * 1e6 + 0.5) / 1e6 AS weight FROM w3
+    UNION ALL
+    SELECT 'x1', floor(a1 * 1e6 + 0.5) / 1e6 FROM w3
+    UNION ALL
+    SELECT 'x2', floor(a2 * 1e6 + 0.5) / 1e6 FROM w3
+    """,
+)
+def q_quality_classifier_fit(spark, sf):
+    """Quality-classifier TRAINING in-engine (the fastText-style filter
+    every LLaMA-lineage pipeline trains against a trusted source):
+    logistic regression over (length, word-count) features with
+    label = doc comes from src0, fit by 3 full-batch GD steps — each
+    step ONE codegen'd score expression over broadcast weight literals
+    plus ONE O(features) map-side-combined aggregate (the kmeans_fit
+    execution shape; driver state is 3 doubles).  Deterministic: zero
+    init, full batch, fixed steps — the oracle replays the identical
+    trajectory as unrolled MATERIALIZED CTEs, and the learned weights
+    hash-match at 6dp."""
+    import math
+
+    from .operators.clustering import logreg_fit
+
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 400.0).alias("x1"),
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) / 100.0).alias("x2"),
+    )
+    weights = logreg_fit(feats, ["x1", "x2"], "y", iters=3, lr=1.0)
+    rows = [
+        (name, math.floor(v * 1e6 + 0.5) / 1e6) for name, v in weights
+    ]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+@query(
     "kmeans_train_assign",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -8771,7 +8850,8 @@ _GATE_PRIORITY = [
     #      rest keep three-scale replica evidence and rotate next
     #      round).
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (12) --
+    # -- 1a. new late-r9 (13) --
+    "quality_classifier_fit",  # new r9: in-engine logistic-regression GD
     "bmp_pixels",  # new r9: full 24-bit BMP decode (padding/BGR/bottom-up)
     "source_formats_roundtrip",  # new r9: ORC/JSONL/CSV scan integrity
     "g711_roundtrip",  # new r9: ITU-T G.711 mu-law/A-law both directions
@@ -8825,7 +8905,6 @@ _GATE_PRIORITY = [
     "cosine_topk_numpy",
     "datetime_fn",
     "decimal_wide_add",
-    "dedup_exact",
 ]
 
 
