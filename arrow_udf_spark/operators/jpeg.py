@@ -445,6 +445,13 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (ADVICE r9: conformant foreign streams
+        # used to refuse here)
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -203,16 +203,19 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
         w, h = struct.unpack_from(">II", payload, 16)
         _depth, color = payload[24], payload[25]
         channels = _PNG_CHANNELS.get(color, 0)
-        if color == 3:
-            # a tRNS chunk makes the decoded palette RGBA, not RGB — keep
-            # header channels equal to decode_png's output (ADVICE r8
-            # lesson); chunk tags sit before IDAT so the scan is tiny
+        if color in (0, 2, 3):
+            # a tRNS chunk grows an alpha channel in decode_png's output
+            # for ALL three non-alpha color types: palette RGB→RGBA, and
+            # colorkey transparency on grey (1→2) / truecolor (3→4) —
+            # header channels must match the DECODED shape (ADVICE r8 for
+            # palette, ADVICE r9 for colorkey); chunk tags sit before
+            # IDAT so the scan is tiny
             pos = 8
             while pos + 8 <= len(payload):
                 (clen,) = struct.unpack_from(">I", payload, pos)
                 tag = payload[pos + 4 : pos + 8]
                 if tag == b"tRNS":
-                    channels = 4
+                    channels += 1
                     break
                 if tag in (b"IDAT", b"IEND"):
                     break
@@ -238,6 +241,12 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
         sof_markers = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
         while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            # T.81 B.1.1.2: skip 0xFF fill-byte padding before the
+            # marker code (ADVICE r9)
+            while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(payload):
+                break
             marker = payload[pos + 1]
             if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                 pos += 2
@@ -1813,17 +1822,24 @@ def ulaw_decode(payload: bytes):
 
 
 def alaw_encode(samples) -> bytes:
-    """REAL G.711 A-law compression: clip to 32767, segments from the
-    MSB above bit 8 (segment 0 covers two linear chords), XOR 0x55."""
+    """REAL G.711 A-law compression, canonical per the ITU reference
+    implementation (g711.c ``linear2alaw``): quantize in the 13-bit
+    domain (arithmetic ``>> 3``), negatives via one's complement
+    (``-p13 - 1``) — NOT symmetric ``|x|``, which lands cell-boundary
+    negatives like -16 one quantization cell off the canonical bytes
+    (ADVICE r9) — segment from the MSB above bit 4 (segment 0 covers
+    two linear chords), 4-bit mantissa, XOR 0x55."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int32)
     sign = (x >= 0).astype(np.int32)  # A-law: 1 = positive
-    m = np.minimum(np.abs(x), 32767)
+    p13 = x >> 3  # arithmetic shift: 16-bit PCM -> 13-bit domain
+    m = np.minimum(np.where(x >= 0, p13, -p13 - 1), 0xFFF)
     seg = np.maximum(
-        (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 7), 0
+        (np.floor(np.log2(np.maximum(m, 1))).astype(np.int32) - 4), 0
     ).clip(0, 7)
-    mant = np.where(seg == 0, m >> 4, (m >> (seg + 3)) & 0x0F)
+    # segments 0 and 1 both quantize with a >>1 step (two linear chords)
+    mant = (m >> np.maximum(seg, 1)) & 0x0F
     return (((sign << 7) | (seg << 4) | mant) ^ 0x55).astype(
         np.uint8
     ).tobytes()

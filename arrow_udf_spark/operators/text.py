@@ -854,12 +854,19 @@ def bpe_train_encode(
         if prev is not None:
             prev.unpersist()
         prev, cur = cur, nxt
+    # release the training loop's two cached word tables (ADVICE r9:
+    # they leaked for the session lifetime): pin the compact O(|vocab|)
+    # trained model (w, n_sym) instead, materialize it, then free both
+    if prev is not None:
+        prev.unpersist()
     final = cur.select(
         "w",
         F.size(
             F.filter(F.split(F.col("r"), M), lambda x: x != "")
         ).cast("long").alias("n_sym"),
-    )
+    ).persist()
+    final.count()
+    cur.unpersist()
     out = (
         words_of(df)
         .join(final, "w")
@@ -869,6 +876,10 @@ def bpe_train_encode(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
         )
     )
+    # the one remaining cached table IS the trained model, which the
+    # returned (lazy) DataFrame still reads; callers that are done with
+    # it can release it via this handle
+    out.bpe_model_cache = final
     return out, merges
 
 

@@ -2636,10 +2636,13 @@ def q_bmp_pixels(spark, sf):
     # G.711 companding is pure integer quantization, so decode(encode(x))
     # has a closed form: mu-law m = min(|x|,32635)+132, segment by
     # threshold, mantissa 4 bits, decode (mant*8+132)<<seg - 132; A-law
-    # m = min(|x|,32767), segment 0 linear (mant = m//16, decode
-    # mant*16+8), else ((mant*16+8)+256)<<(seg-1).  PCM samples are the
-    # md5 closed form sample(i) = (s*4093 + i*3797) % 65536 - 32768,
-    # s/n from hex nibbles 26-27/28-29.
+    # is canonical per g711.c linear2alaw (ADVICE r9): 13-bit domain
+    # p13 = pcm >> 3 (floor), negatives one's-complement m = -p13-1,
+    # segment by 13-bit thresholds (seg 0 = two linear chords, mant
+    # step >>1), decode seg 0 -> mant*16+8, else (mant*16+264)<<(seg-1).
+    # PCM samples are the md5 closed form
+    # sample(i) = (s*4093 + i*3797) % 65536 - 32768, s/n from hex
+    # nibbles 26-27/28-29.
     """
     WITH b AS (
       SELECT doc_id,
@@ -2654,7 +2657,8 @@ def q_bmp_pixels(spark, sf):
     seg AS (
       SELECT doc_id, n, pcm,
              least(abs(pcm), 32635) + 132 AS um,
-             least(abs(pcm), 32767) AS am
+             CASE WHEN pcm >= 0 THEN CAST(floor(pcm / 8.0) AS BIGINT)
+                  ELSE -CAST(floor(pcm / 8.0) AS BIGINT) - 1 END AS am
       FROM sm
     ),
     q AS (
@@ -2663,10 +2667,10 @@ def q_bmp_pixels(spark, sf):
                   WHEN um < 1024 THEN 2 WHEN um < 2048 THEN 3
                   WHEN um < 4096 THEN 4 WHEN um < 8192 THEN 5
                   WHEN um < 16384 THEN 6 ELSE 7 END AS useg,
-             CASE WHEN am < 256 THEN 0 WHEN am < 512 THEN 1
-                  WHEN am < 1024 THEN 2 WHEN am < 2048 THEN 3
-                  WHEN am < 4096 THEN 4 WHEN am < 8192 THEN 5
-                  WHEN am < 16384 THEN 6 ELSE 7 END AS aseg
+             CASE WHEN am < 32 THEN 0 WHEN am < 64 THEN 1
+                  WHEN am < 128 THEN 2 WHEN am < 256 THEN 3
+                  WHEN am < 512 THEN 4 WHEN am < 1024 THEN 5
+                  WHEN am < 2048 THEN 6 ELSE 7 END AS aseg
       FROM seg
     ),
     d AS (
@@ -2675,9 +2679,9 @@ def q_bmp_pixels(spark, sf):
              (((um // (8 * (1 << useg))) % 16) * 8 + 132) * (1 << useg)
                - (CASE WHEN pcm < 0 THEN -132 ELSE 132 END) AS udec,
              (CASE WHEN pcm >= 0 THEN 1 ELSE -1 END) *
-             (CASE WHEN aseg = 0 THEN (am // 16) * 16 + 8
-                   ELSE (((am // (8 * (1 << aseg))) % 16) * 16 + 8 + 256)
-                        * (1 << (aseg - 1)) END) AS adec
+             (CASE WHEN aseg = 0 THEN ((am // 2) % 16) * 16 + 8
+                   ELSE ((am // (1 << aseg)) % 16) * 16 * (1 << (aseg - 1))
+                        + 264 * (1 << (aseg - 1)) END) AS adec
       FROM q
     )
     SELECT doc_id, CAST(MIN(n) AS INT) AS n_samples,

@@ -1,0 +1,122 @@
+"""Regression tests for the four round-9 ADVICE findings:
+
+1. parse_image_header must report decode_png's channel count for
+   COLORKEY tRNS on grey/RGB PNGs (not just palette tRNS).
+2. alaw_encode must quantize negatives canonically per the ITU
+   reference implementation (g711.c linear2alaw: 13-bit domain, one's
+   complement), not by symmetric |x|.
+3. bpe_train_encode must not leak its training-loop caches; the one
+   surviving cache is the O(|vocab|) model with a release handle.
+4. The JPEG marker walks must skip legal 0xFF fill bytes
+   (T.81 B.1.1.2) in both decode_jpeg and parse_image_header.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from arrow_udf_spark.operators.jpeg import decode_jpeg, synth_jpeg_flat
+from arrow_udf_spark.operators.multimodal import (
+    _png_chunk,
+    alaw_decode,
+    alaw_encode,
+    decode_png,
+    encode_png,
+    parse_image_header,
+)
+
+
+def _splice_trns(png: bytes, trns: bytes) -> bytes:
+    """Insert a tRNS chunk immediately before the first IDAT."""
+    at = png.index(b"IDAT") - 4
+    return png[:at] + _png_chunk(b"tRNS", trns) + png[at:]
+
+
+def test_header_matches_decode_for_colorkey_trns():
+    # grey colorkey: decode grows alpha (1 -> 2); header must agree
+    grey = bytes([10, 20, 30, 20])
+    png = _splice_trns(
+        encode_png(2, 2, grey, channels=1), struct.pack(">H", 20)
+    )
+    w, h, ch, raw = decode_png(png)
+    assert ch == 2
+    hdr = parse_image_header(png)
+    assert hdr["channels"] == 2 and hdr["width"] == 2 and hdr["height"] == 2
+    # RGB colorkey: 3 -> 4
+    rgb = bytes(range(12))
+    png = _splice_trns(
+        encode_png(2, 2, rgb, channels=3), struct.pack(">HHH", 0, 1, 2)
+    )
+    assert decode_png(png)[2] == 4
+    assert parse_image_header(png)["channels"] == 4
+    # no tRNS: unchanged
+    assert parse_image_header(encode_png(2, 2, grey, channels=1))["channels"] == 1
+    assert parse_image_header(encode_png(2, 2, rgb, channels=3))["channels"] == 3
+
+
+def _linear2alaw_ref(pcm: int) -> int:
+    """Scalar port of the canonical ITU g711.c linear2alaw."""
+    seg_end = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+    p = pcm >> 3  # python >> on ints is arithmetic/floor, like C shorts
+    if p >= 0:
+        mask = 0xD5  # sign (7th) bit = 1
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = next((i for i, e in enumerate(seg_end) if p <= e), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
+    return aval ^ mask
+
+
+def test_alaw_encode_matches_itu_reference_bytes():
+    # byte-exact vs the canonical reference over the full int16 domain
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    got = np.frombuffer(alaw_encode(x), dtype=np.uint8)
+    ref = np.array([_linear2alaw_ref(int(v)) for v in x], dtype=np.uint8)
+    assert (got == ref).all()
+
+
+def test_alaw_negative_cell_boundaries():
+    # the ADVICE example: -16 sits ON a quantization cell boundary; the
+    # canonical one's-complement form decodes it to -8 (symmetric |x|
+    # wrongly gave -24)
+    x = np.array([-16, -256, -512, 16, 256, 512], dtype=np.int16)
+    dec = alaw_decode(alaw_encode(x)).tolist()
+    assert dec == [-8, -248, -504, 24, 264, 528]
+
+
+def test_bpe_training_releases_loop_caches(spark):
+    from arrow_udf_spark.operators.text import bpe_train_encode
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest low")],
+        ["doc_id", "text"],
+    )
+    out, merges = bpe_train_encode(df, n_merges=3)
+    rows = {r["id"]: r["n_tokens"] for r in out.collect()}
+    assert rows and merges
+    # only the O(|vocab|) trained model survives the loop ...
+    assert jsc.getPersistentRDDs().size() == base + 1
+    # ... and it is releasable through the documented handle
+    out.bpe_model_cache.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_jpeg_fill_bytes_are_skipped():
+    p = synth_jpeg_flat("advice r10")
+    want = decode_jpeg(p)
+    # T.81 B.1.1.2: pad 0xFF fill bytes before marker codes — after SOI
+    # (before DQT) and before the SOS marker
+    sos = p.index(b"\xff\xda")
+    padded = p[:2] + b"\xff\xff" + p[2:sos] + b"\xff" + p[sos:]
+    w, h, ch, raw = decode_jpeg(padded)
+    assert (w, h, ch) == want[:3] and (raw == want[3]).all()
+    hdr = parse_image_header(padded)
+    assert hdr is not None and (hdr["width"], hdr["height"]) == (w, h)
