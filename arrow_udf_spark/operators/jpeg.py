@@ -3,17 +3,21 @@ and stdlib only — no codec library.
 
 Scope (honest):
 
-- **Baseline sequential DCT, 8-bit** (SOF0): grayscale (1 component) and
-  YCbCr 4:4:4 color (3 components, 1x1 sampling).  Progressive (SOF2),
-  arithmetic coding, 12-bit, subsampled chroma, and restart intervals
-  refuse loudly — each changes the entropy-decode loop structure.
+- **Baseline sequential DCT, 8-bit** (SOF0): grayscale (1 component)
+  and YCbCr color with 4:4:4, 4:2:2, or 4:2:0 chroma subsampling (the
+  decoder accepts ANY integer-ratio H/V factors up to 4, e.g. 4:1:1),
+  plus restart intervals (DRI / RSTn with DC-predictor reset) — i.e.
+  the layouts the overwhelming majority of real web JPEGs use.
+  Progressive (SOF2), arithmetic coding, and 12-bit refuse loudly —
+  each changes the entropy-decode loop structure.
 - Everything the baseline path needs is REAL: marker framing (SOI/DQT/
-  SOF0/DHT/SOS/EOI), canonical Huffman table construction from the
+  SOF0/DHT/DRI/SOS/EOI), canonical Huffman table construction from the
   Annex K.3 (bits, values) spec tables, MSB-first bit IO with 0xFF00
   byte (un)stuffing, per-component DC prediction, run-length AC coding
   with ZRL/EOB, zigzag (de)serialization, quality-scaled Annex K
-  quantization tables, and an exact orthonormal separable DCT-II/IDCT
-  pair via an 8x8 basis matrix.
+  quantization tables, MCU interleaving over per-component sampling
+  factors with nearest-neighbor chroma upsampling, and an exact
+  orthonormal separable DCT-II/IDCT pair via an 8x8 basis matrix.
 
 Lossy-codec oracle strategy: JPEG quantization makes decode(encode(x))
 != x in general, so the GATE fixture (:func:`synth_jpeg_flat`) is built
@@ -38,6 +42,7 @@ __all__ = [
     "encode_jpeg",
     "decode_jpeg",
     "synth_jpeg_flat",
+    "synth_jpeg_subsampled",
     "QUANT_LUMA",
     "QUANT_CHROMA",
 ]
@@ -204,10 +209,21 @@ class _BitWriter:
                 self.acc = 0
                 self.nbits = 0
 
-    def flush(self):
-        # pad with 1-bits per spec
+    def align(self):
+        # pad the current partial byte with 1-bits per spec (B.2.1.2) —
+        # the pre-restart-marker alignment; stuffing in put() still
+        # applies if the pad byte lands on 0xFF
         while self.nbits:
             self.put(1, 1)
+
+    def marker(self, code: int):
+        # emit a marker INSIDE the entropy stream (RSTn): byte-align,
+        # then write the two marker bytes verbatim (never stuffed)
+        self.align()
+        self.out += bytes([0xFF, code])
+
+    def flush(self):
+        self.align()
         return bytes(self.out)
 
 
@@ -259,6 +275,23 @@ class _BitReader:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    def restart(self):
+        """Consume an RSTn marker at a restart boundary (E.2.4): discard
+        the pad bits of the current partial byte (byte-align), skip any
+        0xFF fill bytes, and step over the two marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while p + 2 <= len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1
+        if (
+            p + 2 > len(self.data)
+            or self.data[p] != 0xFF
+            or not 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos = p + 2
+
 
 def _extend(v: int, t: int) -> int:
     """T.81 EXTEND: map t received bits to the signed coefficient."""
@@ -303,16 +336,8 @@ def _encode_one_block(blk, qm, d, dc_codes, ac_codes, pred, writer):
     return zz[0]
 
 
-def _encode_blocks(blocks, quant, dc_codes, ac_codes, writer):
-    """Quantize + entropy-code a component's blocks (in MCU order).
-    ``blocks``: iterable of 8x8 float arrays (level-shifted)."""
-    d = _dct_matrix()
-    pred = 0
-    qm = quant.reshape(8, 8)
-    for blk in blocks:
-        pred = _encode_one_block(
-            blk, qm, d, dc_codes, ac_codes, pred, writer
-        )
+#: encoder subsampling name -> luma (H, V) sampling factors (chroma 1x1)
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
 def encode_jpeg(
@@ -321,17 +346,31 @@ def encode_jpeg(
     pixels: bytes,
     channels: int = 1,
     quality: int = 50,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale (channels=1) or RGB (channels=3, stored as
-    YCbCr 4:4:4) pixels as a REAL baseline JPEG: quality-scaled Annex K
+    YCbCr) pixels as a REAL baseline JPEG: quality-scaled Annex K
     quantization, exact orthonormal FDCT, canonical Annex K.3 Huffman
     coding with byte stuffing, standard marker framing.  Dimensions need
-    not be block-aligned — edge blocks replicate the last row/column
-    (the common encoder convention)."""
+    not be MCU-aligned — edge blocks replicate the last row/column (the
+    common encoder convention).
+
+    ``subsampling`` picks the chroma layout for color images: ``4:4:4``
+    (1x1), ``4:2:2`` (luma 2x1, chroma box-averaged horizontally), or
+    ``4:2:0`` (luma 2x2, chroma box-averaged 2x2) — the layouts covering
+    the overwhelming majority of real web JPEGs.  ``restart_interval``
+    > 0 emits a DRI segment and an RSTn marker (with DC-predictor reset
+    and byte alignment) every that-many MCUs (T.81 E.1.4)."""
     import numpy as np
 
     if channels not in (1, 3):
         raise NotImplementedError("encode_jpeg supports grayscale or RGB")
+    if subsampling not in _SUBSAMPLING:
+        raise NotImplementedError(
+            f"subsampling {subsampling!r}: one of {sorted(_SUBSAMPLING)}"
+        )
+    hl, vl = _SUBSAMPLING[subsampling] if channels == 3 else (1, 1)
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
     ).astype(np.float64)
@@ -350,28 +389,47 @@ def encode_jpeg(
         planes = [arr[..., 0]]
         quants = [_quality_scale(QUANT_LUMA, quality)]
 
-    # pad to full blocks by edge replication
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = []
-    for p in planes:
-        pp = np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-        padded.append(pp - 128.0)
+    # pad to whole MCUs (8·H x 8·V pixels) by edge replication, so the
+    # chroma box-average below lands on full blocks
+    mw = (width + 8 * hl - 1) // (8 * hl)
+    mh = (height + 8 * vl - 1) // (8 * vl)
+    pw, ph = mw * 8 * hl, mh * 8 * vl
+    padded = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        for p in planes
+    ]
 
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
+    # (plane level-shifted, H, V, quant matrix, DC codes, AC codes)
+    if channels == 3:
+        yp, cbp, crp = padded
+        cbp = cbp.reshape(ph // vl, vl, pw // hl, hl).mean(axis=(1, 3))
+        crp = crp.reshape(ph // vl, vl, pw // hl, hl).mean(axis=(1, 3))
+        comps_enc = [
+            (yp - 128.0, hl, vl, quants[0].reshape(8, 8), dc_l, ac_l),
+            (cbp - 128.0, 1, 1, quants[1].reshape(8, 8), dc_c, ac_c),
+            (crp - 128.0, 1, 1, quants[2].reshape(8, 8), dc_c, ac_c),
+        ]
+    else:
+        comps_enc = [
+            (padded[0] - 128.0, 1, 1, quants[0].reshape(8, 8), dc_l, ac_l)
+        ]
+
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (table 0 = luma; table 1 = chroma when color)
     for tq, q in enumerate(quants[: 2 if channels == 3 else 1]):
         zz = bytes(int(q[r * 8 + c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq) + zz
-    # SOF0
+    # SOF0: component 1 carries the luma sampling factors
     comps = b""
     for cid in range(1, channels + 1):
+        samp = (hl << 4) | vl if cid == 1 else 0x11
         tq = 0 if cid == 1 else 1
-        comps += bytes([cid, 0x11, tq])
+        comps += bytes([cid, samp, tq])
     out += b"\xff\xc0" + struct.pack(
         ">HBHHB", 8 + 3 * channels, 8, height, width, channels
     ) + comps
@@ -385,6 +443,9 @@ def encode_jpeg(
     for tc_th, bits, vals in tables:
         body = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    ri = int(restart_interval)
+    if ri > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     # SOS
     sos = bytes([channels])
     for cid in range(1, channels + 1):
@@ -393,45 +454,47 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # entropy-coded data: MCU = one block of each component (1x1 sampling),
-    # interleaved in component order per MCU
-    w = _BitWriter()
-    if channels == 1:
-        blocks = (
-            padded[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            for by in range(bh)
-            for bx in range(bw)
-        )
-        _encode_blocks(blocks, quants[0], dc_l, ac_l, w)
-    else:
-        d = _dct_matrix()
-        preds = [0, 0, 0]
-        code_sets = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-        qms = [q.reshape(8, 8) for q in quants]
-        for by in range(bh):
-            for bx in range(bw):
-                for ci in range(3):
-                    blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                    dc_codes, ac_codes = code_sets[ci]
-                    preds[ci] = _encode_one_block(
-                        blk, qms[ci], d, dc_codes, ac_codes, preds[ci], w
-                    )
-    out += w.flush()
+    # entropy-coded data: MCU = H_i x V_i blocks per component (raster
+    # order within the MCU), components interleaved in order (A.2.3)
+    wtr = _BitWriter()
+    d = _dct_matrix()
+    preds = [0] * len(comps_enc)
+    mcu = rst = 0
+    for my in range(mh):
+        for mx in range(mw):
+            if ri and mcu and mcu % ri == 0:
+                wtr.marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0] * len(comps_enc)
+            for ci, (pl, hi, vi, qm, dcc, acc) in enumerate(comps_enc):
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = my * vi + v, mx * hi + u
+                        blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        preds[ci] = _encode_one_block(
+                            blk, qm, d, dcc, acc, preds[ci], wtr
+                        )
+            mcu += 1
+    out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_jpeg(payload: bytes):
-    """Fully decode a BASELINE (SOF0, 8-bit, 1x1-sampled grayscale or
-    YCbCr 4:4:4) JPEG: marker walk, DQT/DHT table loads, canonical
-    Huffman entropy decode with 0xFF00 unstuffing, per-component DC
-    prediction, dequantization, inverse zigzag, exact IDCT, level shift
-    and clamp, and (for color) the JFIF YCbCr→RGB transform.
+    """Fully decode a BASELINE (SOF0, 8-bit) JPEG — grayscale or YCbCr
+    color at any integer-ratio chroma subsampling (4:4:4 / 4:2:2 /
+    4:2:0 / 4:1:1...), with or without restart intervals: marker walk,
+    DQT/DHT/DRI table loads, canonical Huffman entropy decode with
+    0xFF00 unstuffing and RSTn resynchronization, per-component DC
+    prediction, MCU de-interleaving over the sampling factors,
+    dequantization, inverse zigzag, exact IDCT, nearest-neighbor chroma
+    upsampling, level shift and clamp, and (for color) the JFIF
+    YCbCr→RGB transform.
 
     Returns ``(width, height, channels, raw)`` with ``raw`` an
-    (h, w*channels) uint8 array.  Progressive / arithmetic / 12-bit /
-    subsampled / restart-interval streams raise ``NotImplementedError``
-    — honest scope, stated in the module docstring."""
+    (h, w*channels) uint8 array.  Progressive / arithmetic / 12-bit
+    streams raise ``NotImplementedError`` — honest scope, stated in the
+    module docstring."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -442,6 +505,7 @@ def decode_jpeg(payload: bytes):
     ac_tabs = {}
     sof = None
     scan = None
+    restart_ri = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -477,11 +541,10 @@ def decode_jpeg(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma (non-1x1) is out of scope"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("JPEG sampling factors out of range")
+                comps.append((cid, hi, vi, tq))
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -497,9 +560,7 @@ def decode_jpeg(payload: bytes):
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
-            (ri,) = struct.unpack_from(">H", seg, 0)
-            if ri != 0:
-                raise NotImplementedError("restart intervals are out of scope")
+            (restart_ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scomps = []
@@ -518,6 +579,23 @@ def decode_jpeg(payload: bytes):
     if nc not in (1, 3) or len(scomps) != nc:
         raise NotImplementedError("only 1- or 3-component interleaved scans")
 
+    # sampling geometry: a single-component scan is non-interleaved and
+    # codes the plane at full resolution whatever the declared factors
+    # (T.81 A.2.2); multi-component scans interleave H_i x V_i blocks
+    # per MCU in raster order (A.2.3)
+    if nc == 1:
+        samp = {comps[0][0]: (1, 1)}
+    else:
+        samp = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    hmax = max(hv[0] for hv in samp.values())
+    vmax = max(hv[1] for hv in samp.values())
+    if any(hmax % hi or vmax % vi for hi, vi in samp.values()):
+        raise NotImplementedError(
+            "fractional chroma upsampling ratios are out of scope"
+        )
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
     # entropy stream runs to EOI
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
@@ -525,39 +603,67 @@ def decode_jpeg(payload: bytes):
     reader = _BitReader(payload[data_start:end])
 
     d = _dct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
-    preds = [0] * nc
-    tq_of = {cid: tq for cid, tq in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, td, ta) in enumerate(scomps):
-                zz = [0] * 64
-                t = reader.symbol(dc_tabs[td])
-                diff = _extend(reader.bits(t), t) if t else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.symbol(ac_tabs[ta])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overrun")
-                    zz[k] = _extend(reader.bits(s), s)
-                    k += 1
-                coef = np.zeros((8, 8))
-                q = quants[tq_of[cid]].reshape(8, 8)
-                for i, (rr, cc) in enumerate(ZIGZAG):
-                    coef[rr, cc] = zz[i]
-                blk = d.T @ (coef * q) @ d + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    planes = [p[:h, :w] for p in planes]
+    tq_of = {cid: tq for cid, _hi, _vi, tq in comps}
+    plane_of = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
+        for cid, (hi, vi) in samp.items()
+    }
+    qm_of = {cid: quants[tq_of[cid]].reshape(8, 8) for cid in samp}
+    preds = {cid: 0 for cid in samp}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_ri and mcu and mcu % restart_ri == 0:
+                # T.81 E.2.4: byte-align, eat RSTn, reset DC prediction
+                reader.restart()
+                preds = {cid: 0 for cid in samp}
+            for cid, td, ta in scomps:
+                hi, vi = samp[cid]
+                qm = qm_of[cid]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = [0] * 64
+                        t = reader.symbol(dc_tabs[td])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.symbol(ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC coefficient overrun"
+                                )
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        for i, (rr, cc) in enumerate(ZIGZAG):
+                            coef[rr, cc] = zz[i]
+                        blk = d.T @ (coef * qm) @ d + 128.0
+                        by, bx = my * vi + v, mx * hi + u
+                        plane_of[cid][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = blk
+            mcu += 1
+    # crop each component to its own resolution, then upsample to the
+    # full grid by nearest-neighbor sample replication
+    planes = []
+    for ci, (cid, *_rest) in enumerate(comps):
+        hi, vi = samp[cid]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        p = plane_of[cid][:ch, :cw]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        planes.append(p[:h, :w])
     if nc == 1:
         out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.reshape(h, w)
@@ -598,3 +704,53 @@ def synth_jpeg_flat(text: str) -> bytes:
     v = 2 * ((7 * bxs + 13 * bys + s) % 128)
     img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
     return encode_jpeg(bw * 8, bh * 8, img.tobytes(), channels=1, quality=50)
+
+
+def synth_jpeg_subsampled(text: str, mode: str = "4:2:0") -> bytes:
+    """Deterministic COLOR baseline JPEG with subsampled chroma AND a
+    restart interval that decodes EXACTLY — extending the flat-block
+    oracle trick to the general layout:
+
+    - every 8x8 LUMA block is flat with an even value, so its DC is an
+      exact multiple of the luma quantization step (16) and its AC
+      coefficients vanish;
+    - every pixel is gray (R = G = B = v), so both chroma planes sit at
+      exactly 128 (up to float residue far below half a quantization
+      step): the chroma blocks quantize to all-zero whatever the box
+      averaging and survive nearest-neighbor upsampling untouched, and
+      the YCbCr→RGB transform returns v bit-exactly on all three
+      channels.
+
+    Geometry (from md5(text) hex): ``s = hx[9:11]``,
+    ``mw = hx[11:13] % 2 + 1``, ``mh = hx[13:15] % 2 + 1`` →
+    ``w = 16·mw``, ``h = 16·mh`` (whole 4:2:0 MCUs); luma block
+    (bx, by) over the 2mw x 2mh grid has value
+    ``v = 2·((7·bx + 13·by + s) mod 128)`` — adjacent blocks differ, so
+    a wrong block order WITHIN the MCU breaks the checksum.  The
+    restart interval is ``s % 3 + 1`` MCUs, so most streams also carry
+    RSTn markers with DC-predictor resets.
+    ``checksum = Σ_blocks 3·64·v``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[9:11], 16)
+    mw = int(hx[11:13], 16) % 2 + 1
+    mh = int(hx[13:15], 16) % 2 + 1
+    w, h = 16 * mw, 16 * mh
+    bxs = np.arange(2 * mw, dtype=np.int64)[None, :]
+    bys = np.arange(2 * mh, dtype=np.int64)[:, None]
+    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
+    grey = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    return encode_jpeg(
+        w,
+        h,
+        rgb.tobytes(),
+        channels=3,
+        quality=50,
+        subsampling=mode,
+        restart_interval=s % 3 + 1,
+    )

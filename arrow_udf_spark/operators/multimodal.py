@@ -1309,6 +1309,53 @@ def png_deep_pipeline(
     return df.select(id_col, text_col).mapInPandas(work, out_schema)
 
 
+def jpeg_subsampled_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Subsampled-JPEG decode gate: per row, synthesize a COLOR baseline
+    JPEG twice — 4:2:0 (2x2 luma MCUs) and 4:2:2 (2x1) — each with a
+    restart interval, and FULLY decode both: DRI/RSTn resynchronization
+    with DC-predictor resets, MCU de-interleaving over the sampling
+    factors, chroma box-downsample on the encode side and
+    nearest-neighbor upsample on decode.  The gray flat-block fixture
+    (:func:`~arrow_udf_spark.operators.jpeg.synth_jpeg_subsampled`)
+    makes the lossy layout exactly invertible, so one SQL oracle
+    predicts every decoded pixel.
+
+    Scale shape: per-row CPU work, no shuffle — the :func:`png_pipeline`
+    contract with a 2-way variant fan-out."""
+    from .jpeg import decode_jpeg, synth_jpeg_subsampled
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("variant", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for variant, mode in (("420", "4:2:0"), ("422", "4:2:2")):
+                    w, h, ch, raw = decode_jpeg(
+                        synth_jpeg_subsampled(text, mode)
+                    )
+                    rows.append(
+                        (did, variant, w, h, ch, int(raw.astype("int64").sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "variant", "w", "h", "channels", "checksum"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)
+
+
 def png_pipeline(
     df: DataFrame,
     text_col: str = "text",

@@ -2592,6 +2592,54 @@ def q_jpeg_pixels(spark, sf):
 
 
 @query(
+    "jpeg_subsampled_pixels",
+    # the flat-block oracle trick extended to subsampled color (see
+    # synth_jpeg_subsampled): gray flat 8x8 luma blocks with even values
+    # keep luma DC an exact multiple of its quantization step and pin
+    # both chroma planes at exactly 128, so 4:2:0 and 4:2:2 baseline
+    # JPEG — restart intervals included — becomes exactly invertible.
+    # s/mw/mh from md5 hex nibbles 10-11/12-13/14-15; the luma block
+    # grid is 2mw x 2mh with v = 2*((7bx+13by+s)%128); both variants
+    # decode the same 16mw x 16mh RGB grid, checksum = sum 3*64*v.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 10, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 12, 2)) AS INT) % 2 + 1 AS mw,
+             CAST(('0x' || substr(md5(text), 14, 2)) AS INT) % 2 + 1 AS mh
+      FROM documents
+    ),
+    bx AS (SELECT *, unnest(range(0, 2 * mw)) AS x FROM b),
+    bxy AS (SELECT *, unnest(range(0, 2 * mh)) AS y FROM bx),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(MIN(mw) * 16 AS INT) AS w, CAST(MIN(mh) * 16 AS INT) AS h,
+             CAST(3 AS INT) AS channels,
+             CAST(SUM(3 * 64 * (2 * ((7 * x + 13 * y + s) % 128))) AS BIGINT)
+                 AS checksum
+      FROM bxy GROUP BY doc_id
+    )
+    SELECT doc_id, variant, w, h, channels, checksum
+    FROM per_doc, (SELECT unnest(['420', '422']) AS variant)
+    """,
+)
+def q_jpeg_subsampled_pixels(spark, sf):
+    """Subsampled + restart-interval JPEG decode gate — the r9 VERDICT's
+    top gap (real web JPEGs are overwhelmingly 4:2:0/4:2:2, often with
+    restart markers; the baseline-4:4:4-only decoder covered a
+    minority): per doc, synthesize a color baseline JPEG at BOTH 4:2:0
+    and 4:2:2 with a restart interval, and fully decode — MCU
+    de-interleaving over sampling factors, RSTn resync with DC resets,
+    chroma upsampling, YCbCr→RGB.  The gray flat-block fixture makes
+    the layout exactly invertible (see the oracle comment); lossy
+    general paths are pinned by tests/test_jpeg_subsampling.py.  Same
+    embarrassingly-parallel scan shape as ``png_pixels``."""
+    from .operators.multimodal import jpeg_subsampled_pipeline
+
+    return jpeg_subsampled_pipeline(t(spark, sf, "documents", spread=True))
+
+
+@query(
     "bmp_pixels",
     # synth_png's pixel formula on the BMP container (s/w/h from md5 hex
     # nibbles 30-31 / 32 / 1): the Spark side must strip per-row 4-byte

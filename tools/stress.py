@@ -355,6 +355,11 @@ def main() -> int:
 
     run(f"jpeg_pipeline({rep}x docs)",
         lambda: png_pipeline(docs, synth=synth_jpeg_flat, decode=decode_jpeg))
+
+    from arrow_udf_spark.operators.multimodal import jpeg_subsampled_pipeline
+
+    run(f"jpeg_subsampled_pipeline({rep}x docs, 4:2:0 + 4:2:2/row)",
+        lambda: jpeg_subsampled_pipeline(docs))
     run(f"png_deep_pipeline({rep}x docs, 3 decodes/row)",
         lambda: png_deep_pipeline(docs))
     run(f"gif_frames_pipeline({rep}x docs, 2-4 frames/row)",
