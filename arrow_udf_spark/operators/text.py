@@ -753,6 +753,72 @@ def source_token_tv(
     )
 
 
+#: the BPE symbol-boundary marker; stripped from input words
+_BPE_M = "·"
+
+
+def _bpe_words_of(df, text_col: str, id_col: str):
+    """(id, w) rows: whitespace-split words with the marker char
+    stripped — the shared front door of both BPE trainers."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
+        .withColumn("w", F.regexp_replace("w", _BPE_M, ""))
+        .where(F.col("w") != "")
+    )
+
+
+def _bpe_pair_expr():
+    """Adjacent-pair fan-out over the marker-wrapped representation in
+    column ``r``: each pair rendered ``·a··b·`` (both edges marked — the
+    soundness form; see :func:`bpe_train_encode`)."""
+    M = _BPE_M
+    # split on the marker leaves "" between/around symbols — filter
+    syms = F.filter(F.split(F.col("r"), M), lambda x: x != "")
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.concat(
+                F.lit(M),
+                F.element_at(syms, i + 1),
+                F.lit(M + M),
+                F.element_at(syms, i + 2),
+                F.lit(M),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bpe_finish(words, cur):
+    """Shared trainer epilogue: pin the O(|vocab|) model (w, n_sym),
+    release the loop table, and build the per-document encode join."""
+    M = _BPE_M
+    final = cur.select(
+        "w",
+        F.size(
+            F.filter(F.split(F.col("r"), M), lambda x: x != "")
+        ).cast("long").alias("n_sym"),
+    ).persist()
+    final.count()
+    cur.unpersist()
+    out = (
+        words.join(final, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    # the one remaining cached table IS the trained model, which the
+    # returned (lazy) DataFrame still reads; callers that are done with
+    # it can release it via this handle
+    out.bpe_model_cache = final
+    return out
+
+
 def bpe_train_encode(
     df,
     text_col: str = "text",
@@ -800,15 +866,8 @@ def bpe_train_encode(
     over vocab-sized rows, not corpus-sized (the measured-perf HOF
     caveat does not bite; see PLANS.md).
     """
-    M = "·"  # the symbol-boundary marker; stripped from input words
-    words_of = lambda d: (  # noqa: E731
-        d.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
-        )
-        .withColumn("w", F.regexp_replace("w", M, ""))
-        .where(F.col("w") != "")
-    )
+    M = _BPE_M
+    words_of = lambda d: _bpe_words_of(d, text_col, id_col)  # noqa: E731
     vocab = words_of(df).groupBy("w").agg(
         F.count(F.lit(1)).alias("freq")
     )
@@ -818,23 +877,8 @@ def bpe_train_encode(
     merges: list[str] = []
     prev = None
     for _ in range(n_merges):
-        # split on the marker leaves "" between/around symbols — filter
-        syms = F.filter(F.split(F.col("r"), M), lambda x: x != "")
-        pairs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(syms) - 2),
-                lambda i: F.concat(
-                    F.lit(M),
-                    F.element_at(syms, i + 1),
-                    F.lit(M + M),
-                    F.element_at(syms, i + 2),
-                    F.lit(M),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         best = (
-            cur.select(F.explode(pairs).alias("p"), "freq")
+            cur.select(F.explode(_bpe_pair_expr()).alias("p"), "freq")
             .groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p"))
@@ -859,28 +903,85 @@ def bpe_train_encode(
     # trained model (w, n_sym) instead, materialize it, then free both
     if prev is not None:
         prev.unpersist()
-    final = cur.select(
-        "w",
-        F.size(
-            F.filter(F.split(F.col("r"), M), lambda x: x != "")
-        ).cast("long").alias("n_sym"),
+    return _bpe_finish(words_of(df), cur), merges
+
+
+def bpe_batch_train_encode(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_rounds: int = 8,
+    batch: int = 8,
+):
+    """BPE trainer with BATCHED merge rounds — the production loop shape
+    (VERDICT r9 ask #3): :func:`bpe_train_encode` runs one Spark job
+    pipeline per merge, which a 32k-merge production vocabulary turns
+    into a 32k-job sequential driver loop.  This variant applies up to
+    ``batch`` merges per round — the standard distributed relaxation —
+    so the heavy-job count is O(n_merges / batch).
+
+    Per round, over the same word-frequency compaction:
+
+    1. ONE pair-count job; collect the top ``4·batch`` candidates by
+       ``(count DESC, pair ASC)`` — the round's CANDIDATE POOL (pairs
+       beyond the pool defer to a later round; the cap is part of the
+       contract so a SQL oracle can replay the selection exactly).
+    2. Greedy non-conflicting selection on the driver: walk the pool in
+       order, skipping any pair sharing a symbol with one already
+       selected this round.  Disjoint-symbol merges COMMUTE — replacing
+       ``·c··d·`` can neither create nor destroy an occurrence of
+       ``·a··b·`` when {a,b} ∩ {c,d} = ∅, and the freshly merged symbol
+       cannot appear in this round's counts — so one chained ``replace``
+       applies them all, order-free, and batch ≡ sequential when
+       ``batch=1`` (hypothesis-proven in tests/test_properties_r10.py).
+    3. ONE merge + materialize job applying the whole batch.
+
+    Returns ``(per_doc DataFrame (id, n_tokens, n_words), merges)``
+    like the sequential trainer.  Scale: driver state is O(batch) pair
+    strings per round; everything else is the sequential trainer's
+    posture (vocab-sized fan-outs, O(|vocab|) pinned model)."""
+    M = _BPE_M
+    words = _bpe_words_of(df, text_col, id_col)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cur = vocab.withColumn(
+        "r", F.regexp_replace(F.col("w"), "(.)", M + "$1" + M)
     ).persist()
-    final.count()
-    cur.unpersist()
-    out = (
-        words_of(df)
-        .join(final, "w")
-        .groupBy("id")
-        .agg(
-            F.sum("n_sym").cast("bigint").alias("n_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    merges: list[str] = []
+    for _ in range(n_rounds):
+        pool = (
+            cur.select(F.explode(_bpe_pair_expr()).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .select(
+                "p",
+                "cnt",
+                F.regexp_extract("p", f"^{M}([^{M}]+){M}", 1).alias("pa"),
+                F.regexp_extract("p", f"{M}([^{M}]+){M}$", 1).alias("pb"),
+            )
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(4 * batch)
+            .collect()
         )
-    )
-    # the one remaining cached table IS the trained model, which the
-    # returned (lazy) DataFrame still reads; callers that are done with
-    # it can release it via this handle
-    out.bpe_model_cache = final
-    return out, merges
+        selected: list[str] = []
+        used: set[str] = set()
+        for row in pool:
+            if len(selected) >= batch:
+                break
+            if row["pa"] in used or row["pb"] in used:
+                continue
+            selected.append(row["p"])
+            used.update((row["pa"], row["pb"]))
+        if not selected:
+            break
+        newr = F.col("r")
+        for p in selected:
+            newr = F.replace(newr, F.lit(p), F.lit(p.replace(M + M, "", 1)))
+        nxt = cur.withColumn("r", newr).persist()
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+        merges.extend(selected)
+    return _bpe_finish(words, cur), merges
 
 
 def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
@@ -939,6 +1040,103 @@ def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:
                AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_words
     FROM dw JOIN w{n_merges} f USING (w)
+    GROUP BY dw.doc_id"""
+    )
+    return "".join(sql)
+
+
+def bpe_batch_oracle_sql(
+    n_rounds: int = 8, batch: int = 8, table: str = "documents"
+) -> str:
+    """DuckDB replay of ``bpe_batch_train_encode``: the same
+    word-frequency compaction, then ``n_rounds`` UNROLLED rounds, each
+    with a MATERIALIZED pair-count CTE, a top-``4·batch`` candidate-pool
+    CTE, ``batch`` chained greedy argmax selections (each excluding the
+    symbols of all earlier selections this round — exactly the driver's
+    ordered-walk greedy), and ONE nested-replace merge CTE.  Both
+    engines break ties on ``(count DESC, pair ASC)`` under binary
+    collation, so the selected batches are engine-exact."""
+    M = _BPE_M
+    K = 4 * batch
+    sql = [
+        f"""
+    WITH dw AS MATERIALIZED (
+      SELECT doc_id, replace(w, '{M}', '') AS w
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM {table})
+      WHERE replace(w, '{M}', '') <> ''
+    ),
+    w0 AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq,
+             regexp_replace(w, '(.)', '{M}\\1{M}', 'g') AS r
+      FROM dw GROUP BY w
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        sql.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      WITH e AS (
+        SELECT freq, s, unnest(range(1, len(s))) AS i
+        FROM (SELECT freq,
+                     list_filter(string_split(r, '{M}'),
+                                 x -> x <> '') AS s
+              FROM w{k - 1})
+      ),
+      g AS (
+        SELECT '{M}' || s[i] || '{M}{M}' || s[i + 1] || '{M}' AS p,
+               SUM(freq) AS cnt
+        FROM e GROUP BY 1
+      )
+      SELECT p, cnt,
+             regexp_extract(p, '^{M}([^{M}]+){M}', 1) AS pa,
+             regexp_extract(p, '{M}([^{M}]+){M}$', 1) AS pb
+      FROM g
+    ),
+    c{k} AS MATERIALIZED (SELECT p, cnt, pa, pb FROM p{k}
+                          ORDER BY cnt DESC, p ASC LIMIT {K})"""
+        )
+        for j in range(1, batch + 1):
+            if j == 1:
+                sql.append(
+                    f""",
+    s{k}_1 AS MATERIALIZED (SELECT p, pa, pb FROM c{k}
+                            ORDER BY cnt DESC, p ASC LIMIT 1),
+    u{k}_1 AS MATERIALIZED (SELECT pa AS y FROM s{k}_1
+                            UNION ALL SELECT pb FROM s{k}_1)"""
+                )
+            else:
+                sql.append(
+                    f""",
+    s{k}_{j} AS MATERIALIZED (
+      SELECT p, pa, pb FROM c{k}
+      WHERE pa NOT IN (SELECT y FROM u{k}_{j - 1})
+        AND pb NOT IN (SELECT y FROM u{k}_{j - 1})
+      ORDER BY cnt DESC, p ASC LIMIT 1),
+    u{k}_{j} AS MATERIALIZED (SELECT y FROM u{k}_{j - 1}
+                              UNION ALL SELECT pa FROM s{k}_{j}
+                              UNION ALL SELECT pb FROM s{k}_{j})"""
+                )
+        repl = "r"
+        for j in range(1, batch + 1):
+            repl = (
+                f"replace({repl},\n"
+                f"        coalesce((SELECT p FROM s{k}_{j}), chr(1)),\n"
+                f"        coalesce((SELECT replace(p, '{M}{M}', '')"
+                f" FROM s{k}_{j}), ''))"
+            )
+        sql.append(
+            f""",
+    w{k} AS MATERIALIZED (SELECT w, freq, {repl} AS r FROM w{k - 1})"""
+        )
+    sql.append(
+        f"""
+    SELECT dw.doc_id,
+           CAST(SUM(len(list_filter(string_split(f.r, '{M}'),
+                                    x -> x <> ''))) AS BIGINT)
+               AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM dw JOIN w{n_rounds} f USING (w)
     GROUP BY dw.doc_id"""
     )
     return "".join(sql)
