@@ -8924,74 +8924,67 @@ def q_error_text_corpus(spark, sf):
 #   3. the 46 queries already fully green in CORRECTNESS_r01.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # Round-9 ordering.  The driver gates the first ~50 entries
-    # (VERDICT r8 ask #2 — finish the staleness rotation):
-    #   1. new in r9 (12, incl. the late-session five) and changed in
-    #      r9 (6) — new/changed queries must re-prove first.  The PNG
-    #      decode refactor (16-bit/Adam7/tRNS generalization) and the
-    #      GIF frame-walk rewrite touch png_pixels / png_palette_pixels
-    #      / png_meta / gif_pixels internals, so those re-lead too;
-    #   2. the 15 remaining r4-stale queries — after this window no
-    #      catalog query's latest driver row is older than r5;
-    #   3. the OLDEST r5-stale queries up to the 50-slot budget (the
-    #      rest keep three-scale replica evidence and rotate next
-    #      round).
+    # Round-10 ordering.  The driver gates the first ~50 entries
+    # (VERDICT r9 ask #2 — rotate the window onto the 35 queries whose
+    # latest driver row is r5):
+    #   1. new in r10 — the subsampled/restart JPEG gate and the
+    #      batched-merge BPE trainer must prove first;
+    #   2. changed in r10 — the ADVICE fixes touched the A-law encoder
+    #      (g711_roundtrip's oracle changed with it), the JPEG marker
+    #      walks (jpeg_pixels), the image-header tRNS scan (png_meta /
+    #      image_meta), and the BPE trainer's caching
+    #      (bpe_train_encode, and streaming_bpe_encode which trains
+    #      through it);
+    #   3. the 35 r5-stale queries (CORRECTNESS_r01..r09 union) — after
+    #      this window no catalog query's latest driver row is older
+    #      than r6.
     # ------------------------------------------------------------------
-    # -- 1a. new late-r9 (13) --
-    "quality_classifier_fit",  # new r9: in-engine logistic-regression GD
-    "bmp_pixels",  # new r9: full 24-bit BMP decode (padding/BGR/bottom-up)
-    "source_formats_roundtrip",  # new r9: ORC/JSONL/CSV scan integrity
-    "g711_roundtrip",  # new r9: ITU-T G.711 mu-law/A-law both directions
-    "char_entropy",  # new r9: per-doc character-entropy quality signal
-    "streaming_pq_encode",  # new r9: frozen-codebook PQ encode on a stream
-    "wildcard_widths",  # new r9: A14 number* expansion, all six widths
-    "jpeg_pixels",  # new r9: baseline JPEG decode from the T.81 spec
-    "pq_adc_recall",  # new r9: product-quantization ADC recall gate
-    "gif_frames",  # new r9: animated GIF + LCT + interlace decode
-    "png_deep_pixels",  # new r9: 16-bit/Adam7/tRNS PNG decode
-    "weighted_sample",  # new r9: deterministic A-ES weighted reservoir
-    "gopher_repetition",  # new r9: char-coverage repetition filters
-    # -- 1b. new early-r9 (7) --
-    "sql_agg_correlated_two_phase",  # new r9: q17-shape decorrelation, both scopes two-phase
-    "dup_substring_max",  # new r9: true longest-dup-substring, capped SA adjacency
-    "streaming_bpe_encode",  # new r9: stateless tokenizer serving on a stream
-    "matryoshka_recall",  # new r9: prefix-dim truncation recall gate
-    "streaming_exact_dedup",  # new r9: update-mode digest aggregation
-    "bpe_train_encode",  # new r9: BPE trained + applied, unrolled-CTE oracle
-    "streaming_semdedup",  # new r9: incremental-ingestion SemDeDup vs batch oracle
-    # -- 1c. changed in r9 (6) --
-    "png_pixels",  # changed r9: decode_png generalized to 8/16-bit + Adam7
-    "png_palette_pixels",  # changed r9: PLTE path now shares the tRNS-aware branch
-    "gif_pixels",  # changed r9: decode_gif rewrapped over the frame walker
-    "png_meta",  # changed r9: palette header channels now match decode
-    "dsir_weights",  # changed r9: one-sided toks_col guard
-    "image_meta",  # changed r9: tRNS-aware header channels (was also r5-stale)
-    # -- 2. r4-stale (15) --
-    "binary_fns",
-    "embedding_mean_pool",
-    "gcd3_fn",
-    "json_concat_fn",
-    "percentiles",
-    "pivot_agg",
-    "salted_join_agg",
-    "semi_anti_join",
-    "set_ops_full",
-    "skew_agg",
-    "split_words_udtf",
-    "stats_aggs",
-    "string_agg_nations",
-    "struct_to_json_fn",
-    "value_histogram",
-    # -- 3. oldest r5-stale (17) --
-    "anomaly_zscore",
-    "array_access_fn",
-    "array_sum_fn",
-    "bm25_topk",
-    "constants_fn",
-    "cosine_topk_bruteforce",
-    "cosine_topk_numpy",
-    "datetime_fn",
-    "decimal_wide_add",
+    # -- 1. new in r10 --
+    "jpeg_subsampled_pixels",  # new r10: 4:2:0/4:2:2 + restart intervals
+    "bpe_batch_train_encode",  # new r10: batched greedy merge rounds
+    # -- 2. changed in r10 --
+    "g711_roundtrip",  # changed r10: canonical A-law negatives (ADVICE)
+    "jpeg_pixels",  # changed r10: fill bytes + sampling-generic MCU loop
+    "png_meta",  # changed r10: colorkey tRNS header channels (ADVICE)
+    "image_meta",  # changed r10: same header fix through decode_image_meta
+    "bpe_train_encode",  # changed r10: loop-cache release (ADVICE)
+    "streaming_bpe_encode",  # changed r10: trains through bpe_train_encode
+    # -- 3. the 35 r5-stale queries --
+    "dedup_exact",
+    "dedup_keep_best",
+    "extract_tcp_info_fn",
+    "fib_fn",
+    "funnel_conversion",
+    "gcd",
+    "gcd_async",
+    "hex_to_dec_fn",
+    "image_resize",
+    "inverted_index",
+    "ivf_topk",
+    "json_array_elements_udtf",
+    "key_value_fn",
+    "key_values_udtf",
+    "kmv_source_similarity",
+    "length_fn",
+    "lsh_candidate_pairs",
+    "many_args",
+    "max2_concat2",
+    "neg",
+    "option_add",
+    "quality_percentile",
+    "retention_cohorts",
+    "rolling_7d_sum",
+    "split_fn",
+    "sql_agg_bare_two_phase",
+    "streaming_interval_join",
+    "streaming_retract_sliding",
+    "streaming_running_udaf",
+    "streaming_session_window",
+    "substring_fn",
+    "text_embedding_fn",
+    "to_json_fn",
+    "to_string_fn",
+    "weighted_avg_udaf",
 ]
 
 

@@ -167,10 +167,75 @@ def heavy3(rep: int) -> int:
     return 1 if failures else 0
 
 
+def corr2p(rep: int) -> int:
+    """Round-10 stress for ``sql_agg_correlated_two_phase`` (VERDICT r9
+    ask #5 — the bench's most expensive query): replicate lineitem
+    ``rep``x WITHOUT shifting l_partkey, so the row count grows by
+    ``rep`` while the distinct-key count K stays FIXED — the documented
+    cost model says the pandas-UDAF merge stage is O(K) calls and the
+    partials parallelize, so wall time must grow SUBLINEARLY in rows.
+    Runs 1x then ``rep``x in the same session (1x first: any JVM warmth
+    bias favors the BIG run being measured warm, i.e. against the
+    sublinearity claim being cheap)."""
+    sys.path.insert(0, "/root/repo")
+    from functools import reduce as _reduce
+
+    from arrow_udf_spark import get_spark
+    from arrow_udf_spark.plans.registry import GLOBAL
+
+    spark = get_spark("stress_corr2p", master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    GLOBAL.register_sql(spark)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf}/part.parquet")
+    pt.createOrReplaceTempView("pt_corrsql")
+    q = """
+        SELECT p_brand AS brand,
+               CAST(sum_udaf(CAST(FLOOR(l_extendedprice) AS BIGINT))
+                    AS BIGINT) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM li_corrsql l, pt_corrsql p
+        WHERE p.p_partkey = l.l_partkey
+          AND CAST(l.l_quantity AS BIGINT) * 5 <
+              (SELECT sum_udaf(CAST(l2.l_quantity AS BIGINT))
+               FROM li_corrsql l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+        ORDER BY brand
+    """
+    results = {}
+    for tag, r in [("1x", 1), (f"{rep}x", rep)]:
+        big = (
+            _reduce(
+                lambda a, b: a.unionByName(b), [li for _ in range(r)]
+            )
+            .repartition(64)
+            .localCheckpoint(eager=True)
+        )
+        n = big.count()
+        big.createOrReplaceTempView("li_corrsql")
+        t0 = time.perf_counter()
+        rows = GLOBAL.sql(spark, q).collect()
+        dt = time.perf_counter() - t0
+        results[tag] = (n, dt, len(rows))
+        print(f"  corr2p {tag}: rows={n} brands={len(rows)} wall={dt:.1f}s")
+        big.unpersist()
+    n1, t1, _ = results["1x"]
+    nr, tr, _ = results[f"{rep}x"]
+    print(
+        f"  {rep}x rows -> {tr / t1:.2f}x wall "
+        f"({'SUBLINEAR' if tr / t1 < rep else 'NOT sublinear'}; "
+        f"fixed K = distinct partkeys)"
+    )
+    return 0
+
+
 def main() -> int:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if len(sys.argv) > 2 and sys.argv[2] == "heavy3":
         return heavy3(rep)
+    if len(sys.argv) > 2 and sys.argv[2] == "corr2p":
+        return corr2p(rep)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
 
