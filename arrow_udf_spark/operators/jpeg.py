@@ -3,13 +3,15 @@ and stdlib only — no codec library.
 
 Scope (honest):
 
-- **Baseline sequential DCT, 8-bit** (SOF0): grayscale (1 component)
-  and YCbCr color with 4:4:4, 4:2:2, or 4:2:0 chroma subsampling (the
-  decoder accepts ANY integer-ratio H/V factors up to 4, e.g. 4:1:1),
-  plus restart intervals (DRI / RSTn with DC-predictor reset) — i.e.
-  the layouts the overwhelming majority of real web JPEGs use.
-  Progressive (SOF2), arithmetic coding, and 12-bit refuse loudly —
-  each changes the entropy-decode loop structure.
+- **Baseline sequential DCT (SOF0) AND progressive DCT (SOF2),
+  8-bit**: grayscale (1 component) and YCbCr color with 4:4:4, 4:2:2,
+  or 4:2:0 chroma subsampling (the decoder accepts ANY integer-ratio
+  H/V factors up to 4, e.g. 4:1:1), restart intervals (DRI / RSTn with
+  DC-predictor/EOB-run reset), and the full progressive scan algebra —
+  spectral selection, DC/AC successive approximation with correction
+  bits, EOBRUN coding (T.81 G.1.2/G.2).  That is the layout space real
+  web JPEGs live in.  Arithmetic coding, 12-bit, hierarchical, and
+  lossless refuse loudly.
 - Everything the baseline path needs is REAL: marker framing (SOI/DQT/
   SOF0/DHT/DRI/SOS/EOI), canonical Huffman table construction from the
   Annex K.3 (bits, values) spec tables, MSB-first bit IO with 0xFF00
@@ -40,9 +42,11 @@ import struct
 
 __all__ = [
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_jpeg",
     "synth_jpeg_flat",
     "synth_jpeg_subsampled",
+    "synth_jpeg_progressive",
     "QUANT_LUMA",
     "QUANT_CHROMA",
 ]
@@ -140,6 +144,16 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+
+# Progressive AC scans need the EOBn symbols (r<<4 with 0 < r < 15) the
+# Annex K baseline tables do not define, so the progressive encoder
+# ships its own conformant AC table in DHT: a flat canonical table — 254
+# symbols at 8 bits + 2 at 9 bits (Kraft 511/512, leaving the all-ones
+# 9-bit code reserved per T.81 C.2).  Suboptimal compression, fully
+# legal; the decoder reads whatever tables the DHT carries anyway.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
 
 
 def _canonical_codes(bits, vals):
@@ -340,32 +354,16 @@ def _encode_one_block(blk, qm, d, dc_codes, ac_codes, pred, writer):
 _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 1,
-    quality: int = 50,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode 8-bit grayscale (channels=1) or RGB (channels=3, stored as
-    YCbCr) pixels as a REAL baseline JPEG: quality-scaled Annex K
-    quantization, exact orthonormal FDCT, canonical Annex K.3 Huffman
-    coding with byte stuffing, standard marker framing.  Dimensions need
-    not be MCU-aligned — edge blocks replicate the last row/column (the
-    common encoder convention).
-
-    ``subsampling`` picks the chroma layout for color images: ``4:4:4``
-    (1x1), ``4:2:2`` (luma 2x1, chroma box-averaged horizontally), or
-    ``4:2:0`` (luma 2x2, chroma box-averaged 2x2) — the layouts covering
-    the overwhelming majority of real web JPEGs.  ``restart_interval``
-    > 0 emits a DRI segment and an RSTn marker (with DC-predictor reset
-    and byte alignment) every that-many MCUs (T.81 E.1.4)."""
+def _prep_planes(width, height, pixels, channels, quality, subsampling):
+    """Shared encoder front end (baseline + progressive): RGB→YCbCr,
+    MCU-aligned edge-replication padding, chroma box-average
+    downsampling, level shift, quality-scaled quantization tables.
+    Returns ``(comps_enc, quants, mw, mh, hl, vl)`` where ``comps_enc``
+    entries are ``(plane, H, V, quant_matrix, dc_codes, ac_codes)``."""
     import numpy as np
 
     if channels not in (1, 3):
-        raise NotImplementedError("encode_jpeg supports grayscale or RGB")
+        raise NotImplementedError("JPEG encoding supports grayscale or RGB")
     if subsampling not in _SUBSAMPLING:
         raise NotImplementedError(
             f"subsampling {subsampling!r}: one of {sorted(_SUBSAMPLING)}"
@@ -418,34 +416,71 @@ def encode_jpeg(
         comps_enc = [
             (padded[0] - 128.0, 1, 1, quants[0].reshape(8, 8), dc_l, ac_l)
         ]
+    return comps_enc, quants, mw, mh, hl, vl
 
+
+def _frame_headers(width, height, channels, quants, hl, vl, sof, ri, prog=False):
+    """SOI + DQT + SOFn + DHT (+ DRI) — everything before the scan(s).
+    ``prog`` swaps the Annex K AC tables for the EOBn-capable
+    progressive table (see :data:`PROG_AC_BITS`)."""
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (table 0 = luma; table 1 = chroma when color)
     for tq, q in enumerate(quants[: 2 if channels == 3 else 1]):
         zz = bytes(int(q[r * 8 + c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq) + zz
-    # SOF0: component 1 carries the luma sampling factors
+    # SOFn: component 1 carries the luma sampling factors
     comps = b""
     for cid in range(1, channels + 1):
         samp = (hl << 4) | vl if cid == 1 else 0x11
         tq = 0 if cid == 1 else 1
         comps += bytes([cid, samp, tq])
-    out += b"\xff\xc0" + struct.pack(
+    out += bytes([0xFF, sof]) + struct.pack(
         ">HBHHB", 8 + 3 * channels, 8, height, width, channels
     ) + comps
     # DHT: DC/AC luma (+ chroma for color)
-    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    ac_l = (PROG_AC_BITS, PROG_AC_VALS) if prog else (AC_LUMA_BITS, AC_LUMA_VALS)
+    ac_c = (PROG_AC_BITS, PROG_AC_VALS) if prog else (AC_CHROMA_BITS, AC_CHROMA_VALS)
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, *ac_l)]
     if channels == 3:
         tables += [
             (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            (0x11, *ac_c),
         ]
     for tc_th, bits, vals in tables:
         body = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    ri = int(restart_interval)
     if ri > 0:
         out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
+    return out
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quality: int = 50,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit grayscale (channels=1) or RGB (channels=3, stored as
+    YCbCr) pixels as a REAL baseline JPEG: quality-scaled Annex K
+    quantization, exact orthonormal FDCT, canonical Annex K.3 Huffman
+    coding with byte stuffing, standard marker framing.  Dimensions need
+    not be MCU-aligned — edge blocks replicate the last row/column (the
+    common encoder convention).
+
+    ``subsampling`` picks the chroma layout for color images: ``4:4:4``
+    (1x1), ``4:2:2`` (luma 2x1, chroma box-averaged horizontally), or
+    ``4:2:0`` (luma 2x2, chroma box-averaged 2x2) — the layouts covering
+    the overwhelming majority of real web JPEGs.  ``restart_interval``
+    > 0 emits a DRI segment and an RSTn marker (with DC-predictor reset
+    and byte alignment) every that-many MCUs (T.81 E.1.4)."""
+    comps_enc, quants, mw, mh, hl, vl = _prep_planes(
+        width, height, pixels, channels, quality, subsampling
+    )
+    ri = int(restart_interval)
+    out = _frame_headers(width, height, channels, quants, hl, vl, 0xC0, ri)
     # SOS
     sos = bytes([channels])
     for cid in range(1, channels + 1):
@@ -480,6 +515,466 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): sign-magnitude shift — the
+    magnitude is divided by 2^Al, the sign kept (NOT an arithmetic
+    shift, which rounds negatives the wrong way)."""
+    m = abs(v) >> al
+    return m if v >= 0 else -m
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quality: int = 50,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a REAL progressive (SOF2) JPEG: the same quantized
+    coefficients as :func:`encode_jpeg` — so progressive decode must be
+    BIT-IDENTICAL to baseline decode of the same image — re-arranged
+    into a libjpeg-style progression of spectral-selection and
+    successive-approximation scans:
+
+    - DC first (interleaved, Al=1), later a DC refinement bit-plane;
+    - luma AC split into 1-5 / 6-63 first scans at Al=2, then an AC
+      refinement to Al=1 and a final refinement to full precision;
+    - chroma AC full-band first scans at Al=1, refined to precision.
+
+    Every scan kind the progressive DECODER supports is emitted (DC
+    first/refine, AC first with EOBRUN accumulation, AC refinement with
+    buffered correction bits per G.1.2.3), so the decode paths are
+    roundtrip-proven without external sample files.  A restart interval
+    emits RSTn per ``restart_interval`` data units inside every scan."""
+    import numpy as np
+
+    comps_enc, quants, mw, mh, hl, vl = _prep_planes(
+        width, height, pixels, channels, quality, subsampling
+    )
+    ri = int(restart_interval)
+    d = _dct_matrix()
+    zz_idx = np.array([r * 8 + c for r, c in ZIGZAG])
+
+    # FDCT + quantize every block up front; scans re-serialize them.
+    # Per-block with the EXACT expression _encode_one_block uses — a
+    # batched einsum sums in a different order, and a coefficient
+    # landing exactly on .5 then quantizes differently, breaking the
+    # bit-identity-with-baseline property
+    coefs = []
+    for pl, hi, vi, qm, _dcc, _acc in comps_enc:
+        nby, nbx = mh * vi, mw * hi
+        q = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                c = np.rint((d @ blk @ d.T) / qm).astype(np.int64)
+                q[by, bx] = c.reshape(64)
+        coefs.append(q[:, :, zz_idx])
+
+    def comp_grid(ci):
+        # single-component (non-interleaved) scans traverse the
+        # component's OWN block grid (T.81 A.2.2), not the MCU grid
+        _pl, hi, vi, _qm, _dcc, _acc = comps_enc[ci]
+        cw = (width * hi + hl - 1) // hl
+        ch = (height * vi + vl - 1) // vl
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def emit_dc_first(wtr, al):
+        preds = [0] * len(comps_enc)
+        unit = rst = 0
+        for my in range(mh):
+            for mx in range(mw):
+                if ri and unit and unit % ri == 0:
+                    wtr.marker(0xD0 + rst % 8)
+                    rst += 1
+                    preds = [0] * len(comps_enc)
+                for ci, (_pl, hi, vi, _qm, dcc, _acc) in enumerate(comps_enc):
+                    for v in range(vi):
+                        for u in range(hi):
+                            dc = int(coefs[ci][my * vi + v, mx * hi + u, 0]) >> al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            t = _size_cat(diff)
+                            code, ln = dcc[t]
+                            wtr.put(code, ln)
+                            if t:
+                                wtr.put(
+                                    diff if diff > 0 else diff + (1 << t) - 1, t
+                                )
+                unit += 1
+
+    def emit_dc_refine(wtr, al):
+        unit = rst = 0
+        for my in range(mh):
+            for mx in range(mw):
+                if ri and unit and unit % ri == 0:
+                    wtr.marker(0xD0 + rst % 8)
+                    rst += 1
+                for ci, (_pl, hi, vi, *_rest) in enumerate(comps_enc):
+                    for v in range(vi):
+                        for u in range(hi):
+                            dc = int(coefs[ci][my * vi + v, mx * hi + u, 0])
+                            wtr.put((dc >> al) & 1, 1)
+                unit += 1
+
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def emit_ac_first(wtr, ci, ss, se, al):
+        ac_codes = prog_ac
+        carr = coefs[ci]
+        nby_s, nbx_s = comp_grid(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wtr.put(code, ln)
+                if nb:
+                    wtr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        unit = rst = 0
+        for by in range(nby_s):
+            for bx in range(nbx_s):
+                if ri and unit and unit % ri == 0:
+                    flush_eob()
+                    wtr.marker(0xD0 + rst % 8)
+                    rst += 1
+                vals = [
+                    _pt_ac(int(carr[by, bx, k]), al)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    unit += 1
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        r -= 16
+                    s = _size_cat(v)
+                    code, ln = ac_codes[(r << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if nz[-1] < se - ss:
+                    eobrun = 1  # this block ends in EOB
+                unit += 1
+        flush_eob()
+
+    def emit_ac_refine(wtr, ci, ss, se, al):
+        # the G.1.2.3 correction-bit encoder: newly-nonzero coefficients
+        # code (run|1)+sign, already-nonzero ones append one magnitude
+        # bit, runs count only zero-HISTORY positions, and bits owed to
+        # blocks folded into an EOB run ride behind the EOBRUN symbol
+        ac_codes = prog_ac
+        carr = coefs[ci]
+        nby_s, nbx_s = comp_grid(ci)
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wtr.put(code, ln)
+                if nb:
+                    wtr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            for b in be_bits:
+                wtr.put(b, 1)
+            be_bits = []
+
+        unit = rst = 0
+        for by in range(nby_s):
+            for bx in range(nbx_s):
+                if ri and unit and unit % ri == 0:
+                    flush_eob()
+                    wtr.marker(0xD0 + rst % 8)
+                    rst += 1
+                band = [int(carr[by, bx, k]) for k in range(ss, se + 1)]
+                absv = [abs(v) >> al for v in band]
+                eobpos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eobpos = i
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        wtr.put(code, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)  # history: one correction bit
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if band[i] > 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF or len(be_bits) > 900:
+                        flush_eob()
+                unit += 1
+        flush_eob()
+
+    # libjpeg's standard progression shape, adapted to our two table
+    # classes: DC first at Al=1, split-band luma AC, full-band chroma
+    # AC, then the refinement passes down to full precision
+    if channels == 3:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 1, 1, 63, 0, 1),
+            ("ac_first", 2, 1, 63, 0, 1),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 1, 1, 63, 1, 0),
+            ("ac_refine", 2, 1, 63, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+
+    out = _frame_headers(
+        width, height, channels, quants, hl, vl, 0xC2, ri, prog=True
+    )
+    for kind, ci, ss, se, ah, al in script:
+        if ci is None:  # interleaved DC scan over all components
+            sos = bytes([len(comps_enc)])
+            for cid in range(1, len(comps_enc) + 1):
+                td = 0 if cid == 1 else 1
+                sos += bytes([cid, td << 4])
+        else:
+            ta = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        if kind == "dc_first":
+            emit_dc_first(wtr, al)
+        elif kind == "dc_refine":
+            emit_dc_refine(wtr, al)
+        elif kind == "ac_first":
+            emit_ac_first(wtr, ci, ss, se, al)
+        else:
+            emit_ac_refine(wtr, ci, ss, se, al)
+        out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_progressive_scans(
+    scans, samp, qm_of, w, h, hmax, vmax, mcux, mcuy, d
+):
+    """Decode a progressive (SOF2) scan sequence into pixel planes:
+    accumulate quantized coefficients across the spectral-selection /
+    successive-approximation scans (T.81 G.1.2 and G.2 — DC
+    first/refine, AC first with EOBRUN, AC refinement with correction
+    bits), then dequantize + IDCT each block ONCE at the end.  DC scans
+    may be interleaved; AC scans are single-component per spec.  RSTn
+    markers reset the DC prediction, the EOB run, and byte alignment."""
+    import numpy as np
+
+    coefs = {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for cid, (hi, vi) in samp.items()
+    }
+
+    for scomps, ss, se, ah, al, data, dcts, acts, ri in scans:
+        reader = _BitReader(data)
+
+        def units():
+            # restart-interval data units: MCUs when interleaved, the
+            # component's OWN block grid when single-component (A.2.2)
+            if len(scomps) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        blocks = []
+                        for cid, td, ta in scomps:
+                            hi, vi = samp[cid]
+                            for v in range(vi):
+                                for u in range(hi):
+                                    blocks.append(
+                                        (cid, td, ta, my * vi + v, mx * hi + u)
+                                    )
+                        yield blocks
+            else:
+                cid, td, ta = scomps[0]
+                hi, vi = samp[cid]
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                for by in range((ch + 7) // 8):
+                    for bx in range((cw + 7) // 8):
+                        yield [(cid, td, ta, by, bx)]
+
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive AC scans are single-component")
+
+        if ss == 0 and ah == 0:  # DC first: baseline DC coding << Al
+            preds = {}
+            unit = 0
+            for blocks in units():
+                if ri and unit and unit % ri == 0:
+                    reader.restart()
+                    preds = {}
+                for cid, td, _ta, by, bx in blocks:
+                    t = reader.symbol(dcts[td])
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    preds[cid] = preds.get(cid, 0) + diff
+                    coefs[cid][by, bx, 0] = preds[cid] << al
+                unit += 1
+        elif ss == 0:  # DC refinement: one raw bit per block
+            unit = 0
+            for blocks in units():
+                if ri and unit and unit % ri == 0:
+                    reader.restart()
+                for cid, _td, _ta, by, bx in blocks:
+                    if reader.bit():
+                        coefs[cid][by, bx, 0] |= 1 << al
+                unit += 1
+        elif ah == 0:  # AC first: run-length + EOBRUN, values << Al
+            eobrun = 0
+            unit = 0
+            for blocks in units():
+                if ri and unit and unit % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                cid, _td, ta, by, bx = blocks[0]
+                blk = coefs[cid][by, bx]
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.symbol(acts[ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        blk[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+                unit += 1
+        else:  # AC refinement: correction bits (G.1.2.3)
+            p1, m1 = 1 << al, -1 << al
+            eobrun = 0
+            unit = 0
+            for blocks in units():
+                if ri and unit and unit % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                cid, _td, ta, by, bx = blocks[0]
+                blk = coefs[cid][by, bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.symbol(acts[ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history slots
+                        else:
+                            newval = p1 if reader.bit() else m1
+                        # advance over r zero-history coefficients,
+                        # appending a correction bit to every nonzero-
+                        # history coefficient passed on the way
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the rest of the band
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+                unit += 1
+
+    # all scans absorbed: dequantize + IDCT every block.  Per-block with
+    # the EXACT expression the baseline path uses (``d.T @ (coef*qm) @
+    # d``) — a batched einsum sums in a different order and pixel values
+    # landing exactly on .5 then rint() the other way, breaking the
+    # progressive == baseline bit-identity property
+    zz_idx = np.array([r * 8 + c for r, c in ZIGZAG])
+    plane_of = {}
+    for cid, (hi, vi) in samp.items():
+        nby, nbx = mcuy * vi, mcux * hi
+        nat = np.zeros((nby, nbx, 64))
+        nat[:, :, zz_idx] = coefs[cid]
+        qm = qm_of[cid]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = nat[by, bx].reshape(8, 8) * qm
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    d.T @ coef @ d + 128.0
+                )
+        plane_of[cid] = plane
+    return plane_of
+
+
 def decode_jpeg(payload: bytes):
     """Fully decode a BASELINE (SOF0, 8-bit) JPEG — grayscale or YCbCr
     color at any integer-ratio chroma subsampling (4:4:4 / 4:2:2 /
@@ -505,6 +1000,8 @@ def decode_jpeg(payload: bytes):
     ac_tabs = {}
     sof = None
     scan = None
+    scans = []  # progressive: (scomps, ss, se, ah, al, data, dc, ac, ri)
+    progressive = False
     restart_ri = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -534,10 +1031,11 @@ def decode_jpeg(payload: bytes):
                     tab[r * 8 + c] = seg[p + 1 + i]
                 quants[tq] = tab
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             comps = []
             for i in range(nc):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -546,9 +1044,10 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("JPEG sampling factors out of range")
                 comps.append((cid, hi, vi, tq))
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02x}: only baseline SOF0 decodes"
+                f"JPEG SOF marker 0x{marker:02x}: only baseline SOF0 and "
+                "progressive SOF2 decode"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -567,22 +1066,54 @@ def decode_jpeg(payload: bytes):
             for i in range(ns):
                 cid, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomps.append((cid, tdta >> 4, tdta & 0x0F))
-            scan = (scomps, pos + 2 + seglen)
-            break
+            if not progressive:
+                scan = (scomps, pos + 2 + seglen)
+                break
+            # progressive: spectral band + successive-approximation bits
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            dstart = pos + 2 + seglen
+            # entropy data runs to the next real marker (stuffed 0x00
+            # and RSTn stay inside the slice; fill FFs before a marker
+            # are excluded by the FF..FF-then-code scan)
+            e = dstart
+            while e + 1 < len(payload):
+                if (
+                    payload[e] == 0xFF
+                    and payload[e + 1] != 0x00
+                    and not 0xD0 <= payload[e + 1] <= 0xD7
+                    and payload[e + 1] != 0xFF
+                ):
+                    break
+                e += 1
+            scans.append(
+                (
+                    scomps,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    payload[dstart:e],
+                    dict(dc_tabs),  # tables are mutable between scans —
+                    dict(ac_tabs),  # snapshot what THIS scan sees
+                    restart_ri,
+                )
+            )
+            pos = e
+            continue
         # APPn/COM and anything else: skip
         pos += 2 + seglen
-    if sof is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if sof is None or (scan is None and not scans):
+        raise ValueError("JPEG missing SOF/SOS")
     w, h, comps = sof
-    scomps, data_start = scan
     nc = len(comps)
-    if nc not in (1, 3) or len(scomps) != nc:
-        raise NotImplementedError("only 1- or 3-component interleaved scans")
+    if nc not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component images")
 
-    # sampling geometry: a single-component scan is non-interleaved and
-    # codes the plane at full resolution whatever the declared factors
-    # (T.81 A.2.2); multi-component scans interleave H_i x V_i blocks
-    # per MCU in raster order (A.2.3)
+    # sampling geometry: a single-component IMAGE is coded at full
+    # resolution whatever the declared factors (T.81 A.2.2);
+    # multi-component interleaved scans pack H_i x V_i blocks per MCU in
+    # raster order (A.2.3)
     if nc == 1:
         samp = {comps[0][0]: (1, 1)}
     else:
@@ -595,63 +1126,72 @@ def decode_jpeg(payload: bytes):
         )
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # entropy stream runs to EOI
-    end = payload.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(payload)
-    reader = _BitReader(payload[data_start:end])
-
-    d = _dct_matrix()
     tq_of = {cid: tq for cid, _hi, _vi, tq in comps}
-    plane_of = {
-        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
-        for cid, (hi, vi) in samp.items()
-    }
     qm_of = {cid: quants[tq_of[cid]].reshape(8, 8) for cid in samp}
-    preds = {cid: 0 for cid in samp}
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_ri and mcu and mcu % restart_ri == 0:
-                # T.81 E.2.4: byte-align, eat RSTn, reset DC prediction
-                reader.restart()
-                preds = {cid: 0 for cid in samp}
-            for cid, td, ta in scomps:
-                hi, vi = samp[cid]
-                qm = qm_of[cid]
-                for v in range(vi):
-                    for u in range(hi):
-                        zz = [0] * 64
-                        t = reader.symbol(dc_tabs[td])
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.symbol(ac_tabs[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC coefficient overrun"
-                                )
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        coef = np.zeros((8, 8))
-                        for i, (rr, cc) in enumerate(ZIGZAG):
-                            coef[rr, cc] = zz[i]
-                        blk = d.T @ (coef * qm) @ d + 128.0
-                        by, bx = my * vi + v, mx * hi + u
-                        plane_of[cid][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = blk
-            mcu += 1
+    d = _dct_matrix()
+
+    if progressive:
+        plane_of = _decode_progressive_scans(
+            scans, samp, qm_of, w, h, hmax, vmax, mcux, mcuy, d
+        )
+    else:
+        scomps, data_start = scan
+        if len(scomps) != nc:
+            raise NotImplementedError(
+                "only full-interleave baseline scans"
+            )
+        # entropy stream runs to EOI
+        end = payload.rfind(b"\xff\xd9")
+        if end < 0:
+            end = len(payload)
+        reader = _BitReader(payload[data_start:end])
+        plane_of = {
+            cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
+            for cid, (hi, vi) in samp.items()
+        }
+        preds = {cid: 0 for cid in samp}
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_ri and mcu and mcu % restart_ri == 0:
+                    # T.81 E.2.4: byte-align, eat RSTn, reset DC chain
+                    reader.restart()
+                    preds = {cid: 0 for cid in samp}
+                for cid, td, ta in scomps:
+                    hi, vi = samp[cid]
+                    qm = qm_of[cid]
+                    for v in range(vi):
+                        for u in range(hi):
+                            zz = [0] * 64
+                            t = reader.symbol(dc_tabs[td])
+                            diff = _extend(reader.bits(t), t) if t else 0
+                            preds[cid] += diff
+                            zz[0] = preds[cid]
+                            k = 1
+                            while k < 64:
+                                rs = reader.symbol(ac_tabs[ta])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC coefficient overrun"
+                                    )
+                                zz[k] = _extend(reader.bits(s), s)
+                                k += 1
+                            coef = np.zeros((8, 8))
+                            for i, (rr, cc) in enumerate(ZIGZAG):
+                                coef[rr, cc] = zz[i]
+                            blk = d.T @ (coef * qm) @ d + 128.0
+                            by, bx = my * vi + v, mx * hi + u
+                            plane_of[cid][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = blk
+                mcu += 1
     # crop each component to its own resolution, then upsample to the
     # full grid by nearest-neighbor sample replication
     planes = []
@@ -752,5 +1292,41 @@ def synth_jpeg_subsampled(text: str, mode: str = "4:2:0") -> bytes:
         channels=3,
         quality=50,
         subsampling=mode,
+        restart_interval=s % 3 + 1,
+    )
+
+
+def synth_jpeg_progressive(text: str) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) color JPEG that decodes
+    EXACTLY: the :func:`synth_jpeg_subsampled` geometry (flat even-
+    valued gray luma blocks over whole 4:2:0 MCUs, chroma pinned at
+    128) re-encoded through the full progressive scan script — DC first
+    at Al=1, split-band AC first scans, AC refinement passes, a DC
+    refinement bit-plane, restart intervals — so the gate drives every
+    progressive decode path while the flat-block trick keeps each
+    decoded pixel a closed form of md5(text).  Same geometry fields and
+    checksum formula as ``synth_jpeg_subsampled`` (hex nibbles 10-15,
+    ``checksum = Σ_blocks 3·64·v``)."""
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[9:11], 16)
+    mw = int(hx[11:13], 16) % 2 + 1
+    mh = int(hx[13:15], 16) % 2 + 1
+    w, h = 16 * mw, 16 * mh
+    bxs = np.arange(2 * mw, dtype=np.int64)[None, :]
+    bys = np.arange(2 * mh, dtype=np.int64)[:, None]
+    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
+    grey = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    return encode_jpeg_progressive(
+        w,
+        h,
+        rgb.tobytes(),
+        channels=3,
+        quality=50,
+        subsampling="4:2:0",
         restart_interval=s % 3 + 1,
     )

@@ -2591,6 +2591,54 @@ def q_jpeg_pixels(spark, sf):
     )
 
 
+def _q_jpeg_prog_oracle():
+    # same geometry + checksum closed form as jpeg_subsampled_pixels
+    # (the fixture shares synth_jpeg_subsampled's md5 fields), single
+    # row per doc
+    return """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 10, 2)) AS INT) AS s,
+             CAST(('0x' || substr(md5(text), 12, 2)) AS INT) % 2 + 1 AS mw,
+             CAST(('0x' || substr(md5(text), 14, 2)) AS INT) % 2 + 1 AS mh
+      FROM documents
+    ),
+    bx AS (SELECT *, unnest(range(0, 2 * mw)) AS x FROM b),
+    bxy AS (SELECT *, unnest(range(0, 2 * mh)) AS y FROM bx)
+    SELECT doc_id,
+           CAST(MIN(mw) * 16 AS INT) AS w, CAST(MIN(mh) * 16 AS INT) AS h,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM(3 * 64 * (2 * ((7 * x + 13 * y + s) % 128))) AS BIGINT)
+               AS checksum
+    FROM bxy GROUP BY doc_id
+    """
+
+
+@query("jpeg_progressive_pixels", _q_jpeg_prog_oracle())
+def q_jpeg_progressive_pixels(spark, sf):
+    """PROGRESSIVE (SOF2) JPEG decode gate — the last JPEG layout class
+    the r9 VERDICT left refused: per doc, synthesize a real progressive
+    color 4:2:0 JPEG through the full libjpeg-style scan script (DC
+    first at Al=1, split-band luma AC, chroma AC, AC refinement passes
+    with correction bits, a DC refinement bit-plane, EOBRUN coding,
+    restart intervals) and fully decode it — multi-scan coefficient
+    accumulation per T.81 G.1.2/G.2, then one dequant+IDCT.  The flat
+    gray fixture keeps it exactly invertible; the general paths are
+    pinned by tests/test_jpeg_progressive.py's bit-identity property
+    (progressive decode == baseline decode of the SAME image, every
+    config).  Same embarrassingly-parallel scan shape as
+    ``png_pixels``."""
+    from .operators.jpeg import decode_jpeg, synth_jpeg_progressive
+    from .operators.multimodal import png_pipeline
+
+    return png_pipeline(
+        t(spark, sf, "documents", spread=True),
+        synth=synth_jpeg_progressive,
+        decode=decode_jpeg,
+    )
+
+
+
 @query(
     "jpeg_subsampled_pixels",
     # the flat-block oracle trick extended to subsampled color (see
@@ -8940,6 +8988,7 @@ _GATE_PRIORITY = [
     #      than r6.
     # ------------------------------------------------------------------
     # -- 1. new in r10 --
+    "jpeg_progressive_pixels",  # new r10: SOF2 spectral sel + SA scans
     "jpeg_subsampled_pixels",  # new r10: 4:2:0/4:2:2 + restart intervals
     "bpe_batch_train_encode",  # new r10: batched greedy merge rounds
     # -- 2. changed in r10 --

@@ -99,8 +99,12 @@ def test_refusals():
         decode_jpeg(b"\x89PNG\r\n\x1a\n" + bytes(16))
     p = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
     i = p.find(b"\xff\xc0")
-    p[i + 1] = 0xC2  # progressive
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    p[i + 1] = 0xC2  # SOF2 now DECODES — but a baseline-shaped scan
+    # (Ss=0, Se=63) is a malformed progressive DC scan and must refuse
+    with pytest.raises(ValueError, match="Se = 0"):
+        decode_jpeg(bytes(p))
+    p[i + 1] = 0xC9  # arithmetic coding stays out of scope
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(p))
     # truncated entropy stream
     full = encode_jpeg(16, 16, bytes(256), channels=1)

@@ -425,6 +425,13 @@ def main() -> int:
 
     run(f"jpeg_subsampled_pipeline({rep}x docs, 4:2:0 + 4:2:2/row)",
         lambda: jpeg_subsampled_pipeline(docs))
+
+    from arrow_udf_spark.operators.jpeg import synth_jpeg_progressive
+
+    run(f"jpeg_progressive_pipeline({rep}x docs, SOF2 multi-scan/row)",
+        lambda: png_pipeline(
+            docs, synth=synth_jpeg_progressive, decode=decode_jpeg
+        ))
     run(f"png_deep_pipeline({rep}x docs, 3 decodes/row)",
         lambda: png_deep_pipeline(docs))
     run(f"gif_frames_pipeline({rep}x docs, 2-4 frames/row)",
