@@ -351,7 +351,13 @@ def _encode_one_block(blk, qm, d, dc_codes, ac_codes, pred, writer):
 
 
 #: encoder subsampling name -> luma (H, V) sampling factors (chroma 1x1)
-_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+_SUBSAMPLING = {
+    "4:4:4": (1, 1),
+    "4:2:2": (2, 1),
+    "4:2:0": (2, 2),
+    "4:1:1": (4, 1),  # DV/camera layout: chroma quartered horizontally
+    "4:4:0": (1, 2),  # chroma halved vertically
+}
 
 
 def _prep_planes(width, height, pixels, channels, quality, subsampling):
@@ -471,9 +477,10 @@ def encode_jpeg(
     common encoder convention).
 
     ``subsampling`` picks the chroma layout for color images: ``4:4:4``
-    (1x1), ``4:2:2`` (luma 2x1, chroma box-averaged horizontally), or
+    (1x1), ``4:2:2`` (luma 2x1, chroma box-averaged horizontally),
     ``4:2:0`` (luma 2x2, chroma box-averaged 2x2) — the layouts covering
-    the overwhelming majority of real web JPEGs.  ``restart_interval``
+    the overwhelming majority of real web JPEGs — plus the rarer
+    ``4:1:1`` (DV cameras) and ``4:4:0``.  ``restart_interval``
     > 0 emits a DRI segment and an RSTn marker (with DC-predictor reset
     and byte alignment) every that-many MCUs (T.81 E.1.4)."""
     comps_enc, quants, mw, mh, hl, vl = _prep_planes(

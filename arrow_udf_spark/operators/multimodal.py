@@ -265,9 +265,16 @@ def parse_image_header(payload: Optional[bytes]) -> Optional[dict]:
                 break  # entropy data; no SOF seen -> malformed
             pos += 2 + seglen
         return None
-    if payload[:2] == b"BM" and len(payload) >= 30:
-        w, h = struct.unpack_from("<ii", payload, 18)
-        (bpp,) = struct.unpack_from("<H", payload, 28)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size == 12:  # BITMAPCOREHEADER (OS/2 1.x): u16 dims
+            w, h = struct.unpack_from("<HH", payload, 18)
+            (bpp,) = struct.unpack_from("<H", payload, 24)
+        elif len(payload) >= 30:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            (bpp,) = struct.unpack_from("<H", payload, 28)
+        else:
+            return None
         return {
             "width": w,
             "height": abs(h),  # negative height = top-down DIB
@@ -1956,11 +1963,12 @@ def g711_pipeline(
 # ---------------------------------------------------------------------------
 
 
-def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+def encode_bmp(width: int, height: int, pixels: bytes, core: bool = False) -> bytes:
     """Encode raw RGB bytes as a real 24-bit uncompressed BMP: 14-byte
-    file header + 40-byte BITMAPINFOHEADER, rows stored BOTTOM-UP in
-    BGR order, each padded to a 4-byte boundary — the three traps every
-    hand-rolled BMP reader hits."""
+    file header + 40-byte BITMAPINFOHEADER (or, with ``core=True``, the
+    12-byte OS/2 BITMAPCOREHEADER with u16 dimensions), rows stored
+    BOTTOM-UP in BGR order, each padded to a 4-byte boundary — the
+    three traps every hand-rolled BMP reader hits."""
     import numpy as np
 
     rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
@@ -1969,33 +1977,43 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     rows = bytearray()
     for y in range(height):
         rows += bgr[y].tobytes() + b"\x00" * pad
-    data_off = 14 + 40
+    if core:
+        ih = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    else:
+        ih = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0,
+        )
+    data_off = 14 + len(ih)
     total = data_off + len(rows)
     fh = b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
-    ih = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
-    )
     return fh + ih + bytes(rows)
 
 
 def decode_bmp(payload: bytes):
-    """Fully decode a 24-bit uncompressed (BI_RGB) BMP: header walk via
-    the declared pixel-data offset, per-row 4-byte padding strip, BGR →
-    RGB, and bottom-up (positive height) or top-down (negative height)
-    row order.  Returns ``(width, height, 3, raw)`` with raw an
-    (h, w*3) uint8 RGB array.  Other bit depths / compressions raise
-    ``NotImplementedError``."""
+    """Fully decode a 24-bit uncompressed (BI_RGB) BMP — v3+
+    BITMAPINFOHEADER or the 12-byte OS/2 BITMAPCOREHEADER (closing the
+    r9 residual): header walk via the declared pixel-data offset,
+    per-row 4-byte padding strip, BGR → RGB, and bottom-up (positive
+    height) or top-down (negative height) row order.  Returns
+    ``(width, height, 3, raw)`` with raw an (h, w*3) uint8 RGB array.
+    Other bit depths / compressions raise ``NotImplementedError``."""
     import numpy as np
 
-    if payload[:2] != b"BM" or len(payload) < 54:
+    if payload[:2] != b"BM" or len(payload) < 26:
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs are out of scope")
-    w, h = struct.unpack_from("<ii", payload, 18)
-    (bpp,) = struct.unpack_from("<H", payload, 28)
-    (comp,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size == 12:  # BITMAPCOREHEADER: u16 dims, always uncompressed
+        w, h = struct.unpack_from("<HH", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 24)
+        comp = 0
+    elif hdr_size >= 40 and len(payload) >= 54:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (comp,) = struct.unpack_from("<I", payload, 30)
+    else:
+        raise NotImplementedError(f"BMP header size {hdr_size} unsupported")
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decodes"

@@ -62,3 +62,26 @@ def test_refusals():
         decode_bmp(bytes(p))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(bytes(encode_bmp(4, 4, bytes(48))[:-8]))
+
+
+def test_bitmapcoreheader_roundtrip():
+    # OS/2 BITMAPCOREHEADER (12-byte, u16 dims) — the r9 residual: same
+    # pixel rows, different header geometry
+    import numpy as np
+
+    from arrow_udf_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        parse_image_header,
+    )
+
+    rgb = np.random.default_rng(3).integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    p = encode_bmp(9, 7, rgb.tobytes(), core=True)
+    import struct
+
+    assert struct.unpack_from("<I", p, 14)[0] == 12
+    w, h, ch, raw = decode_bmp(p)
+    assert (w, h, ch) == (9, 7, 3)
+    assert (raw.reshape(7, 9, 3) == rgb).all()
+    hdr = parse_image_header(p)
+    assert (hdr["width"], hdr["height"], hdr["channels"]) == (9, 7, 3)

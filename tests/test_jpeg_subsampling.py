@@ -119,4 +119,20 @@ def test_smooth_gradient_roundtrip_tight():
 
 def test_unknown_subsampling_refuses():
     with pytest.raises(NotImplementedError):
-        encode_jpeg(8, 8, bytes(192), 3, 50, "4:1:1")
+        encode_jpeg(8, 8, bytes(192), 3, 50, "3:1:1")
+
+
+@pytest.mark.parametrize("mode", ["4:1:1", "4:4:0"])
+def test_exotic_subsampling_roundtrip(mode):
+    # the decoder's MCU loop is sampling-generic; these two layouts
+    # (DV-camera 4:1:1, vertical-only 4:4:0) prove the non-square and
+    # >2 sampling-factor paths end-to-end
+    grey = np.repeat(
+        _rng(21).integers(0, 256, (24, 40, 1), dtype=np.uint8), 3, axis=2
+    )
+    w, h, ch, raw = decode_jpeg(
+        encode_jpeg(40, 24, grey.tobytes(), 3, 90, mode, restart_interval=2)
+    )
+    assert (w, h, ch) == (40, 24, 3)
+    got = raw.reshape(24, 40, 3).astype(np.int64)
+    assert float(np.abs(got - grey.astype(np.int64)).mean()) < 12.0
