@@ -1140,3 +1140,365 @@ def bpe_batch_oracle_sql(
     GROUP BY dw.doc_id"""
     )
     return "".join(sql)
+
+
+def _viterbi_segment(w, probs, max_piece):
+    """Best unigram segmentation of ``w`` maximizing the PRODUCT of
+    piece probabilities in double precision (no logs — IEEE *, / are
+    correctly rounded and engine-identical, ln() is not), tie-broken on
+    the LONGER piece at each position (score DESC, l DESC — the same
+    total order the SQL oracle's ROW_NUMBER uses).  Returns the piece
+    list.  All single chars are guaranteed in the vocab, so coverage
+    never fails."""
+    n = len(w)
+    dp = [0.0] * (n + 1)
+    dp[0] = 1.0
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best = -1.0
+        bl = 0
+        for l in range(min(max_piece, j), 0, -1):
+            p = probs.get(w[j - l : j])
+            if p is None:
+                continue
+            sc = dp[j - l] * p
+            if sc > best:
+                best, bl = sc, l
+        dp[j] = best
+        back[j] = bl
+    out = []
+    j = n
+    while j > 0:
+        l = back[j]
+        out.append(w[j - l : j])
+        j -= l
+    out.reverse()
+    return out
+
+
+def unigram_lm_fit(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_rounds: int = 2,
+    max_len: int = 16,
+    max_piece: int = 4,
+    vocab_size: int = 512,
+):
+    """Train a UNIGRAM-LM tokenizer (SentencePiece's model family, Kudo
+    2018) by Viterbi hard-EM and encode every document — the third
+    in-engine trained model after kmeans_fit / quality_classifier_fit /
+    bpe_train_encode:
+
+    1. Compact to the word-frequency table (the BPE front door,
+       :func:`_bpe_words_of`); words longer than ``max_len`` chars fall
+       back to char segmentation (documented contract) and are excluded
+       from training.
+    2. Seed vocabulary: the top-``vocab_size`` substrings (length <=
+       ``max_piece``) by freq-weighted occurrence count, (count DESC,
+       piece ASC) tie-broken, UNION all single chars (coverage).
+       Initial probability = count / total.
+    3. Per EM round: E-step Viterbi-segments every training word under
+       the current probabilities (:func:`_viterbi_segment` — product
+       scoring in plain doubles, so the DuckDB oracle's replay is
+       bit-identical; ln() would not be); M-step recounts pieces from
+       the chosen segmentations, drops multi-char pieces that went
+       unused, floors single-char counts at 1, renormalizes.
+    4. Encode: one final Viterbi pass; per-doc ``n_pieces`` sums the
+       word segmentations (char-count for over-long words).
+
+    Returns ``(per_doc DataFrame (id, n_pieces, n_words), probs dict)``.
+
+    Scale: the model is O(vocab_size) driver/broadcast state (the
+    kmeans-centroid pattern); each round is ONE distributed
+    mapInPandas pass over the zipf-bounded word-vocab table plus an
+    O(vocab) count collect; documents are touched once at the start
+    (word compaction) and once at the end (encode join)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    words = _bpe_words_of(df, text_col, id_col)
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("n", F.length("w"))
+        .persist()
+    )
+    wf.count()
+    tr = wf.where(F.col("n") <= max_len)
+
+    # seed: substring fan-out over the word table (vocab-sized, not
+    # corpus-sized), counts weighted by word freq with multiplicity
+    subs = (
+        tr.select(
+            "w",
+            "freq",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.col("n") - F.col("i") + 1),
+                )
+            ).alias("l"),
+            "i",
+        )
+        .select(F.expr("substring(w, i, l)").alias("piece"), "freq")
+    )
+    cnt0 = subs.groupBy("piece").agg(F.sum("freq").alias("cnt")).persist()
+    top = cnt0.orderBy(F.desc("cnt"), F.asc("piece")).limit(
+        vocab_size
+    ).collect()
+    chars = cnt0.where(F.length("piece") == 1).collect()
+    cnt0.unpersist()
+    vocab = {r["piece"]: int(r["cnt"]) for r in top}
+    for r in chars:
+        vocab[r["piece"]] = int(r["cnt"])
+    total = sum(vocab.values())
+    probs = {p: c / float(total) for p, c in vocab.items()}
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    for _ in range(n_rounds):
+        cur = dict(probs)  # snapshot for the closure
+
+        def estep(batches):
+            for pdf in batches:
+                counts: dict[str, int] = {}
+                for w, fq in zip(pdf["w"], pdf["freq"]):
+                    for piece in _viterbi_segment(str(w), cur, max_piece):
+                        counts[piece] = counts.get(piece, 0) + int(fq)
+                yield pd.DataFrame(
+                    list(counts.items()) or [("", 0)],
+                    columns=["piece", "cnt"],
+                )
+
+        rows = (
+            tr.select("w", "freq")
+            .mapInPandas(estep, seg_schema)
+            .where(F.col("piece") != "")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        counted = {r["piece"]: int(r["cnt"]) for r in rows}
+        new_vocab = {}
+        for piece in vocab:
+            c = counted.get(piece, 0)
+            if len(piece) == 1:
+                c = max(c, 1)  # coverage floor
+            if c > 0:
+                new_vocab[piece] = c
+        vocab = new_vocab
+        total = sum(vocab.values())
+        probs = {p: c / float(total) for p, c in vocab.items()}
+
+    # encode: one final Viterbi pass over the word table, then the
+    # per-doc join (the bpe_train_encode epilogue shape)
+    final_probs = dict(probs)
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for w, n in zip(pdf["w"], pdf["n"]):
+                w = str(w)
+                if int(n) > max_len:
+                    out.append((w, int(n)))  # char fallback
+                else:
+                    out.append(
+                        (w, len(_viterbi_segment(w, final_probs, max_piece)))
+                    )
+            yield pd.DataFrame(out, columns=["w", "n_pieces"])
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("n_pieces", T.LongType()),
+        ]
+    )
+    model = wf.select("w", "n").mapInPandas(encode, enc_schema).persist()
+    model.count()
+    wf.unpersist()
+    out = (
+        words.join(model, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    out.unigram_model_cache = model
+    return out, probs
+
+
+def unigram_oracle_sql(
+    n_rounds: int = 2,
+    max_len: int = 16,
+    max_piece: int = 4,
+    vocab_size: int = 512,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`unigram_lm_fit`: the same word
+    compaction, substring seeding, and per-round Viterbi-EM as UNROLLED
+    MATERIALIZED CTEs — the DP over word positions is ``max_len``
+    chained CTEs per round (dp[j] = argmax over piece lengths of
+    dp[j-l]·p(piece), ROW_NUMBER tie-broken (score DESC, l DESC) exactly
+    like the operator), the backtrack is another ``max_len`` chained
+    step CTEs, and the M-step recount is integer-exact.  All scores are
+    plain double products of exact integer ratios, so both engines
+    compute bit-identical probabilities — no ln()/exp() anywhere (the
+    design constraint that makes a strict-hash oracle possible)."""
+    M = _BPE_M
+    L = max_piece
+    sql = [
+        f"""
+    WITH dw AS MATERIALIZED (
+      SELECT doc_id, replace(w, '{M}', '') AS w
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM {table})
+      WHERE replace(w, '{M}', '') <> ''
+    ),
+    wf AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq, len(w) AS n FROM dw GROUP BY w
+    ),
+    tr AS MATERIALIZED (SELECT * FROM wf WHERE n <= {max_len}),
+    sub AS MATERIALIZED (
+      SELECT substr(w, i, l) AS piece, SUM(freq) AS cnt
+      FROM (SELECT w, freq, i,
+                   unnest(range(1, least({L}, n - i + 1) + 1)) AS l
+            FROM (SELECT w, freq, n, unnest(range(1, n + 1)) AS i
+                  FROM tr))
+      GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (
+      SELECT piece, MAX(cnt) AS cnt FROM (
+        (SELECT piece, cnt FROM sub
+         ORDER BY cnt DESC, piece ASC LIMIT {vocab_size})
+        UNION ALL
+        (SELECT piece, cnt FROM sub WHERE len(piece) = 1)
+      ) GROUP BY piece
+    ),
+    p0 AS MATERIALIZED (
+      SELECT piece,
+             CAST(cnt AS DOUBLE)
+               / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0) AS p
+      FROM v0
+    )"""
+    ]
+
+    def dp_round(r: int, prev_p: str) -> None:
+        # Viterbi DP chain d{r}_1..d{r}_max_len against piece table prev_p
+        for j in range(1, max_len + 1):
+            cands = []
+            for l in range(1, min(L, j) + 1):
+                if j - l == 0:
+                    cands.append(
+                        f"""
+        SELECT t.w, t.n, pp.p AS sc, {l} AS l
+        FROM tr t JOIN {prev_p} pp
+          ON pp.piece = substr(t.w, 1, {l})
+        WHERE t.n >= {j}"""
+                    )
+                else:
+                    cands.append(
+                        f"""
+        SELECT d.w, d.n, d.sc * pp.p AS sc, {l} AS l
+        FROM d{r}_{j - l} d JOIN {prev_p} pp
+          ON pp.piece = substr(d.w, {j - l + 1}, {l})
+        WHERE d.n >= {j}"""
+                    )
+            union = "\n        UNION ALL".join(cands)
+            sql.append(
+                f""",
+    d{r}_{j} AS MATERIALIZED (
+      SELECT w, n, sc, l FROM (
+        SELECT w, n, sc, l,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY sc DESC, l DESC) AS rn
+        FROM ({union})
+      ) WHERE rn = 1
+    )"""
+            )
+        dall = "\n      UNION ALL ".join(
+            f"SELECT {j} AS pos, w, l FROM d{r}_{j}"
+            for j in range(1, max_len + 1)
+        )
+        sql.append(f""",
+    dall{r} AS MATERIALIZED ({dall})""")
+        sql.append(
+            f""",
+    st{r}_1 AS MATERIALIZED (
+      SELECT d.w, d.pos, d.l FROM dall{r} d
+      JOIN tr t ON t.w = d.w AND d.pos = t.n
+    )"""
+        )
+        for t in range(2, max_len + 1):
+            sql.append(
+                f""",
+    st{r}_{t} AS MATERIALIZED (
+      SELECT d.w, d.pos, d.l
+      FROM st{r}_{t - 1} s JOIN dall{r} d
+        ON d.w = s.w AND d.pos = s.pos - s.l
+      WHERE s.pos - s.l > 0
+    )"""
+            )
+
+    for r in range(1, n_rounds + 1):
+        dp_round(r, f"p{r - 1}")
+        steps = "\n        UNION ALL ".join(
+            f"SELECT * FROM st{r}_{t}" for t in range(1, max_len + 1)
+        )
+        sql.append(
+            f""",
+    pieces{r} AS MATERIALIZED (
+      SELECT w, substr(w, pos - l + 1, l) AS piece
+      FROM ({steps})
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT piece, SUM(freq) AS cnt
+      FROM pieces{r} JOIN tr USING (w) GROUP BY piece
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT v.piece,
+             CASE WHEN len(v.piece) = 1
+                  THEN greatest(COALESCE(c.cnt, 0), 1)
+                  ELSE COALESCE(c.cnt, 0) END AS cnt
+      FROM v{r - 1} v LEFT JOIN c{r} c USING (piece)
+      WHERE COALESCE(c.cnt, 0) > 0 OR len(v.piece) = 1
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT piece,
+             CAST(cnt AS DOUBLE)
+               / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v{r}) AS p
+      FROM v{r}
+    )"""
+        )
+
+    enc = n_rounds + 1
+    dp_round(enc, f"p{n_rounds}")
+    steps = "\n        UNION ALL ".join(
+        f"SELECT * FROM st{enc}_{t}" for t in range(1, max_len + 1)
+    )
+    sql.append(
+        f""",
+    np AS MATERIALIZED (
+      SELECT w, COUNT(*) AS np FROM ({steps}) GROUP BY w
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(CASE WHEN len(dw.w) > {max_len} THEN len(dw.w)
+                         ELSE np.np END) AS BIGINT) AS n_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM dw LEFT JOIN np ON np.w = dw.w
+    GROUP BY dw.doc_id"""
+    )
+    return "".join(sql)

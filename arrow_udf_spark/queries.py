@@ -7395,6 +7395,42 @@ def _bpe_batch_oracle():
     return bpe_batch_oracle_sql(8, 8)
 
 
+def _unigram_oracle():
+    from .operators.text import unigram_oracle_sql
+
+    return unigram_oracle_sql(2, 16, 4, 512)
+
+
+@query("unigram_lm_fit", _unigram_oracle())
+def q_unigram_lm_fit(spark, sf):
+    """UNIGRAM-LM tokenizer trained in-engine by Viterbi hard-EM
+    (SentencePiece's model family; the r9 VERDICT's named stretch) —
+    the fourth trained model after kmeans_fit / quality_classifier_fit
+    / bpe_train_encode: substring seeding over the word-frequency
+    compaction, top-512 + single-char coverage vocabulary, two EM
+    rounds (E-step Viterbi segmentation per word, M-step integer
+    recount with unused-piece pruning and a single-char floor), then a
+    final encode pass summed per document.  The float-safety design
+    that makes the strict hash gate possible: segmentation scores are
+    PRODUCTS of exact integer-ratio doubles (IEEE *, / are correctly
+    rounded and engine-identical; ln() is not), tie-broken (score DESC,
+    piece-length DESC) — the oracle replays the whole trajectory as
+    ~120 unrolled MATERIALIZED CTEs (16-deep DP chain + 16-step
+    backtrack per round).
+
+    Scale: model = O(vocab) driver/broadcast state (kmeans-centroid
+    pattern); each round is ONE mapInPandas pass over the zipf-bounded
+    WORD table (never raw docs) + an O(vocab) collect; docs are touched
+    once to compact and once to encode-join."""
+    from .operators.text import unigram_lm_fit
+
+    out, _probs = unigram_lm_fit(
+        t(spark, sf, "documents"), n_rounds=2, max_len=16,
+        max_piece=4, vocab_size=512,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_pieces", "n_words")
+
+
 @query("bpe_batch_train_encode", _bpe_batch_oracle())
 def q_bpe_batch_train_encode(spark, sf):
     """BPE trained with BATCHED merge rounds (VERDICT r9 ask #3 — the
@@ -8988,6 +9024,7 @@ _GATE_PRIORITY = [
     #      than r6.
     # ------------------------------------------------------------------
     # -- 1. new in r10 --
+    "unigram_lm_fit",  # new r10: Viterbi hard-EM unigram tokenizer
     "jpeg_progressive_pixels",  # new r10: SOF2 spectral sel + SA scans
     "jpeg_subsampled_pixels",  # new r10: 4:2:0/4:2:2 + restart intervals
     "bpe_batch_train_encode",  # new r10: batched greedy merge rounds

@@ -127,3 +127,111 @@ def test_spark_batch_one_equals_sequential_trainer(spark):
     assert rb == rs
     out_b.bpe_model_cache.unpersist()
     out_s.bpe_model_cache.unpersist()
+
+
+# -- unigram-LM trainer vs a pure-Python referee -----------------------------
+
+
+def _referee_unigram(texts, n_rounds=2, max_len=16, max_piece=4, vocab_size=512):
+    """Independent dict/list replay of unigram_lm_fit's contract."""
+    words = Counter()
+    per_doc = []
+    for t in texts:
+        ws = [w.replace("·", "") for w in t.split()]
+        ws = [w for w in ws if w]
+        per_doc.append(ws)
+        words.update(ws)
+    train = {w: f for w, f in words.items() if len(w) <= max_len}
+    sub = Counter()
+    for w, f in train.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece, len(w) - i) + 1):
+                sub[w[i : i + l]] += f
+    top = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = dict(top)
+    for p, c in sub.items():
+        if len(p) == 1:
+            vocab[p] = c
+    total = sum(vocab.values())
+    probs = {p: c / float(total) for p, c in vocab.items()}
+
+    def viterbi(w):
+        n = len(w)
+        dp = [0.0] * (n + 1)
+        dp[0] = 1.0
+        back = [0] * (n + 1)
+        for j in range(1, n + 1):
+            best, bl = -1.0, 0
+            for l in range(min(max_piece, j), 0, -1):
+                p = probs.get(w[j - l : j])
+                if p is None:
+                    continue
+                sc = dp[j - l] * p
+                if sc > best:
+                    best, bl = sc, l
+            dp[j] = best
+            back[j] = bl
+        out, j = [], n
+        while j > 0:
+            out.append(w[j - back[j] : j])
+            j -= back[j]
+        return out[::-1]
+
+    for _ in range(n_rounds):
+        counted = Counter()
+        for w, f in train.items():
+            for piece in viterbi(w):
+                counted[piece] += f
+        new_vocab = {}
+        for piece in vocab:
+            c = counted.get(piece, 0)
+            if len(piece) == 1:
+                c = max(c, 1)
+            if c > 0:
+                new_vocab[piece] = c
+        vocab = new_vocab
+        total = sum(vocab.values())
+        probs = {p: c / float(total) for p, c in vocab.items()}
+
+    np_of = {
+        w: (len(w) if len(w) > max_len else len(viterbi(w))) for w in words
+    }
+    return [
+        (sum(np_of[w] for w in ws), len(ws)) for ws in per_doc
+    ]
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 3),
+)
+def test_spark_unigram_matches_python_referee(spark, texts, n_rounds):
+    from arrow_udf_spark.operators.text import unigram_lm_fit
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, probs = unigram_lm_fit(df, n_rounds=n_rounds, vocab_size=64)
+    got = {r.id: (r.n_pieces, r.n_words) for r in out.collect()}
+    out.unigram_model_cache.unpersist()
+    ref = _referee_unigram(texts, n_rounds=n_rounds, vocab_size=64)
+    exp = {i: rc for i, rc in enumerate(ref) if rc[1] > 0}
+    assert got == exp
+
+
+def test_unigram_long_word_char_fallback(spark):
+    from arrow_udf_spark.operators.text import unigram_lm_fit
+
+    long_word = "x" * 40  # > max_len: counts as 40 char pieces
+    df = spark.createDataFrame(
+        [(1, f"ab {long_word} ab")], "doc_id long, text string"
+    )
+    out, _ = unigram_lm_fit(df, n_rounds=1)
+    r = out.collect()[0]
+    out.unigram_model_cache.unpersist()
+    assert r.n_words == 3
+    assert r.n_pieces == 40 + 2  # 'ab' is a vocab piece (1) x2... or 2x1
