@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "gopher_repetition",        # char-coverage repetition rules
     "weighted_sample",          # A-ES weighted reservoir (TakeOrdered)
     "char_entropy",             # per-doc character entropy
+    # new in r10 (compare the shared cohort, not the raw total):
+    "jpeg_subsampled_pixels",   # 4:2:0 + 4:2:2 color codecs + restarts
+    "jpeg_progressive_pixels",  # SOF2 spectral-selection/SA multi-scan
+    "bpe_batch_train_encode",   # 64 merges in 8 batched greedy rounds
+    "unigram_lm_fit",           # Viterbi hard-EM unigram tokenizer
 ]
 
 #: SESSION SPLIT (VERDICT r8 ask #6): queries whose r8 best-of-3 exceeded
@@ -138,6 +143,10 @@ HEAVY_QUERIES = {
     "sql_agg_rollup_two_phase", "sql_agg_union_two_phase", "lsh_topk",
     "sql_agg_window_two_phase", "sql_agg_pivot_two_phase",
     "semdedup_prune_numpy",
+    # r10 additions, pinned by their first-round single-shot at sf0.1
+    # (3.1 / 1.5 / 9.0 / 3.7 s — all at or above the 1.5 s line):
+    "jpeg_subsampled_pixels", "jpeg_progressive_pixels",
+    "bpe_batch_train_encode", "unigram_lm_fit",
     "sql_agg_correlated_two_phase", "bpe_train_encode",
     "dup_substring_max",
     # late-r9 addition, assigned by this round's OWN best-of-3 (these
