@@ -936,30 +936,7 @@ def pq_recall(
         "n_id", "nv", *pq_code_cols(F.col("nv"), codebooks, sub)
     )
 
-    def dotf(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def lut_col(j):
-        # a ONE-arg transform lambda via factory closure: `lambda s, j=j`
-        # would have arity 2 and Spark passes the array INDEX as the
-        # second arg, silently overriding the bound j (the
-        # repetition_ratio trap — re-caught here by the gate)
-        lo = j * sub + 1
-
-        def entry(s):
-            return F.struct(
-                s["cid"], dotf(F.slice(F.col("qv"), lo, sub), s["c"])
-            )
-
-        return F.map_from_entries(
-            F.transform(cents_expr(codebooks[j]), entry)
-        ).alias(f"lut{j}")
-
-    lut_cols = [lut_col(j) for j in range(m)]
+    lut_cols = pq_lut_cols(F.col("qv"), codebooks, sub)
     qs = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -973,7 +950,7 @@ def pq_recall(
         "q_id",
         "n_id",
         F.round(adc, 6).alias("sp"),
-        dotf(F.col("nv"), F.col("qv")).alias("sf"),
+        _pq_dotf(F.col("nv"), F.col("qv")).alias("sf"),
     )
     wp = Window.partitionBy("q_id").orderBy(
         F.col("sp").desc(), F.col("n_id").asc()
@@ -1003,6 +980,104 @@ def pq_recall(
             "q_id",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"),
         )
+    )
+
+
+def _pq_dotf(a, b):
+    """Left-assoc zip-with dot fold — the exact summation order the PQ
+    oracles replay (list_sum of list_transform in DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_lut_cols(qv, codebooks: list, sub: int) -> list:
+    """The per-query ADC lookup-table columns (``lut0``..): per subspace
+    a {code -> subspace dot} map built from the codebook literals.  ONE
+    implementation shared by the PQ recall gate and the IVFPQ server."""
+    from .clustering import cents_expr
+
+    def lut_col(j):
+        # a ONE-arg transform lambda via factory closure: `lambda s, j=j`
+        # would have arity 2 and Spark passes the array INDEX as the
+        # second arg, silently overriding the bound j (the
+        # repetition_ratio trap — re-caught here by the gate)
+        lo = j * sub + 1
+
+        def entry(s):
+            return F.struct(
+                s["cid"], _pq_dotf(F.slice(qv, lo, sub), s["c"])
+            )
+
+        return F.map_from_entries(
+            F.transform(cents_expr(codebooks[j]), entry)
+        ).alias(f"lut{j}")
+
+    return [lut_col(j) for j in range(len(codebooks))]
+
+
+def ivf_pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 5,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVFPQ serving — the composition every billion-vector ANN system
+    actually deploys (FAISS's IndexIVFPQ): a COARSE quantizer prunes
+    candidates to the query's cell, then PRODUCT-QUANTIZED codes are
+    ranked by asymmetric distance computation within the cell — neither
+    a full scan (IVF's win) nor full-precision vectors (PQ's win).
+    Here the coarse cells are the ``cell_col`` labels (the
+    :func:`ivf_topk` contract); the PQ machinery is the shared
+    :func:`pq_codebooks` / :func:`pq_code_cols` / :func:`pq_lut_cols`.
+
+    Returns the deterministic IVFPQ top-k ``(q_id, n_id, score)`` — the
+    ADC score rounded 6dp, ties to the lower n_id — which a SQL oracle
+    replays end-to-end (codebooks, codes, LUT, cell prune, ranking);
+    recall-vs-exact is :func:`pq_recall`'s separate axis.
+
+    Scale shape: codebooks are O(m·ksub·dim/m) broadcast literals;
+    candidates store ``m`` small codes (the 64x memory cut) and join
+    the broadcast query side on the CELL key — per-query work is
+    O(m · N/n_cells) lookups, never a dim-wide scan, never O(N)."""
+    sub = dim // m
+    assert sub * m == dim, "dim must divide by m"
+    codebooks = pq_codebooks(
+        items, m=m, sub=sub, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).select(
+        "n_id", "cell", *pq_code_cols(F.col("nv"), codebooks, sub)
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).select("q_id", "cell", *pq_lut_cols(F.col("qv"), codebooks, sub))
+    pairs = codes.join(F.broadcast(qs), "cell")  # the IVF prune
+    adc = F.element_at(F.col("lut0"), F.col("k0"))
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"k{j}"))
+    scored = pairs.select("q_id", "n_id", F.round(adc, 6).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "n_id", "score")
     )
 
 

@@ -7460,6 +7460,85 @@ def q_bpe_batch_train_encode(spark, sf):
     )
 
 
+@query("streaming_unigram_encode", _unigram_oracle())
+def q_streaming_unigram_encode(spark, sf):
+    """UNIGRAM TOKENIZATION AS INCREMENTAL INGESTION — the streaming
+    serving twin of ``unigram_lm_fit`` (every trained model in the
+    engine ships one: kmeans→streaming_kmeans assign, PQ→
+    streaming_pq_encode, BPE→streaming_bpe_encode): the model trains
+    batch-side (yesterday's corpus) and its O(vocab) probability table
+    rides into the stream FROZEN inside a stateless ``mapInPandas`` —
+    per arriving document, whitespace words Viterbi-segment under the
+    broadcast model (char fallback over ``max_len``, the training
+    contract), emitting (doc_id, n_pieces, n_words) in append mode with
+    ZERO state-store state.  The gate pins the drained stream against
+    the SAME unrolled-CTE trajectory oracle as the batch trainer.
+
+    Scale: per-row CPU + an O(vocab) broadcast — the firehose serving
+    shape; no shuffle, no state."""
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .operators.text import _viterbi_segment, unigram_lm_fit
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    out_batch, probs = unigram_lm_fit(
+        t(spark, sf, "documents"), n_rounds=2, max_len=16,
+        max_piece=4, vocab_size=512,
+    )
+    # the stream carries the python prob dict, not the cached word table
+    out_batch.unigram_model_cache.unpersist()
+    frozen = dict(probs)
+
+    d = tempfile.mkdtemp(prefix="stream_unigram_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [
+                    w.replace("·", "") for w in str(text or "").split()
+                ]
+                words = [w for w in words if w]
+                if not words:
+                    continue  # the batch/oracle emit no row either
+                np_total = 0
+                for w in words:
+                    if len(w) > 16:
+                        np_total += len(w)  # char fallback (contract)
+                    else:
+                        np_total += len(_viterbi_segment(w, frozen, 4))
+                rows.append((did, np_total, len(words)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pieces", "n_words"]
+            )
+
+    out = stream.mapInPandas(encode, out_schema)
+    sink = f"stream_unigram_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
 @query("streaming_bpe_encode", _bpe_oracle())
 def q_streaming_bpe_encode(spark, sf):
     """TOKENIZATION AS INCREMENTAL INGESTION — the streaming twin of
@@ -7837,7 +7916,10 @@ def _pq_oracle_sql(
     ``emit="recall"`` yields pq_adc_recall's (q_id, n_overlap);
     ``emit="codes"`` stops at the integer code assignment — the
     streaming_pq_encode gate (integer output, float-robust by the
-    kmeans tie-break argument).  AS MATERIALIZED throughout — DuckDB's
+    kmeans tie-break argument); ``emit="ivf"`` replays the FULL IVFPQ
+    server — candidates pruned to the query's label cell before the
+    ADC ranking — emitting the deterministic top-k (q_id, n_id, score)
+    itself.  AS MATERIALIZED throughout — DuckDB's
     default CTE inlining recomputes chained stages exponentially (the
     bpe_train_encode lesson)."""
     parts = [
@@ -7905,6 +7987,27 @@ def _pq_oracle_sql(
         for j in range(m)
     )
     adc = " + ".join(f"l{j}.part" for j in range(m))
+    if emit == "ivf":
+        parts.append(
+            f"codes AS MATERIALIZED (SELECT vec_id, {code_cols} FROM {code_joins})"
+        )
+        parts.append(
+            "cells AS MATERIALIZED (SELECT vec_id, label FROM embeddings)"
+        )
+        parts.append(
+            f"""pq AS (
+        SELECT l0.q_id, codes.vec_id AS n_id, round({adc}, 6) AS sp
+        FROM codes {lut_joins}
+        JOIN cells cn ON cn.vec_id = codes.vec_id
+        JOIN cells cq ON cq.vec_id = l0.q_id AND cq.label = cn.label)"""
+        )
+        return (
+            ",\n    ".join(parts)
+            + f"""
+    SELECT q_id, n_id, sp AS score FROM (
+        SELECT q_id, n_id, sp, row_number() OVER (PARTITION BY q_id
+               ORDER BY sp DESC, n_id ASC) AS r FROM pq) WHERE r <= {k}"""
+        )
     parts.append(
         f"codes AS MATERIALIZED (SELECT vec_id, {code_cols} FROM {code_joins})"
     )
@@ -7976,6 +8079,30 @@ def q_streaming_pq_encode(spark, sf):
     )
     q.awaitTermination(120)
     return spark.table(sink)
+
+
+@query("ivf_pq_topk", _pq_oracle_sql(emit="ivf"))
+def q_ivf_pq_topk(spark, sf):
+    """IVFPQ SERVING — the coarse-prune + compressed-rank composition
+    every production billion-vector ANN system deploys (FAISS
+    IndexIVFPQ), assembled from the engine's own parts: the label cells
+    prune candidates (the ``ivf_topk`` contract), product-quantized
+    codes are ranked by per-query ADC lookup tables within the cell
+    (the ``pq_adc_recall`` machinery — shared ``pq_codebooks`` /
+    ``pq_code_cols`` / ``pq_lut_cols`` helpers, ONE implementation).
+    The output is the deterministic IVFPQ top-k itself, so the oracle
+    replays the entire server — per-subspace Lloyd codebooks, code
+    assignment, LUT build, cell restriction, 6dp-rounded ranking —
+    rather than a recall summary.
+
+    Scale: candidates persist m 1-byte codes (64x memory cut) and join
+    the broadcast query side on the CELL key — per-query cost is
+    O(m · N/n_cells) integer lookups; codebooks are broadcast literals;
+    no full-precision vector is touched at serve time."""
+    from .operators.similarity import ivf_pq_topk
+
+    e = t(spark, sf, "embeddings")
+    return ivf_pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
 @query("pq_adc_recall", _pq_oracle_sql())
@@ -9024,6 +9151,8 @@ _GATE_PRIORITY = [
     #      than r6.
     # ------------------------------------------------------------------
     # -- 1. new in r10 --
+    "ivf_pq_topk",  # new r10: FAISS-style IVFPQ serving composition
+    "streaming_unigram_encode",  # new r10: frozen unigram model serving
     "unigram_lm_fit",  # new r10: Viterbi hard-EM unigram tokenizer
     "jpeg_progressive_pixels",  # new r10: SOF2 spectral sel + SA scans
     "jpeg_subsampled_pixels",  # new r10: 4:2:0/4:2:2 + restart intervals

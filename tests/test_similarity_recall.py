@@ -104,3 +104,20 @@ def test_matryoshka_recall_floor_and_diagnostic(spark):
     assert len(rows) == 5
     assert all(r["n_overlap"] >= 1 for r in rows), rows
     assert any(r["n_overlap"] < 5 for r in rows), rows
+
+
+def test_ivf_pq_topk_cell_restriction_and_shape(spark, sf_dir):
+    # IVFPQ never crosses the coarse-cell boundary: every returned
+    # neighbor shares the query's label, and each query gets exactly k
+    # (cells are larger than k in the fixture)
+    from arrow_udf_spark.operators.similarity import ivf_pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = ivf_pq_topk(e, e.where("vec_id < 5"), k=5).collect()
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in res:
+        assert labels[r.n_id] == labels[r.q_id]
+        per_q.setdefault(r.q_id, []).append(r.n_id)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in per_q.values())
