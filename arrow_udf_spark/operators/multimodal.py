@@ -101,6 +101,9 @@ __all__ = [
     "encode_bmp",
     "decode_bmp",
     "synth_bmp",
+    "decode_ppm",
+    "decode_image",
+    "image_autodecode_pipeline",
 ]
 
 #: metadata struct produced by decode
@@ -176,6 +179,60 @@ def parse_wav_meta(payload: Optional[bytes]) -> Optional[dict]:
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Encode raw RGB bytes as binary PPM (P6)."""
     return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def decode_ppm(payload: bytes):
+    """Decode binary PPM (P6): whitespace-separated header tokens
+    (width, height, maxval) then raw RGB rows.  Returns
+    ``(width, height, 3, raw)`` with raw an (h, w*3) uint8 array."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: three ASCII ints after the magic, any whitespace between
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval per spec
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM is out of scope")
+    need = w * h * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return w, h, 3, raw.reshape(h, w * 3)
+
+
+def decode_image(payload: bytes):
+    """FORMAT-SNIFFING full pixel decode — the real ingestion shape (a
+    crawl corpus does not label its bytes): dispatch on the magic
+    number to the matching from-spec decoder and return
+    ``(format, width, height, channels, raw)``.
+
+    Covers everything the engine decodes: PNG (all legal layouts),
+    JPEG (baseline/subsampled/restart/progressive), GIF (first frame
+    composite via :func:`decode_gif`), BMP (v3 + core header), and
+    binary PPM.  Unknown magics raise ``NotImplementedError`` loudly.
+    """
+    if payload[:8] == _PNG_SIG:
+        return ("png", *decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return ("jpeg", *decode_jpeg(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", *decode_gif(payload))
+    if payload[:2] == b"BM":
+        return ("bmp", *decode_bmp(payload))
+    if payload[:2] == b"P6":
+        return ("ppm", *decode_ppm(payload))
+    raise NotImplementedError(
+        "unrecognized image magic: only PNG/JPEG/GIF/BMP/PPM decode here"
+    )
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1358,6 +1415,60 @@ def jpeg_subsampled_pipeline(
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "variant", "w", "h", "channels", "checksum"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(work, out_schema)
+
+
+def image_autodecode_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MIXED-FORMAT corpus ingestion gate: per row, an md5 nibble picks
+    one of SEVEN synthesizers — PPM, RGBA PNG, palette PNG, GIF, BMP,
+    grayscale baseline JPEG, progressive 4:2:0 color JPEG — and the row
+    is decoded by :func:`decode_image`, which is told NOTHING about the
+    choice and must sniff the magic (the real crawl-corpus shape).
+    Emits ``(id, format, w, h, channels, checksum)``; every variant's
+    pixels stay a closed form of md5(text), so one SQL oracle covers
+    the dispatcher end-to-end.  Per-row CPU, no shuffle — the
+    :func:`png_pipeline` contract."""
+    import hashlib
+
+    from .jpeg import synth_jpeg_flat, synth_jpeg_progressive
+
+    synths = [
+        synth_ppm,
+        synth_png,
+        synth_png_pal,
+        synth_gif,
+        synth_bmp,
+        synth_jpeg_flat,
+        synth_jpeg_progressive,
+    ]
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("format", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = str(text)
+                sel = int(hashlib.md5(text.encode()).hexdigest()[15], 16) % 7
+                fmt, w, h, ch, raw = decode_image(synths[sel](text))
+                rows.append(
+                    (did, fmt, w, h, ch, int(raw.astype("int64").sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "w", "h", "channels", "checksum"],
             )
 
     return df.select(id_col, text_col).mapInPandas(work, out_schema)

@@ -2591,6 +2591,131 @@ def q_jpeg_pixels(spark, sf):
     )
 
 
+@query(
+    "image_autodecode",
+    # one md5 nibble (hex digit 16, % 7) picks the container per doc; each
+    # branch reuses the SAME closed form its dedicated gate verifies
+    # (ppm/png/png_pal/gif/bmp/jpeg-flat/jpeg-progressive); the Spark side
+    # must SNIFF the magic — decode_image is never told the choice
+    """
+    WITH sel AS MATERIALIZED (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(text), 16, 1)) AS INT) % 7 AS f
+      FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id, 'ppm' AS format, CAST(MIN(w) AS INT) AS w,
+             CAST(MIN(h) AS INT) AS h, CAST(3 AS INT) AS channels,
+             CAST(SUM((7 * x + 13 * y + 31 * c + s) % 256) AS BIGINT) AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 + 8 AS w,
+                   CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 16 + 8 AS h
+            FROM sel WHERE f = 0) b,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, h)) AS y) ys,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) cs
+      GROUP BY doc_id
+    ),
+    p1 AS (
+      SELECT doc_id, 'png' AS format, CAST(MIN(w) AS INT) AS w,
+             CAST(MIN(h) AS INT) AS h, CAST(4 AS INT) AS channels,
+             CAST(SUM((7 * x + 13 * y + 31 * c + s) % 256) AS BIGINT) AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 16 + 8 AS w,
+                   CAST(('0x' || substr(md5(text), 11, 2)) AS INT) % 16 + 8 AS h
+            FROM sel WHERE f = 1) b,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, h)) AS y) ys,
+           LATERAL (SELECT unnest(range(0, 4)) AS c) cs
+      GROUP BY doc_id
+    ),
+    p2 AS (
+      SELECT doc_id, 'png' AS format, CAST(MIN(w) AS INT) AS w,
+             CAST(MIN(h) AS INT) AS h, CAST(3 AS INT) AS channels,
+             CAST(SUM((11 * ((3 * x + 5 * y + s) % 256) + 17 * c + s) % 256)
+                  AS BIGINT) AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 13, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 15, 2)) AS INT) % 16 + 8 AS w,
+                   CAST(('0x' || substr(md5(text), 17, 2)) AS INT) % 16 + 8 AS h
+            FROM sel WHERE f = 2) b,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, h)) AS y) ys,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) cs
+      GROUP BY doc_id
+    ),
+    p3 AS (
+      SELECT doc_id, 'gif' AS format, CAST(MIN(w) AS INT) AS w,
+             CAST(MIN(h) AS INT) AS h, CAST(3 AS INT) AS channels,
+             CAST(SUM((11 * ((3 * x + 5 * y + s) % 256) + 17 * c + s) % 256)
+                  AS BIGINT) AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 19, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 21, 2)) AS INT) % 16 + 8 AS w,
+                   CAST(('0x' || substr(md5(text), 23, 2)) AS INT) % 16 + 8 AS h
+            FROM sel WHERE f = 3) b,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, h)) AS y) ys,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) cs
+      GROUP BY doc_id
+    ),
+    p4 AS (
+      SELECT doc_id, 'bmp' AS format, CAST(MIN(w) AS INT) AS w,
+             CAST(MIN(h) AS INT) AS h, CAST(3 AS INT) AS channels,
+             CAST(SUM((7 * x + 13 * y + 31 * c + s) % 256) AS BIGINT) AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 30, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 32, 1)) AS INT) % 12 + 6 AS w,
+                   CAST(('0x' || substr(md5(text), 1, 1)) AS INT) % 12 + 6 AS h
+            FROM sel WHERE f = 4) b,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, h)) AS y) ys,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) cs
+      GROUP BY doc_id
+    ),
+    p5 AS (
+      SELECT doc_id, 'jpeg' AS format, CAST(MIN(bw) * 8 AS INT) AS w,
+             CAST(MIN(bh) * 8 AS INT) AS h, CAST(1 AS INT) AS channels,
+             CAST(SUM(64 * (2 * ((7 * x + 13 * y + s) % 128))) AS BIGINT)
+                 AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 20, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 22, 2)) AS INT) % 3 + 1 AS bw,
+                   CAST(('0x' || substr(md5(text), 24, 2)) AS INT) % 3 + 1 AS bh
+            FROM sel WHERE f = 5) b,
+           LATERAL (SELECT unnest(range(0, bw)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, bh)) AS y) ys
+      GROUP BY doc_id
+    ),
+    p6 AS (
+      SELECT doc_id, 'jpeg' AS format, CAST(MIN(mw) * 16 AS INT) AS w,
+             CAST(MIN(mh) * 16 AS INT) AS h, CAST(3 AS INT) AS channels,
+             CAST(SUM(3 * 64 * (2 * ((7 * x + 13 * y + s) % 128))) AS BIGINT)
+                 AS checksum
+      FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 10, 2)) AS INT) AS s,
+                   CAST(('0x' || substr(md5(text), 12, 2)) AS INT) % 2 + 1 AS mw,
+                   CAST(('0x' || substr(md5(text), 14, 2)) AS INT) % 2 + 1 AS mh
+            FROM sel WHERE f = 6) b,
+           LATERAL (SELECT unnest(range(0, 2 * mw)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, 2 * mh)) AS y) ys
+      GROUP BY doc_id
+    )
+    SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2
+    UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+    UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6
+    """,
+)
+def q_image_autodecode(spark, sf):
+    """MIXED-FORMAT INGESTION — the dispatcher gate: a real crawl corpus
+    doesn't label its bytes, so per doc an md5 nibble secretly picks one
+    of SEVEN synthesizers (PPM, RGBA PNG, palette PNG, GIF, BMP,
+    grayscale baseline JPEG, progressive 4:2:0 color JPEG) and
+    ``decode_image`` must SNIFF the magic and run the right from-spec
+    decoder end-to-end.  Every branch reuses the closed form its
+    dedicated gate already verifies, so a dispatch mistake (or any
+    decoder regression) breaks the per-doc checksum.  Per-row CPU, no
+    shuffle — the ``png_pipeline`` contract."""
+    from .operators.multimodal import image_autodecode_pipeline
+
+    return image_autodecode_pipeline(t(spark, sf, "documents", spread=True))
+
+
 def _q_jpeg_prog_oracle():
     # same geometry + checksum closed form as jpeg_subsampled_pixels
     # (the fixture shares synth_jpeg_subsampled's md5 fields), single
@@ -9151,6 +9276,7 @@ _GATE_PRIORITY = [
     #      than r6.
     # ------------------------------------------------------------------
     # -- 1. new in r10 --
+    "image_autodecode",  # new r10: format-sniffing mixed-corpus decode
     "ivf_pq_topk",  # new r10: FAISS-style IVFPQ serving composition
     "streaming_unigram_encode",  # new r10: frozen unigram model serving
     "unigram_lm_fit",  # new r10: Viterbi hard-EM unigram tokenizer

@@ -120,3 +120,38 @@ def test_jpeg_fill_bytes_are_skipped():
     assert (w, h, ch) == want[:3] and (raw == want[3]).all()
     hdr = parse_image_header(padded)
     assert hdr is not None and (hdr["width"], hdr["height"]) == (w, h)
+
+
+def test_decode_image_sniffs_every_container():
+    from arrow_udf_spark.operators.jpeg import (
+        synth_jpeg_flat,
+        synth_jpeg_progressive,
+        synth_jpeg_subsampled,
+    )
+    from arrow_udf_spark.operators.multimodal import (
+        decode_image,
+        synth_bmp,
+        synth_gif,
+        synth_png,
+        synth_png_pal,
+        synth_ppm,
+    )
+
+    cases = [
+        (synth_ppm, "ppm"),
+        (synth_png, "png"),
+        (synth_png_pal, "png"),
+        (synth_gif, "gif"),
+        (synth_bmp, "bmp"),
+        (synth_jpeg_flat, "jpeg"),
+        (synth_jpeg_subsampled, "jpeg"),
+        (synth_jpeg_progressive, "jpeg"),
+    ]
+    for synth, want in cases:
+        fmt, w, h, ch, raw = decode_image(synth("sniff me"))
+        assert fmt == want and w > 0 and h > 0 and ch in (1, 3, 4)
+        assert raw.shape == (h, w * ch)
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_image(b"RIFF....WEBPVP8 ")
