@@ -1502,3 +1502,49 @@ def unigram_oracle_sql(
     GROUP BY dw.doc_id"""
     )
     return "".join(sql)
+
+
+#: PII patterns shared by the operator and its oracle — restricted to the
+#: regex subset Java (Spark) and RE2 (DuckDB) treat identically: character
+#: classes, bounded/greedy quantifiers, alternation; no lookaround, no
+#: backreferences (RE2 has neither).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+[0-9]{8,13}",
+}
+
+#: scrub order matters (a URL may contain an @); pinned here
+PII_ORDER = ["url", "email", "phone"]
+
+
+def pii_scrub(df, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrubbing — the redaction pass every public training corpus
+    runs before release: count and redact emails, URLs, and
+    international-format phone numbers with pure JVM regex (no Python
+    in the hot path; `regexp_count` + chained `regexp_replace`).
+    Returns ``(id, n_emails, n_urls, n_phones, scrub_md5)`` where
+    ``scrub_md5`` fingerprints the redacted text, so the gate pins the
+    exact replacement output, not just the counts.
+
+    Scale: embarrassingly parallel scan — one projection, no shuffle,
+    whole-stage codegen end to end."""
+    c = F.col(text_col)
+    scrubbed = c
+    for kind in PII_ORDER:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["email"]))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["url"]))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.regexp_count(c, F.lit(PII_PATTERNS["phone"]))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+    )

@@ -7478,6 +7478,84 @@ def q_bpe_pair_counts(spark, sf):
     return bpe_pair_counts(t(spark, sf, "documents"), top=10)
 
 
+@query(
+    "pii_scrub",
+    # every doc gets one synthetic email/URL/phone injected from md5
+    # nibbles (both engines build the identical augmented text), then the
+    # SAME shared regex set counts and redacts; scrub_md5 fingerprints
+    # the fully-redacted text, so replacement OUTPUT is pinned, not just
+    # counts.  Patterns live in operators/text.py::PII_PATTERNS and are
+    # restricted to the Java/RE2-identical subset.
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' u' || substr(md5(text), 1, 6) || '@ex' ||
+             substr(md5(text), 7, 2) || '.com see http://t' ||
+             substr(md5(text), 9, 4) || '.io/p' || substr(md5(text), 13, 2) ||
+             ' call +' ||
+             lpad(CAST(CAST(('0x' || substr(md5(text), 15, 7)) AS BIGINT)
+                       % 100000000 AS VARCHAR), 8, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\\s]+'))
+               AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '\\+[0-9]{8,13}'))
+               AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\+[0-9]{8,13}', '<PHONE>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf):
+    """PII SCRUBBING — the redaction pass every released training corpus
+    runs: count and redact emails, URLs, and international phone
+    numbers (operators/text.py::pii_scrub — pure JVM regexp_count +
+    chained regexp_replace, whole-stage codegen, no Python).  The gate
+    injects one synthetic instance of each PII kind per document from
+    md5 nibbles — both engines construct the identical augmented text —
+    and pins the md5 of the fully-REDACTED output, so a wrong
+    replacement span (not just a wrong count) breaks the hash.
+    Patterns are pinned to the Java/RE2-identical regex subset (no
+    lookaround, no backreferences — RE2 has neither).
+
+    Scale: one projection over the corpus scan, zero shuffle."""
+    from .operators.text import pii_scrub
+
+    docs = t(spark, sf, "documents")
+    hx = F.md5(F.col("text").cast("binary"))
+    phone = F.lpad(
+        (F.conv(F.substring(hx, 15, 7), 16, 10).cast("long")
+         % 100000000).cast("string"),
+        8,
+        "0",
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), F.substring(hx, 1, 6),
+            F.lit("@ex"), F.substring(hx, 7, 2),
+            F.lit(".com see http://t"), F.substring(hx, 9, 4),
+            F.lit(".io/p"), F.substring(hx, 13, 2),
+            F.lit(" call +"), phone,
+        ).alias("text"),
+    )
+    return pii_scrub(aug).select(
+        F.col("id").alias("doc_id"),
+        "n_emails",
+        "n_urls",
+        "n_phones",
+        "scrub_md5",
+    )
+
+
 def _bpe_oracle():
     from .operators.text import bpe_oracle_sql
 
@@ -9276,6 +9354,7 @@ _GATE_PRIORITY = [
     #      than r6.
     # ------------------------------------------------------------------
     # -- 1. new in r10 --
+    "pii_scrub",  # new r10: email/URL/phone redaction, output-hash gated
     "image_autodecode",  # new r10: format-sniffing mixed-corpus decode
     "ivf_pq_topk",  # new r10: FAISS-style IVFPQ serving composition
     "streaming_unigram_encode",  # new r10: frozen unigram model serving
