@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "jpeg_progressive_pixels",  # SOF2 spectral-selection/SA multi-scan
     "bpe_batch_train_encode",   # 64 merges in 8 batched greedy rounds
     "unigram_lm_fit",           # Viterbi hard-EM unigram tokenizer
+    "pii_scrub",                # regex PII count+redact, codegen-only
+    "image_autodecode",         # format-sniffing mixed-corpus decode
+    "ivf_pq_topk",              # FAISS-style IVFPQ cell+ADC serving
 ]
 
 #: SESSION SPLIT (VERDICT r8 ask #6): queries whose r8 best-of-3 exceeded
@@ -144,9 +147,11 @@ HEAVY_QUERIES = {
     "sql_agg_window_two_phase", "sql_agg_pivot_two_phase",
     "semdedup_prune_numpy",
     # r10 additions, pinned by their first-round single-shot at sf0.1
-    # (3.1 / 1.5 / 9.0 / 3.7 s — all at or above the 1.5 s line):
+    # (3.1 / 1.5 / 9.0 / 3.7 / 1.9 / 5.1 s — at or above the 1.5 s line;
+    # pii_scrub 1.2 s runs light):
     "jpeg_subsampled_pixels", "jpeg_progressive_pixels",
     "bpe_batch_train_encode", "unigram_lm_fit",
+    "image_autodecode", "ivf_pq_topk",
     "sql_agg_correlated_two_phase", "bpe_train_encode",
     "dup_substring_max",
     # late-r9 addition, assigned by this round's OWN best-of-3 (these
