@@ -1253,6 +1253,28 @@ def synth_jpeg_flat(text: str) -> bytes:
     return encode_jpeg(bw * 8, bh * 8, img.tobytes(), channels=1, quality=50)
 
 
+def _flat_gray_fixture(text: str):
+    """Shared geometry of the exactly-invertible subsampled/progressive
+    gate fixtures: flat even-valued gray 8x8 luma blocks over whole
+    4:2:0 MCUs, from md5(text) hex nibbles 9-15 (see
+    :func:`synth_jpeg_subsampled` for the exactness argument).
+    Returns ``(w, h, rgb_bytes, restart_interval)``."""
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    s = int(hx[9:11], 16)
+    mw = int(hx[11:13], 16) % 2 + 1
+    mh = int(hx[13:15], 16) % 2 + 1
+    bxs = np.arange(2 * mw, dtype=np.int64)[None, :]
+    bys = np.arange(2 * mh, dtype=np.int64)[:, None]
+    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
+    grey = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    return 16 * mw, 16 * mh, rgb.tobytes(), s % 3 + 1
+
+
 def synth_jpeg_subsampled(text: str, mode: str = "4:2:0") -> bytes:
     """Deterministic COLOR baseline JPEG with subsampled chroma AND a
     restart interval that decodes EXACTLY — extending the flat-block
@@ -1278,28 +1300,10 @@ def synth_jpeg_subsampled(text: str, mode: str = "4:2:0") -> bytes:
     RSTn markers with DC-predictor resets.
     ``checksum = Σ_blocks 3·64·v``.
     """
-    import hashlib
-
-    import numpy as np
-
-    hx = hashlib.md5(text.encode()).hexdigest()
-    s = int(hx[9:11], 16)
-    mw = int(hx[11:13], 16) % 2 + 1
-    mh = int(hx[13:15], 16) % 2 + 1
-    w, h = 16 * mw, 16 * mh
-    bxs = np.arange(2 * mw, dtype=np.int64)[None, :]
-    bys = np.arange(2 * mh, dtype=np.int64)[:, None]
-    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
-    grey = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
-    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    w, h, rgb, ri = _flat_gray_fixture(text)
     return encode_jpeg(
-        w,
-        h,
-        rgb.tobytes(),
-        channels=3,
-        quality=50,
-        subsampling=mode,
-        restart_interval=s % 3 + 1,
+        w, h, rgb, channels=3, quality=50,
+        subsampling=mode, restart_interval=ri,
     )
 
 
@@ -1314,26 +1318,8 @@ def synth_jpeg_progressive(text: str) -> bytes:
     decoded pixel a closed form of md5(text).  Same geometry fields and
     checksum formula as ``synth_jpeg_subsampled`` (hex nibbles 10-15,
     ``checksum = Σ_blocks 3·64·v``)."""
-    import hashlib
-
-    import numpy as np
-
-    hx = hashlib.md5(text.encode()).hexdigest()
-    s = int(hx[9:11], 16)
-    mw = int(hx[11:13], 16) % 2 + 1
-    mh = int(hx[13:15], 16) % 2 + 1
-    w, h = 16 * mw, 16 * mh
-    bxs = np.arange(2 * mw, dtype=np.int64)[None, :]
-    bys = np.arange(2 * mh, dtype=np.int64)[:, None]
-    v = 2 * ((7 * bxs + 13 * bys + s) % 128)
-    grey = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
-    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    w, h, rgb, ri = _flat_gray_fixture(text)
     return encode_jpeg_progressive(
-        w,
-        h,
-        rgb.tobytes(),
-        channels=3,
-        quality=50,
-        subsampling="4:2:0",
-        restart_interval=s % 3 + 1,
+        w, h, rgb, channels=3, quality=50,
+        subsampling="4:2:0", restart_interval=ri,
     )

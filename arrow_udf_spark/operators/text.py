@@ -1119,9 +1119,13 @@ def bpe_batch_oracle_sql(
                 )
         repl = "r"
         for j in range(1, batch + 1):
+            # empty-selection sentinel: '···' can NEVER occur in a
+            # marker representation (it would need an empty symbol), so
+            # the no-op replace is safe even for corpora containing
+            # control bytes — chr(1) was not (review catch)
             repl = (
                 f"replace({repl},\n"
-                f"        coalesce((SELECT p FROM s{k}_{j}), chr(1)),\n"
+                f"        coalesce((SELECT p FROM s{k}_{j}), '{M}{M}{M}'),\n"
                 f"        coalesce((SELECT replace(p, '{M}{M}', '')"
                 f" FROM s{k}_{j}), ''))"
             )
@@ -1176,14 +1180,21 @@ def _viterbi_segment(w, probs, max_piece):
     return out
 
 
+#: gate-scale unigram-LM hyperparameters — named ONCE so the trainer,
+#: the streaming twin, and the generated oracle can never drift apart
+UNIGRAM_MAX_LEN = 16
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_VOCAB = 512
+
+
 def unigram_lm_fit(
     df,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_rounds: int = 2,
-    max_len: int = 16,
-    max_piece: int = 4,
-    vocab_size: int = 512,
+    max_len: int = UNIGRAM_MAX_LEN,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    vocab_size: int = UNIGRAM_VOCAB,
 ):
     """Train a UNIGRAM-LM tokenizer (SentencePiece's model family, Kudo
     2018) by Viterbi hard-EM and encode every document — the third
@@ -1343,9 +1354,9 @@ def unigram_lm_fit(
 
 def unigram_oracle_sql(
     n_rounds: int = 2,
-    max_len: int = 16,
-    max_piece: int = 4,
-    vocab_size: int = 512,
+    max_len: int = UNIGRAM_MAX_LEN,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    vocab_size: int = UNIGRAM_VOCAB,
     table: str = "documents",
 ) -> str:
     """DuckDB replay of :func:`unigram_lm_fit`: the same word
@@ -1527,24 +1538,26 @@ def pii_scrub(df, text_col: str = "text", id_col: str = "doc_id"):
     ``scrub_md5`` fingerprints the redacted text, so the gate pins the
     exact replacement output, not just the counts.
 
+    Each kind is counted on the text AFTER the earlier kinds in
+    ``PII_ORDER`` were redacted, so the counts equal the redactions the
+    scrub actually performed — an email inside a URL is one URL, not a
+    URL plus a phantom email (review catch).
+
     Scale: embarrassingly parallel scan — one projection, no shuffle,
     whole-stage codegen end to end."""
-    c = F.col(text_col)
-    scrubbed = c
+    stage = {}
+    scrubbed = F.col(text_col)
     for kind in PII_ORDER:
+        stage[kind] = F.regexp_count(
+            scrubbed, F.lit(PII_PATTERNS[kind])
+        ).cast("bigint")
         scrubbed = F.regexp_replace(
             scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>"
         )
     return df.select(
         F.col(id_col).alias("id"),
-        F.regexp_count(c, F.lit(PII_PATTERNS["email"]))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.regexp_count(c, F.lit(PII_PATTERNS["url"]))
-        .cast("bigint")
-        .alias("n_urls"),
-        F.regexp_count(c, F.lit(PII_PATTERNS["phone"]))
-        .cast("bigint")
-        .alias("n_phones"),
+        stage["email"].alias("n_emails"),
+        stage["url"].alias("n_urls"),
+        stage["phone"].alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
     )

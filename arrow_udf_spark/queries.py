@@ -7496,21 +7496,32 @@ def q_bpe_pair_counts(spark, sf):
              lpad(CAST(CAST(('0x' || substr(md5(text), 15, 7)) AS BIGINT)
                        % 100000000 AS VARCHAR), 8, '0') AS t
       FROM documents
+    ),
+    stages AS (
+      SELECT doc_id, t,
+             regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+      FROM aug
+    ),
+    stages2 AS (
+      SELECT doc_id, t, t1,
+             regexp_replace(t1,
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t2
+      FROM stages
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(t,
+           -- staged counts: each kind counted AFTER the earlier kinds
+           -- were redacted, so counts == redactions performed
+           CAST(len(regexp_extract_all(t1,
                '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
                AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t, 'https?://[^\\s]+'))
                AS BIGINT) AS n_urls,
-           CAST(len(regexp_extract_all(t, '\\+[0-9]{8,13}'))
+           CAST(len(regexp_extract_all(t2, '\\+[0-9]{8,13}'))
                AS BIGINT) AS n_phones,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               'https?://[^\\s]+', '<URL>', 'g'),
-               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '\\+[0-9]{8,13}', '<PHONE>', 'g')) AS scrub_md5
-    FROM aug
+           md5(regexp_replace(t2, '\\+[0-9]{8,13}', '<PHONE>', 'g'))
+               AS scrub_md5
+    FROM stages2
     """,
 )
 def q_pii_scrub(spark, sf):
@@ -7601,7 +7612,7 @@ def _bpe_batch_oracle():
 def _unigram_oracle():
     from .operators.text import unigram_oracle_sql
 
-    return unigram_oracle_sql(2, 16, 4, 512)
+    return unigram_oracle_sql(n_rounds=2)
 
 
 @query("unigram_lm_fit", _unigram_oracle())
@@ -7627,10 +7638,7 @@ def q_unigram_lm_fit(spark, sf):
     once to compact and once to encode-join."""
     from .operators.text import unigram_lm_fit
 
-    out, _probs = unigram_lm_fit(
-        t(spark, sf, "documents"), n_rounds=2, max_len=16,
-        max_piece=4, vocab_size=512,
-    )
+    out, _probs = unigram_lm_fit(t(spark, sf, "documents"), n_rounds=2)
     return out.select(F.col("id").alias("doc_id"), "n_pieces", "n_words")
 
 
@@ -7685,12 +7693,17 @@ def q_streaming_unigram_encode(spark, sf):
     import pandas as pd
     from pyspark.sql import types as T
 
-    from .operators.text import _viterbi_segment, unigram_lm_fit
+    from .operators.text import (
+        _BPE_M as _UNI_MARKER,
+        UNIGRAM_MAX_LEN as _UNI_MAX_LEN,
+        UNIGRAM_MAX_PIECE as _UNI_MAX_PIECE,
+        _viterbi_segment,
+        unigram_lm_fit,
+    )
 
     docs = t(spark, sf, "documents").select("doc_id", "text")
     out_batch, probs = unigram_lm_fit(
-        t(spark, sf, "documents"), n_rounds=2, max_len=16,
-        max_piece=4, vocab_size=512,
+        t(spark, sf, "documents"), n_rounds=2
     )
     # the stream carries the python prob dict, not the cached word table
     out_batch.unigram_model_cache.unpersist()
@@ -7708,22 +7721,32 @@ def q_streaming_unigram_encode(spark, sf):
         ]
     )
 
+    import re
+
+    # ASCII \s+ to match the batch trainer's JVM F.split(r"\s+") word
+    # boundaries (python str.split() also breaks on Unicode whitespace
+    # like U+00A0, which Java \s does not — review catch)
+    ws = re.compile(r"\s+", re.ASCII)
+
     def encode(batches):
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [
-                    w.replace("·", "") for w in str(text or "").split()
+                    w.replace(_UNI_MARKER, "")
+                    for w in ws.split(str(text or ""))
                 ]
                 words = [w for w in words if w]
                 if not words:
                     continue  # the batch/oracle emit no row either
                 np_total = 0
                 for w in words:
-                    if len(w) > 16:
+                    if len(w) > _UNI_MAX_LEN:
                         np_total += len(w)  # char fallback (contract)
                     else:
-                        np_total += len(_viterbi_segment(w, frozen, 4))
+                        np_total += len(
+                            _viterbi_segment(w, frozen, _UNI_MAX_PIECE)
+                        )
                 rows.append((did, np_total, len(words)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_pieces", "n_words"]
@@ -7767,6 +7790,8 @@ def q_streaming_bpe_encode(spark, sf):
     _out, merges = bpe_train_encode(
         t(spark, sf, "documents"), n_merges=8
     )
+    # the stream carries the merge literals, not the cached model table
+    _out.bpe_model_cache.unpersist()
 
     d = tempfile.mkdtemp(prefix="stream_bpe_")
     docs.write.mode("overwrite").parquet(d)
