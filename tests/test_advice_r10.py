@@ -155,3 +155,39 @@ def test_decode_image_sniffs_every_container():
 
     with pytest.raises(NotImplementedError, match="magic"):
         decode_image(b"RIFF....WEBPVP8 ")
+
+
+def test_pii_scrub_staged_counts_match_python(spark):
+    import hashlib
+    import re
+
+    from arrow_udf_spark.operators.text import (
+        PII_ORDER,
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    texts = [
+        (1, "mail a@b.com and http://x.io/a@b.com plus +12345678"),
+        (2, "no pii here at all"),
+        (3, "tel +123456789012 twice +87654321 url https://e.org/q?x=1"),
+        (4, "u@v.io u@v.io"),  # repeated email
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.id: r for r in pii_scrub(df).collect()}
+    for did, t in texts:
+        cur = t
+        counts = {}
+        for kind in PII_ORDER:
+            counts[kind] = len(re.findall(PII_PATTERNS[kind], cur))
+            cur = re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", cur)
+        r = got[did]
+        # staged semantics: the email inside the URL counts as the URL
+        # only — counts equal the redactions actually performed
+        assert (r.n_urls, r.n_emails, r.n_phones) == (
+            counts["url"], counts["email"], counts["phone"]
+        ), (did, cur)
+        assert r.scrub_md5 == hashlib.md5(cur.encode()).hexdigest()
+    # the nested case specifically: one URL, zero emails
+    assert got[1].n_urls == 1 and got[1].n_emails == 1  # a@b.com outside
+    assert got[4].n_emails == 2
