@@ -110,3 +110,25 @@ def test_malformed_progressive_refuses():
     p[se_off] = 63
     with pytest.raises(ValueError):
         decode_jpeg(bytes(p))
+
+
+def test_truncated_and_corrupt_payloads_refuse_cleanly():
+    # the decode_gif-truncation ADVICE class, applied to the new r10
+    # surfaces: every truncation/corruption must raise ValueError or
+    # NotImplementedError — never IndexError/struct.error/KeyError
+    import pytest
+
+    from arrow_udf_spark.operators.multimodal import decode_image
+
+    p = synth_jpeg_progressive("robustness")
+    for cut in (3, 10, len(p) // 3, len(p) // 2, len(p) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(p[:cut])
+    # flipped marker byte inside the header region
+    bad = bytearray(p)
+    bad[bad.index(b"\xff\xc4") + 1] = 0xC9  # DHT -> arithmetic SOF
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(bad))
+    # the sniffer forwards the same discipline
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(p[: len(p) // 2])
