@@ -957,12 +957,18 @@ def decode_png(payload: bytes):
     plte = trns = None
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            # length + tag + data + CRC must all fit (truncation-fuzz
+            # catch: unpadded struct reads leaked struct.error)
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h = struct.unpack_from(">II", data, 0)
             depth, color, _comp, _filt, interlace = data[8:13]
         elif tag == b"PLTE":
@@ -1001,7 +1007,10 @@ def decode_png(payload: bytes):
             raise ValueError("tRNS is prohibited for alpha color types")
         sb = depth // 8
     bpp = channels * sb
-    flat = zlib.decompress(bytes(idat))
+    try:
+        flat = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # empty or chunk-aligned-truncated IDAT
+        raise ValueError(f"PNG IDAT stream truncated/corrupt: {e}") from e
     if depth < 8:
         # bit-packed scanlines: unfilter at bpp=1 over the PACKED bytes
         # (the spec's sub-byte "left neighbor" is the previous byte),
@@ -1672,6 +1681,8 @@ def decode_gif_frames(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     if not packed & 0x80:

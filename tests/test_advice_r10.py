@@ -191,3 +191,43 @@ def test_pii_scrub_staged_counts_match_python(spark):
     # the nested case specifically: one URL, zero emails
     assert got[1].n_urls == 1 and got[1].n_emails == 1  # a@b.com outside
     assert got[4].n_emails == 2
+
+
+def test_truncated_payloads_refuse_cleanly_every_container():
+    # truncation-fuzz regression (the decode_gif ADVICE class, swept
+    # across the whole decode surface): truncating any container at any
+    # point must raise ValueError/NotImplementedError — the raw
+    # struct.error / zlib.error / IndexError leaks this found are fixed
+    import pytest
+
+    from arrow_udf_spark.operators.jpeg import (
+        synth_jpeg_flat,
+        synth_jpeg_progressive,
+    )
+    from arrow_udf_spark.operators.multimodal import (
+        decode_image,
+        synth_bmp,
+        synth_gif,
+        synth_png,
+        synth_png16,
+        synth_png_adam7,
+        synth_png_pal,
+        synth_ppm,
+    )
+
+    del pytest  # the contract is "no DIRTY exception", not "must raise":
+    # some truncations still decode (a GIF missing only its 0x3B trailer,
+    # a BMP with trailing padding cut) — that is fine; what must never
+    # happen is a raw struct.error / zlib.error / IndexError escaping
+    for synth in (
+        synth_ppm, synth_png, synth_png_pal, synth_png16,
+        synth_png_adam7, synth_gif, synth_bmp,
+        synth_jpeg_flat, synth_jpeg_progressive,
+    ):
+        p = synth("truncate me")
+        for cut in range(1, len(p), 7):  # sampled; the full per-byte
+            # sweep ran clean once (see the commit) and is too slow here
+            try:
+                decode_image(p[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the clean refusal contract
