@@ -253,6 +253,92 @@ class AggregateFunction:
         )
 
     # ------------------------------------------------------------------
+    def as_spark_pfold(self):
+        """SQL two-phase surface, phase-1 VECTORIZED form (r10 perf): a
+        scalar pandas UDF over ``collect_list(named_struct(...))`` rows.
+
+        The GROUPED_AGG ``__partial`` surface costs one Python UDF
+        invocation per (group, salt) — on a high-cardinality key that is
+        O(K·S) calls of ~1 row each, pure per-call overhead (measured:
+        sql_agg_correlated_two_phase's inner per-partkey agg, see
+        OPTIMIZATION_r10.md).  Here the grouping itself runs as a NATIVE
+        ``collect_list`` aggregate (map-side partial_collect_list, whole
+        stage codegen) and Python sees whole Arrow batches of groups —
+        one invocation per ~10k groups instead of one per group.  The
+        fold inside is the same accumulate/accumulate_batch the
+        ``__partial`` path runs, so the state stream is semantically
+        identical; struct-wrapping the args preserves NULLs
+        (``collect_list`` drops bare NULL elements, never structs).
+        """
+        cached = getattr(self, "_pfold_cache", None)
+        if cached is not None:
+            return cached
+        from pyspark.sql.functions import pandas_udf
+
+        create, acc, acc_b = self.create_state, self.accumulate, self.accumulate_batch
+
+        def pfold_fn(vals: pd.Series) -> pd.Series:
+            out = []
+            for arr in vals:
+                st = create()
+                if arr is not None and len(arr) > 0:
+                    ks = [f"a{i}" for i in range(len(arr[0]))]
+                    if acc_b is not None:
+                        st = acc_b(
+                            st, *[pd.Series([r[k] for r in arr]) for k in ks]
+                        )
+                    else:
+                        for r in arr:
+                            st = acc(
+                                st,
+                                *[
+                                    None if _is_null(r[k]) else r[k]
+                                    for k in ks
+                                ],
+                            )
+                out.append(pickle.dumps(st))
+            return pd.Series(out, dtype=object)
+
+        pfold_fn.__name__ = f"{self.sig.name}__pfold"
+        udf = pandas_udf(pfold_fn, returnType=T.BinaryType())
+        self._pfold_cache = udf
+        return udf
+
+    def as_spark_mergevec(self):
+        """Phase-2 VECTORIZED form (r10 perf): scalar pandas UDF over
+        ``collect_list(<pickled state>)`` rows — merge + finish for a whole
+        Arrow batch of groups per Python invocation, replacing the
+        per-group GROUPED_AGG ``__merge`` call (and the per-group
+        ``applyInPandas`` call of the DataFrame :meth:`agg` path).  Merge
+        order over the collected states is arbitrary exactly as it is for
+        the GROUPED_AGG/applyInPandas surfaces — the UDAF contract makes
+        merge commutative+associative, so the result is unchanged."""
+        cached = getattr(self, "_mergevec_cache", None)
+        if cached is not None:
+            return cached
+        from pyspark.sql.functions import pandas_udf
+
+        merge, finish = self.merge, self.finish
+
+        def mergevec_fn(blob_lists: pd.Series) -> pd.Series:
+            out = []
+            for blobs in blob_lists:
+                state = None
+                if blobs is not None:
+                    for blob in blobs:
+                        if blob is None:
+                            continue
+                        s = pickle.loads(blob)
+                        state = s if state is None else merge(state, s)
+                out.append(finish(state) if finish is not None else state)
+            return pd.Series(out, dtype=object)
+
+        mergevec_fn.__name__ = f"{self.sig.name}__mergevec"
+        udf = pandas_udf(mergevec_fn, returnType=self.result_field.dtype)
+        self._mergevec_cache = udf
+        return udf
+
+    # ------------------------------------------------------------------
     def _fold_partition(
         self, by_n: int, arg_n: int, ops_col: bool
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
@@ -354,23 +440,6 @@ class AggregateFunction:
 
         return fold
 
-    def _merge_finish(
-        self, by_names: Sequence[str]
-    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
-        merge, finish = self.merge, self.finish
-
-        def mf(pdf: pd.DataFrame) -> pd.DataFrame:
-            state = None
-            for blob in pdf["state"]:
-                s = pickle.loads(blob)
-                state = s if state is None else merge(state, s)
-            value = finish(state) if finish is not None else state
-            row = {n: pdf[n].iloc[0] for n in by_names}
-            row[self.sig.name] = value
-            return pd.DataFrame([row])
-
-        return mf
-
     # ------------------------------------------------------------------
     def agg(
         self,
@@ -397,13 +466,22 @@ class AggregateFunction:
         else:
             partials = proj.mapInPandas(fold, schema=phase1_schema)
 
-        out_schema = T.StructType(
-            [T.StructField(f"k{i}", df.schema[c].dataType) for i, c in enumerate(by)]
-            + [T.StructField(self.sig.name, self.result_field.dtype)]
-        )
         knames = [f"k{i}" for i in range(len(by))]
-        result = partials.groupBy(*knames).applyInPandas(
-            self._merge_finish(knames), schema=out_schema
+        # merge+finish VECTORIZED (r10 perf): a native collect_list of the
+        # O(partitions)-bounded pickled states per key (map-side partial,
+        # codegen) and ONE scalar pandas UDF invocation per Arrow batch of
+        # groups — applyInPandas called Python once per group, which at
+        # high key cardinality is pure per-call overhead.  State merge
+        # order stays arbitrary (UDAF contract: commutative+associative).
+        result = (
+            partials.groupBy(*knames)
+            .agg(F.collect_list("state").alias("__aus_states"))
+            .select(
+                *knames,
+                self.as_spark_mergevec()(F.col("__aus_states")).alias(
+                    self.sig.name
+                ),
+            )
         )
         # restore user-facing key column names
         renames = dict(zip(knames, by))

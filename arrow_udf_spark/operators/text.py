@@ -792,9 +792,13 @@ def _bpe_pair_expr():
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _bpe_finish(words, cur):
+def _bpe_finish(words, cur, parent=None):
     """Shared trainer epilogue: pin the O(|vocab|) model (w, n_sym),
-    release the loop table, and build the per-document encode join."""
+    release the loop table(s), and build the per-document encode join.
+
+    ``parent`` is the last round's still-cached table (the fused loop —
+    see :func:`bpe_train_encode` — leaves the final ``cur`` lazy, so its
+    parent cache must survive until ``final`` materializes here)."""
     M = _BPE_M
     final = cur.select(
         "w",
@@ -804,6 +808,8 @@ def _bpe_finish(words, cur):
     ).persist()
     final.count()
     cur.unpersist()
+    if parent is not None:
+        parent.unpersist()
     out = (
         words.join(final, "w")
         .groupBy("id")
@@ -877,6 +883,11 @@ def bpe_train_encode(
     merges: list[str] = []
     prev = None
     for _ in range(n_merges):
+        # FUSED materialization (r10 perf): this argmax job is the FIRST
+        # action over a freshly-persisted `cur`, so it computes and caches
+        # `cur` (one replace step off the parent's cache) as a side effect
+        # — the former dedicated `nxt.count()` job per round paid a whole
+        # extra pass over the cached table.  ONE job per merge round.
         best = (
             cur.select(F.explode(_bpe_pair_expr()).alias("p"), "freq")
             .groupBy("p")
@@ -885,6 +896,10 @@ def bpe_train_encode(
             .limit(1)
             .collect()
         )
+        # `cur` is materialized now — its parent cache can go
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         pat = best[0]["p"]
@@ -893,17 +908,12 @@ def bpe_train_encode(
         merges.append(pat)
         nxt = cur.withColumn(
             "r", F.replace(F.col("r"), F.lit(pat), F.lit(merged))
-        ).persist()
-        nxt.count()  # materialize before dropping the parent
-        if prev is not None:
-            prev.unpersist()
+        ).persist()  # lazy: next round's argmax (or _bpe_finish) computes it
         prev, cur = cur, nxt
-    # release the training loop's two cached word tables (ADVICE r9:
-    # they leaked for the session lifetime): pin the compact O(|vocab|)
+    # release the training loop's cached word tables (ADVICE r9: they
+    # leaked for the session lifetime): pin the compact O(|vocab|)
     # trained model (w, n_sym) instead, materialize it, then free both
-    if prev is not None:
-        prev.unpersist()
-    return _bpe_finish(words_of(df), cur), merges
+    return _bpe_finish(words_of(df), cur, parent=prev), merges
 
 
 def bpe_batch_train_encode(
@@ -947,7 +957,11 @@ def bpe_batch_train_encode(
         "r", F.regexp_replace(F.col("w"), "(.)", M + "$1" + M)
     ).persist()
     merges: list[str] = []
+    prev = None
     for _ in range(n_rounds):
+        # FUSED materialization (r10 perf, same as bpe_train_encode):
+        # the round's ONE pair-count job caches the freshly-persisted
+        # `cur` as a side effect; no dedicated count() pass per round
         pool = (
             cur.select(F.explode(_bpe_pair_expr()).alias("p"), "freq")
             .groupBy("p")
@@ -962,6 +976,9 @@ def bpe_batch_train_encode(
             .limit(4 * batch)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         selected: list[str] = []
         used: set[str] = set()
         for row in pool:
@@ -976,12 +993,10 @@ def bpe_batch_train_encode(
         newr = F.col("r")
         for p in selected:
             newr = F.replace(newr, F.lit(p), F.lit(p.replace(M + M, "", 1)))
-        nxt = cur.withColumn("r", newr).persist()
-        nxt.count()  # materialize before dropping the parent
-        cur.unpersist()
-        cur = nxt
+        nxt = cur.withColumn("r", newr).persist()  # lazy (see above)
+        prev, cur = cur, nxt
         merges.extend(selected)
-    return _bpe_finish(words, cur), merges
+    return _bpe_finish(words, cur, parent=prev), merges
 
 
 def bpe_oracle_sql(n_merges: int = 8, table: str = "documents") -> str:

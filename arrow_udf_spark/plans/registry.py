@@ -196,8 +196,20 @@ class Registry:
                     spark.udf.register(
                         f"{sql_name}__merge", f.as_spark_grouped_agg_merge()
                     )
+                    # vectorized pair the two-phase rewrite emits (r10
+                    # perf): native collect_list grouping + batched scalar
+                    # fold/merge — one Python call per Arrow batch of
+                    # groups instead of one GROUPED_AGG call per group
+                    spark.udf.register(
+                        f"{sql_name}__pfold", f.as_spark_pfold()
+                    )
+                    spark.udf.register(
+                        f"{sql_name}__mergevec", f.as_spark_mergevec()
+                    )
                     registered.append(f"{sql_name}__partial")
                     registered.append(f"{sql_name}__merge")
+                    registered.append(f"{sql_name}__pfold")
+                    registered.append(f"{sql_name}__mergevec")
                     bare_ok = False
                     if strict:
                         # the bare single-phase name was NOT registered —
@@ -561,8 +573,9 @@ class Registry:
 
         grp_norm = {_norm(g): i for i, g in enumerate(grp_items)}
         sel_items = _split_top_level(m.group("sel"))
-        inner_aggs: list[str] = []  # partial exprs inside U's salted agg
-        u_cols: list[str] = []  # merge exprs projected by U as __u{i}
+        inner_aggs: list[str] = []  # native collect_list exprs in the salted agg
+        pf_cols: list[str] = []  # vectorized __pfold exprs (vals -> state)
+        u_cols: list[str] = []  # __mergevec exprs projected by U as __u{i}
         b_cols: list[str] = []  # native agg exprs projected by B as __b{i}
         memo: dict = {}  # lowercased call -> replacement token
         outer_items: list[str] = []
@@ -580,7 +593,7 @@ class Registry:
             if self._PLAIN_COL.match(es) and es.lower() in grp_set:
                 return es
             rw = self._rewrite_agg_calls(
-                e, used, inner_aggs, u_cols, b_cols, memo
+                e, used, inner_aggs, u_cols, b_cols, memo, pf_cols
             )
             if rw is None or rw == e:
                 return None
@@ -649,7 +662,7 @@ class Registry:
                     args_rw = g_names[gia]
                 else:
                     args_rw = self._rewrite_agg_calls(
-                        args, used, inner_aggs, u_cols, b_cols, memo
+                        args, used, inner_aggs, u_cols, b_cols, memo, pf_cols
                     )
                     if args_rw is None:
                         return None
@@ -733,7 +746,7 @@ class Registry:
                     return None
                 alias = am.group("fn").lower()
             rewritten = self._rewrite_agg_calls(
-                expr_src, used, inner_aggs, u_cols, b_cols, memo
+                expr_src, used, inner_aggs, u_cols, b_cols, memo, pf_cols
             )
             if rewritten is None or rewritten == expr_src:
                 return None  # no aggregate found / unprovable shape
@@ -768,7 +781,7 @@ class Registry:
                 if not grp_items:
                     return None  # HAVING without GROUP BY — let Spark error
                 hav_rw = self._rewrite_agg_calls(
-                    hav, used, inner_aggs, u_cols, b_cols, memo
+                    hav, used, inner_aggs, u_cols, b_cols, memo, pf_cols
                 )
                 if hav_rw is None:
                     return None
@@ -785,7 +798,7 @@ class Registry:
                     expr, suffix = sm.group("e"), sm.group("suffix") or ""
                     if not self._PLAIN_COL.match(expr):
                         expr = self._rewrite_agg_calls(
-                            expr, used, inner_aggs, u_cols, b_cols, memo
+                            expr, used, inner_aggs, u_cols, b_cols, memo, pf_cols
                         )
                         if expr is None:
                             return None
@@ -817,6 +830,14 @@ class Registry:
             f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
         )
+        # the vectorized phase-1 fold: one batched __pfold projection over
+        # the natively collected (group, salt) arg lists — Python runs once
+        # per Arrow batch of groups, not once per group (r10 perf; see
+        # as_spark_pfold)
+        mid = (
+            f"SELECT {gnames}{', ' if gnames else ''}{', '.join(pf_cols)} "
+            f"FROM ({inner}) __aus_vals"
+        )
         # multi-grouping: U re-aggregates the finest partial states under
         # the ORIGINAL rollup/cube/sets clause (merge associativity makes
         # that exact); grouping_id() disambiguates data-NULL keys from
@@ -826,7 +847,7 @@ class Registry:
         u = (
             f"SELECT {gnames}{u_gid}{', ' if gnames else ''}"
             f"{', '.join(u_cols)} "
-            f"FROM ({inner}) __aus_partials"
+            f"FROM ({mid}) __aus_partials"
             + (f" GROUP BY {u_grp}" if u_grp else "")
         )
         from_sql = f"({u}) __aus_u"
@@ -1598,16 +1619,19 @@ class Registry:
         u_cols: list,
         b_cols: list,
         memo: dict,
+        pf_cols: list,
     ) -> Optional[str]:
         """Replace every aggregate CALL in ``expr`` with a column token:
-        registered UDAFs become ``__u{i}`` (their __partial goes to
-        ``inner_aggs``, the __merge projection to ``u_cols``), built-in
-        aggregates become ``__b{i}`` (the raw call goes to ``b_cols`` for
-        the natively-aggregated B subquery).  ``memo`` dedupes identical
-        calls onto one column (SELECT sum_udaf(q) ... HAVING sum_udaf(q)
-        > 5 folds the partial once, not twice).  Whitelisted scalar
-        functions are recursed into; anything unprovable returns None
-        (→ single-phase fallback)."""
+        registered UDAFs become ``__u{i}`` (the arg struct's native
+        ``collect_list`` goes to ``inner_aggs``, the vectorized
+        ``__pfold`` projection to ``pf_cols``, the ``__mergevec``
+        projection to ``u_cols``), built-in aggregates become ``__b{i}``
+        (the raw call goes to ``b_cols`` for the natively-aggregated B
+        subquery).  ``memo`` dedupes identical calls onto one column
+        (SELECT sum_udaf(q) ... HAVING sum_udaf(q) > 5 folds the partial
+        once, not twice).  Whitelisted scalar functions are recursed
+        into; anything unprovable returns None (→ single-phase
+        fallback)."""
         if "'" in expr or '"' in expr:
             return None  # string literals could hide unbalanced parens
         out = []
@@ -1658,13 +1682,37 @@ class Registry:
                 # COUNT(DISTINCT x) there is fine.)
                 if re.match(r"(?is)^\s*DISTINCT\b", args):
                     return None
+                arg_items = [
+                    a.strip() for a in _split_top_level(args) if a.strip()
+                ]
+                if not arg_items:
+                    # a zero-arg UDAF is not expressible as a GROUPED_AGG
+                    # pandas UDF either — fall back loudly
+                    return None
                 if key not in memo:
                     sql_name = self._agg_sql_names[ln]
                     idx = len(u_cols)
-                    inner_aggs.append(
-                        f"{sql_name}__partial({args}) AS __st{idx}"
+                    # the args are collected NATIVELY per (group, salt)
+                    # (map-side partial_collect_list, codegen) and folded
+                    # to a state by the batched __pfold scalar UDF —
+                    # replaces the per-group GROUPED_AGG __partial call.
+                    # named_struct wrapping preserves NULL args
+                    # (collect_list drops bare NULL elements).
+                    struct_expr = "named_struct({})".format(
+                        ", ".join(
+                            f"'a{i}', {a}" for i, a in enumerate(arg_items)
+                        )
                     )
-                    u_cols.append(f"{sql_name}__merge(__st{idx}) AS __u{idx}")
+                    inner_aggs.append(
+                        f"collect_list({struct_expr}) AS __vals{idx}"
+                    )
+                    pf_cols.append(
+                        f"{sql_name}__pfold(__vals{idx}) AS __st{idx}"
+                    )
+                    u_cols.append(
+                        f"{sql_name}__mergevec(collect_list(__st{idx})) "
+                        f"AS __u{idx}"
+                    )
                     memo[key] = f"__u{idx}"
                 out.append(memo[key])
             elif ln in self._BUILTIN_AGGS:
@@ -1675,7 +1723,7 @@ class Registry:
                 out.append(memo[key])
             elif ln in self._SCALAR_PASSTHROUGH:
                 sub = self._rewrite_agg_calls(
-                    args, used, inner_aggs, u_cols, b_cols, memo
+                    args, used, inner_aggs, u_cols, b_cols, memo, pf_cols
                 )
                 if sub is None:
                     return None

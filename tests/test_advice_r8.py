@@ -79,7 +79,7 @@ def test_cte_prefix_preserved():
     ok = r._rewrite_two_phase(q, {"sum_udaf"})
     assert ok is not None
     assert ok.startswith("WITH big AS (SELECT * FROM t WHERE v > 10)")
-    assert "sum_udaf__partial" in ok and "sum_udaf__merge" in ok
+    assert "sum_udaf__pfold" in ok and "sum_udaf__mergevec" in ok
 
 
 def test_cte_multiple_and_column_aliases():
@@ -297,7 +297,7 @@ def test_union_all_both_blocks_rewritten():
     )
     ok = r._rewrite_two_phase(q, {"sum_udaf"})
     assert ok is not None
-    assert ok.count("sum_udaf__partial") == 2  # independent per-block pairs
+    assert ok.count("sum_udaf__pfold") == 2  # independent per-block pairs
     assert " UNION ALL " in ok
 
 
@@ -310,7 +310,7 @@ def test_union_mixed_blocks_verbatim_passthrough():
     )
     ok = r._rewrite_two_phase(q, {"sum_udaf"})
     assert ok is not None
-    assert ok.count("sum_udaf__partial") == 1
+    assert ok.count("sum_udaf__pfold") == 1
     assert "SELECT g, SUM(v) AS s FROM b GROUP BY g" in ok
 
 
@@ -325,7 +325,7 @@ def test_union_level_order_by_limit_preserved():
     assert ok is not None
     # the tail binds to the UNION, not the last block
     assert ok.endswith("ORDER BY s DESC LIMIT 5")
-    assert ok.count("sum_udaf__partial") == 2
+    assert ok.count("sum_udaf__pfold") == 2
 
 
 def test_union_expression_order_key_refused():
@@ -359,7 +359,7 @@ def test_union_inside_subquery_not_split():
     )
     ok = r._rewrite_two_phase(q, {"sum_udaf"})
     assert ok is not None
-    assert ok.count("sum_udaf__partial") == 1
+    assert ok.count("sum_udaf__pfold") == 1
 
 
 def test_union_unrewritable_block_refuses_whole_query():

@@ -151,10 +151,10 @@ def test_q17_shape_decorrelates():
     rw = r._rewrite_two_phase(q, _U)
     assert rw is not None
     # the derived table carries the two-phase agg keyed by the join key
-    assert "__aus_corr0" in rw and "sum_udaf__merge" in rw
+    assert "__aus_corr0" in rw and "sum_udaf__mergevec" in rw
     assert "__aus_corr0.__ck0 = o.k" in rw
     # the outer UDAF is ALSO two-phase (two distinct merge scopes)
-    assert rw.count("sum_udaf__partial") == 2
+    assert rw.count("sum_udaf__pfold") == 2
 
 
 def test_builtin_outer_returns_directly():

@@ -255,8 +255,8 @@ def test_bare_sql_agg_rewritten_two_phase(spark, sf_dir):
     p = _plan(QUERIES["sql_agg_bare_two_phase"](spark, sf_dir))
     # the rewrite produced the partial/merge pair (2 aggs x 2 phases);
     # ArrowAggregatePython nodes appear once per aggregate level
-    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
-    assert "count_udaf__partial" in p and "count_udaf__merge" in p
+    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
+    assert "count_udaf__pfold" in p and "count_udaf__mergevec" in p
     # the inner grouping is salted by input partition
     assert "__aus_salt" in p
     # no single-phase bare aggregate node survived the rewrite: every
@@ -385,7 +385,7 @@ def test_having_sql_agg_rewritten_two_phase(spark, sf_dir):
 
     df = QUERIES["sql_agg_having_two_phase"](spark, sf_dir)
     p = _plan(df)
-    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
     assert "__aus_salt" in p
     assert not re.findall(r"sum_udaf(?!__)", p)
     # COUNT(*) must be Spark-native partial+final, never a pandas agg
@@ -411,7 +411,7 @@ def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
         "FROM li_glob",
     )
     p = _plan(df)
-    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
     assert "__aus_salt" in p
     assert not re.findall(r"sum_udaf(?!__)", p)
     expected = (
@@ -476,7 +476,7 @@ def test_window_sql_agg_two_phase_plan(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
     p = _plan(QUERIES["sql_agg_window_two_phase"](spark, sf_dir))
-    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
     assert "__aus_salt" in p
     assert "Window" in p
     # no bare single-phase UDAF node anywhere
@@ -492,7 +492,7 @@ def test_cte_sql_agg_two_phase_plan(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
     p = _plan(QUERIES["sql_agg_cte_two_phase"](spark, sf_dir))
-    assert "sum_udaf__partial" in p and "sum_udaf__merge" in p
+    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
     assert "__aus_salt" in p
     # the CTE body's filter reached the parquet scan (pushdown through
     # the rewrite + CTE inlining)

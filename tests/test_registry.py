@@ -258,7 +258,7 @@ def test_two_phase_rewrite_handles_aggregate_tail(spark):
         "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING sum_udaf(x) > 5",
         used,
     )
-    assert ok is not None and ok.count("sum_udaf__partial(x)") == 1
+    assert ok is not None and ok.count("sum_udaf__pfold(") == 1
     assert "WHERE __u0 > 5" in ok
     # unknown (potentially aggregate) calls in the tail must fall back
     assert (
@@ -433,7 +433,7 @@ def test_pivot_expansion_rewrite():
     )
     ok = r._rewrite_two_phase(q, used)
     assert ok is not None
-    assert "sum_udaf__partial" in ok and "sum_udaf__merge" in ok
+    assert "sum_udaf__pfold" in ok and "sum_udaf__mergevec" in ok
     assert "CASE WHEN k = 'a' THEN v END AS __pv0" in ok
     assert "AS ca" in ok and "AS cb" in ok
     # unaliased values name the column after the literal text
@@ -517,4 +517,4 @@ def test_pivot_matches_native_builtin(spark):
     ]
     # and the plan really is two-phase
     plan = ours._jdf.queryExecution().executedPlan().toString()
-    assert "sum_udaf__partial" in plan and "sum_udaf__merge" in plan
+    assert "sum_udaf__pfold" in plan and "sum_udaf__mergevec" in plan
