@@ -71,7 +71,16 @@ def cents_expr(cents: list):
 def _dist_pairs(vec_col, cents: list):
     """array<struct<d, cid>> of (squared distance, cid) per centroid —
     array_min gives the Lloyd assignment, array_sort + slice gives the
-    n_probe nearest cells for multi-probe IVF search."""
+    n_probe nearest cells for multi-probe IVF search.
+
+    r10 perf note (measured NEGATIVE result, kept as the fold on
+    purpose): unrolling the k·dim distance sum to a codegen bracket
+    chain (``0.0 + (v[0]-c0)² + ...``) was A/B-measured 2-3x SLOWER at
+    bench scale — every Lloyd round carries fresh centroid literals, so
+    Janino recompiles a ~512-term expression per round and compile time
+    dominates the interpreted-fold savings on fixture-sized data
+    (kmeans_train_assign 1.33s -> 3.58s, ivf_trained 2.2s -> 5.3s;
+    OPTIMIZATION_r10.md).  The interpreted HOF fold stays."""
     return F.transform(
         cents_expr(cents),
         lambda s: F.struct(

@@ -254,9 +254,16 @@ def simhash_hamming_pairs(
             f"(got {max_dist} >= {n_chunks})"
         )
     chunk_bits = bits // n_chunks
+    # MATERIALIZE the per-doc digest before the self-join (r10 perf,
+    # guide §8 "decide with small rows"): the simhash projection is the
+    # expensive stage (one md5 per token + the per-bit vote folds), and
+    # the self-join's build side re-executed the whole subtree — a
+    # broadcast join reuses no exchange.  localCheckpoint pins the tiny
+    # (id, 16-bit int) table, so tokenization+hashing run ONCE and both
+    # join sides (and the window) read N·16-byte rows.
     sh = with_simhash(df, text_col, out="sh", bits=bits).select(
         F.col(id_col).alias("id"), "sh"
-    )
+    ).localCheckpoint()
     chunks = sh.select(
         "id",
         "sh",
@@ -423,9 +430,17 @@ def dup_span_cascade(
     cand = df.select(id_col, text_col)
     tiers = []
     for n in lengths:
+        # materialize each tier's per-doc flag table (r10 perf): tier n's
+        # counts feed BOTH the next tier's candidate filter and the final
+        # assembly join — left lazy, tier 3's plan re-derived tier 1's and
+        # 2's whole explode+count pipelines several times over (the
+        # measured plan was 2,468 lines / 186 exchanges).  The flag table
+        # is the small proxy — (doc_id, n_spans) for flagged docs only.
         counts = shared_shingle_flags(
             cand, text_col, id_col, n=n
-        ).withColumnRenamed("n_dup_spans", f"n_spans_{n}")
+        ).withColumnRenamed(
+            "n_dup_spans", f"n_spans_{n}"
+        ).localCheckpoint(eager=True)
         tiers.append((n, counts))
         # next tier's candidates: docs flagged at this tier (keep text)
         cand = cand.join(counts.select(id_col), id_col)
@@ -488,7 +503,13 @@ def embedding_near_dup(
     norms (plus two sqrts) for every candidate pair, tripling the
     dominant per-pair cost of the quadratic stage.  ``dot/(l.n*r.n)``
     multiplies the identical sqrt results the inline form would, so the
-    rounded similarity is bit-for-bit unchanged."""
+    rounded similarity is bit-for-bit unchanged.
+
+    r10 perf note (measured NEGATIVE result): unrolling the per-pair dot
+    to a 64-term codegen bracket chain A/B-measured 2.06x SLOWER here —
+    Janino compile time of the big generated method swamps the
+    interpreted-fold savings at bench data volumes (the same verdict as
+    clustering._dist_pairs; OPTIMIZATION_r10.md).  The fold stays."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(

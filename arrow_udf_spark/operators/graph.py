@@ -45,8 +45,17 @@ def pagerank(
     (map-side combine), left-join back to nodes — each a single
     exchange; ``localCheckpoint`` truncates lineage so the plan does not
     grow with iterations (the dup_clusters pattern)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the edge list once (r10 perf): each round's checkpoint
+    # job otherwise re-derives the caller's full edge lineage (for
+    # pagerank_docs that is the whole LSH shingle+band candidate
+    # generation, re-run per round).  The edge list is the small proxy —
+    # O(E) id pairs — exactly what should pin, not the text pipeline.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     n = nodes.select(F.col(node_col).alias("node"))
     base = (100 - damping_pct) * init // 100
     ranks = n.select("node", F.lit(init).cast("long").alias("rank"))

@@ -392,14 +392,21 @@ def dsir_logweights(
     # exists: a pipeline that staged tokens on the raw side only must not
     # get an AnalysisException on the (usually smaller, un-staged) target
     # branch (ADVICE r8)
+    # materialize the (id, bucket) bigram rows once per side (r10 perf):
+    # each side is consumed by its bucket-count aggregate, the corpus
+    # total count, and (raw) the final per-doc weight join — three full
+    # re-tokenizations of the caller's upstream otherwise (in
+    # curation_pipeline_e2e that upstream is the whole quality+mix
+    # pipeline).  The rows are the narrow proxy — (id, int32) — exactly
+    # what should pin instead of the text pipeline.
     raw_b = _bigram_buckets(
         df, text_col, id_col, buckets,
         toks_col if toks_col and toks_col in df.columns else None,
-    )
+    ).localCheckpoint(eager=True)
     tgt_b = _bigram_buckets(
         target, text_col, id_col, buckets,
         toks_col if toks_col and toks_col in target.columns else None,
-    )
+    ).localCheckpoint(eager=True)
     cr = raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ct = tgt_b.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     t_raw = raw_b.count()  # O(1) driver scalars, data-size independent

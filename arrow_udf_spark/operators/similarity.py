@@ -1113,7 +1113,11 @@ def pq_codebooks(
 def pq_code_cols(vec, codebooks: list, sub: int) -> list:
     """The m PQ code columns (``k0``..``k{m-1}``) for a vector column —
     one zero-shuffle argmin fold per subspace against the codebook
-    literals; ties to the lower cid (the oracle's ORDER BY ... cid)."""
+    literals; ties to the lower cid (the oracle's ORDER BY ... cid).
+
+    (The r10 unrolled-distance experiment applied here too and measured
+    the same net loss — see clustering._dist_pairs — so the fold form
+    stays.)"""
     from .clustering import _dist_pairs
 
     return [

@@ -1503,11 +1503,15 @@ def q_minhash_jaccard_est(spark, sf):
 
     d = t(spark, sf, "documents")
     staged = d.withColumn("__toks", tokens(F.col("text")))
+    # materialize the per-doc (signature, distinct-unigram) table once
+    # (r10 perf): both sides of the adjacent-pair join re-executed the
+    # tokenize + 8-permutation minhash subtree (broadcast build side
+    # reuses no exchange)
     sig = staged.select(
         "doc_id",
         minhash_signature(F.col("text"), 8, toks=F.col("__toks")).alias("sig"),
         F.array_distinct(F.col("__toks")).alias("u"),
-    )
+    ).localCheckpoint()
     a = sig.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sa"), F.col("u").alias("ua")
     )
@@ -4496,7 +4500,11 @@ def q_curation_pipeline_e2e(spark, sf):
         quality_score(F.col("text"), F.col("n_chars"), toks=F.col("__toks"))
         >= 0.5
     )
-    mixed = temperature_mix(kept, source_col="lang", alpha=0.5)
+    # materialize the surviving mix once (r10 perf): `mixed` feeds the
+    # DSIR raw side, the DSIR target side, AND the selection join — left
+    # lazy, each consumer re-ran the scan + quality tokenization + the
+    # mix's own count aggregate (two scans per evaluation, six total)
+    mixed = temperature_mix(kept, source_col="lang", alpha=0.5).localCheckpoint()
     w = dsir_logweights(
         mixed, mixed.where(F.col("lang") == "en"), toks_col="__toks"
     )
@@ -8607,6 +8615,11 @@ def q_semdedup_prune(spark, sf):
     e = t(spark, sf, "embeddings")
     assigned = kmeans_assign(e, k=8, iters=2)
     items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    # r10 note: BOTH attempted optimizations here were A/B-measured
+    # slower and reverted — a localCheckpoint of `items` (1.9x: the
+    # ExistingRDD scan loses size stats and the pair join its broadcast)
+    # and the unrolled codegen pair dot (Janino compile dominates at
+    # bench volume); OPTIMIZATION_r10.md.
     out = semdedup_keep(items, "vec_id", "embedding", "cluster", threshold=0.3)
     return out.select(
         F.col("id").alias("vec_id"),
@@ -8889,10 +8902,14 @@ def q_ann_pipeline_e2e(spark, sf):
     from .operators.similarity import ivf_build_index, ivf_persisted_topk
 
     d = t(spark, sf, "documents")
+    # materialize the embedded table once (r10 perf): the Python
+    # text_embedding UDF otherwise re-embeds the whole corpus for the
+    # seed collect, each Lloyd round, the index write, AND the query-side
+    # scan — five full UDF passes for one 8-double-per-doc projection
     emb = d.select(
         F.col("doc_id").alias("vec_id"),
         C.text_embedding(F.col("text")).alias("embedding"),
-    )
+    ).localCheckpoint()
     cents = kmeans_fit(emb, k=4, iters=1)
     path = tempfile.mkdtemp(prefix="aus_ann_e2e_") + "/index"
     ivf_build_index(emb, cents, path)
@@ -9062,24 +9079,41 @@ def q_knn_label_vote(spark, sf):
     (q_id, n_id) contract).  Queries broadcast; votes are O(q·k) rows."""
     from pyspark.sql import Window
 
-    from .operators.dedup import cosine
-
+    # per-side norms staged ONCE per row (r10 perf, the
+    # embedding_near_dup staging rule): the inlined cosine() re-folded
+    # both squared norms + two sqrts for every candidate pair (100k
+    # pairs, 3 interpreted 64-element folds each → 1).  dot/(qn*nn)
+    # multiplies the identical sqrt values, so rankings are
+    # bit-identical.  (The unrolled codegen pair dot was ALSO tried and
+    # A/B-measured a wash-to-loss — Janino compile cost, see
+    # OPTIMIZATION_r10.md — so the dot stays a fold.)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     e = t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
         F.col("label").alias("tl"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         e.select(
             F.col("vec_id").alias("n_id"),
             F.col("embedding").cast("array<double>").alias("nv"),
             F.col("label").alias("nl"),
         )
+        .withColumn("nn", norm(F.col("nv")))
         .join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
         .select(
             "q_id", "tl", "nl", "n_id",
-            cosine(F.col("qv"), F.col("nv")).alias("s"),
+            (dot / (F.col("qn") * F.col("nn"))).alias("s"),
         )
     )
     wk = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("n_id").asc())
