@@ -269,10 +269,12 @@ class AggregateFunction:
         ``__partial`` path runs, so the state stream is semantically
         identical; struct-wrapping the args preserves NULLs
         (``collect_list`` drops bare NULL elements, never structs).
+
+        NOT memoized on the instance: a used pandas_udf wrapper holds a
+        JVM handle, and streaming closures (streaming_running_agg)
+        pickle the AggregateFunction — a cached wrapper attribute makes
+        the instance unpicklable (found by the r10 replica sweep).
         """
-        cached = getattr(self, "_pfold_cache", None)
-        if cached is not None:
-            return cached
         from pyspark.sql.functions import pandas_udf
 
         create, acc, acc_b = self.create_state, self.accumulate, self.accumulate_batch
@@ -300,9 +302,7 @@ class AggregateFunction:
             return pd.Series(out, dtype=object)
 
         pfold_fn.__name__ = f"{self.sig.name}__pfold"
-        udf = pandas_udf(pfold_fn, returnType=T.BinaryType())
-        self._pfold_cache = udf
-        return udf
+        return pandas_udf(pfold_fn, returnType=T.BinaryType())
 
     def as_spark_mergevec(self):
         """Phase-2 VECTORIZED form (r10 perf): scalar pandas UDF over
@@ -312,10 +312,9 @@ class AggregateFunction:
         ``applyInPandas`` call of the DataFrame :meth:`agg` path).  Merge
         order over the collected states is arbitrary exactly as it is for
         the GROUPED_AGG/applyInPandas surfaces — the UDAF contract makes
-        merge commutative+associative, so the result is unchanged."""
-        cached = getattr(self, "_mergevec_cache", None)
-        if cached is not None:
-            return cached
+        merge commutative+associative, so the result is unchanged.
+
+        NOT memoized on the instance (see :meth:`as_spark_pfold`)."""
         from pyspark.sql.functions import pandas_udf
 
         merge, finish = self.merge, self.finish
@@ -334,9 +333,7 @@ class AggregateFunction:
             return pd.Series(out, dtype=object)
 
         mergevec_fn.__name__ = f"{self.sig.name}__mergevec"
-        udf = pandas_udf(mergevec_fn, returnType=self.result_field.dtype)
-        self._mergevec_cache = udf
-        return udf
+        return pandas_udf(mergevec_fn, returnType=self.result_field.dtype)
 
     # ------------------------------------------------------------------
     def _fold_partition(
