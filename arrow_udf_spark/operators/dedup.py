@@ -261,6 +261,13 @@ def simhash_hamming_pairs(
     # broadcast join reuses no exchange.  localCheckpoint pins the tiny
     # (id, 16-bit int) table, so tokenization+hashing run ONCE and both
     # join sides (and the window) read N·16-byte rows.
+    # r10 MEASURED NEGATIVE: replacing the HOF vote folds with an
+    # explode + 16 native shift/mask SUM aggregates (bit-identical, fully
+    # codegen) ran 1.17x SLOWER best-of-7 in alternating isolated
+    # sessions at sf0.1 — the per-token row-ification plus the groupBy
+    # exchange of (id, 17 longs) partials costs more than the
+    # interpreted per-element calls save at this doc size.  Reverted;
+    # the r2 candidate form needs to stay shuffle-free to win.
     sh = with_simhash(df, text_col, out="sh", bits=bits).select(
         F.col(id_col).alias("id"), "sh"
     ).localCheckpoint()

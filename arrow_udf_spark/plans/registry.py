@@ -241,10 +241,18 @@ class Registry:
         r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$"
     )
     _PLAIN_COL = re.compile(r"(?i)^[A-Za-z_][\w.]*$")
-    #: built-in aggregates the tail rewriter can split two-phase itself:
-    #: partial per (group, salt), then re-aggregate the partials — SUM of
-    #: partial COUNTs/SUMs, MIN of MINs, MAX of MAXes.  AVG has no
-    #: single-fn merge (needs sum+count) and falls back.
+    #: built-in aggregates the rewriter folds through the salted U pass:
+    #: native partial per (group, salt), then re-aggregate the partials —
+    #: SUM of partial COUNTs/SUMs, MIN of MINs, MAX of MAXes (exactly the
+    #: partial/merge arithmetic Spark's own two-level Aggregate performs,
+    #: since the salt is spark_partition_id()).  AVG has no single-fn
+    #: merge (needs sum+count) and keeps the joined-B form.
+    _B_FOLD_MERGE = {
+        "count": "COALESCE(SUM({p}), 0)",
+        "sum": "SUM({p})",
+        "min": "MIN({p})",
+        "max": "MAX({p})",
+    }
     #: built-in aggregates routed to the natively-aggregated B subquery —
     #: Spark plans these partial+final itself, so they are scale-safe
     #: without any salting
@@ -382,18 +390,22 @@ class Registry:
 
         - **U**: registered UDAFs as the salted ``__partial``/``__merge``
           two-phase pair (one ``__u{i}`` column per distinct call);
-        - **B**: built-in aggregates (COUNT/SUM/MIN/MAX/AVG/...) as a
-          plain native aggregation — Spark already plans those
-          partial+final, so B is scale-safe by construction.  B exists
-          because Spark refuses to mix GROUPED_AGG pandas UDFs with
-          native aggregate functions in one Aggregate
-          (INVALID_PANDAS_UDF_PLACEMENT) — they cannot share a subquery.
+        - **B**: built-in aggregates.  COUNT/SUM/MIN/MAX (no DISTINCT)
+          FOLD into U's salted pass — a native partial per (group, salt)
+          merged by SUM/MIN/MAX in U, byte-for-byte the partial/merge
+          arithmetic Spark's own two-level Aggregate performs (the salt
+          IS spark_partition_id()), so the source is evaluated ONCE and
+          there is no U/B join.  Anything else (AVG, stddev, DISTINCT
+          args) becomes a separate plain native aggregation joined to U
+          on the (null-safe ``<=>``) group keys — Spark plans those
+          partial+final itself, so B is scale-safe by construction, and
+          it must be a separate subquery when it exists at all.
 
-        The final SELECT joins U and B on the (null-safe ``<=>``) group
-        keys; HAVING becomes a plain WHERE over the joined columns and
-        ORDER BY references them directly, so no analyzer magic is needed
-        to resolve aggregates above the merge.  B's group keys are
-        renamed ``__bg{i}`` so every original name stays unambiguous.
+        HAVING becomes a plain WHERE over the merged columns and ORDER
+        BY references them directly, so no analyzer magic is needed to
+        resolve aggregates above the merge.  In the joined-B fallback
+        B's group keys are renamed ``__bg{i}`` so every original name
+        stays unambiguous.
         """
         sw = self._split_with(query)
         if sw is None:
@@ -576,7 +588,7 @@ class Registry:
         inner_aggs: list[str] = []  # native collect_list exprs in the salted agg
         pf_cols: list[str] = []  # vectorized __pfold exprs (vals -> state)
         u_cols: list[str] = []  # __mergevec exprs projected by U as __u{i}
-        b_cols: list[str] = []  # native agg exprs projected by B as __b{i}
+        b_cols: list = []  # built-in agg calls as (name, args) -> __b{i}
         memo: dict = {}  # lowercased call -> replacement token
         outer_items: list[str] = []
         grp_set = {g.lower() for g in grp_items}
@@ -824,8 +836,39 @@ class Registry:
             if self.salt_buckets is None
             else f"pmod(spark_partition_id(), {int(self.salt_buckets)})"
         )
+        # B-fold (r10 opt): when every built-in aggregate is
+        # COUNT/SUM/MIN/MAX without DISTINCT, compute its native partial
+        # per (group, salt) INSIDE the salted U pass and merge with
+        # SUM/MIN/MAX in U.  The salt is spark_partition_id(), so the
+        # per-salt partial is byte-for-byte the per-partition partial
+        # Spark's own two-level Aggregate computes — the fold changes no
+        # value, and it deletes the whole B subquery: the SECOND
+        # evaluation of the source (a full extra scan + joins + any
+        # decorrelated derived table re-run) and the U/B join.  COUNT
+        # merges through COALESCE(SUM(..), 0) because the global
+        # no-GROUP-BY shape yields one NULL-state row on empty input
+        # where COUNT must say 0 (keyed groups exist only where rows
+        # do).  Anything else — AVG, stddev, DISTINCT args — keeps the
+        # legacy joined-B form below.
+        fold_b = bool(b_cols) and all(
+            bn.lower() in self._B_FOLD_MERGE
+            and not re.match(r"(?is)^\s*DISTINCT\b", ba)
+            for bn, ba in b_cols
+        )
+        bp_inner: list[str] = []
+        bp_mid: list[str] = []
+        bp_merge: list[str] = []
+        if fold_b:
+            for bi, (bn, ba) in enumerate(b_cols):
+                bp_inner.append(f"{bn}({ba}) AS __bp{bi}")
+                bp_mid.append(f"__bp{bi}")
+                merged = self._B_FOLD_MERGE[bn.lower()].format(
+                    p=f"__bp{bi}"
+                )
+                bp_merge.append(f"{merged} AS __b{bi}")
         inner = (
-            f"SELECT {grp_sel}{', ' if grp_sel else ''}{', '.join(inner_aggs)} "
+            f"SELECT {grp_sel}{', ' if grp_sel else ''}"
+            f"{', '.join(inner_aggs + bp_inner)} "
             f"FROM (SELECT *, {salt} AS __aus_salt "
             f"FROM {src} __aus_src) __aus_salted "
             f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
@@ -835,7 +878,8 @@ class Registry:
         # per Arrow batch of groups, not once per group (r10 perf; see
         # as_spark_pfold)
         mid = (
-            f"SELECT {gnames}{', ' if gnames else ''}{', '.join(pf_cols)} "
+            f"SELECT {gnames}{', ' if gnames else ''}"
+            f"{', '.join(bp_mid + pf_cols)} "
             f"FROM ({inner}) __aus_vals"
         )
         # multi-grouping: U re-aggregates the finest partial states under
@@ -846,18 +890,23 @@ class Registry:
         u_gid = ", grouping_id() AS __gid" if multi_clause is not None else ""
         u = (
             f"SELECT {gnames}{u_gid}{', ' if gnames else ''}"
-            f"{', '.join(u_cols)} "
+            f"{', '.join(u_cols + bp_merge)} "
             f"FROM ({mid}) __aus_partials"
             + (f" GROUP BY {u_grp}" if u_grp else "")
         )
         from_sql = f"({u}) __aus_u"
-        if b_cols:
+        if b_cols and not fold_b:
+            b_cols_sql = [
+                f"{bn}({ba}) AS __b{bi}"
+                for bi, (bn, ba) in enumerate(b_cols)
+            ]
             bg = [f"{g} AS __bg{i}" for i, g in enumerate(grp_items)]
             if multi_clause is not None:
                 bg.append("grouping_id() AS __bgid")
             b_grp = multi_clause if multi_clause is not None else grp
             b = (
-                f"SELECT {', '.join(bg + b_cols) if bg else ', '.join(b_cols)} "
+                f"SELECT "
+                f"{', '.join(bg + b_cols_sql) if bg else ', '.join(b_cols_sql)} "
                 f"FROM {src} __aus_bsrc"
                 + (f" GROUP BY {b_grp}" if b_grp else "")
             )
@@ -1718,7 +1767,7 @@ class Registry:
             elif ln in self._BUILTIN_AGGS:
                 if key not in memo:
                     idx = len(b_cols)
-                    b_cols.append(f"{name}({args}) AS __b{idx}")
+                    b_cols.append((name, args))
                     memo[key] = f"__b{idx}"
                 out.append(memo[key])
             elif ln in self._SCALAR_PASSTHROUGH:

@@ -410,11 +410,13 @@ def test_rollup_rewritten_with_grouping_id_join():
     assert ok is not None
     # inner aggregates at the finest granularity, salted
     assert "GROUP BY a, b, __aus_salt" in ok
-    # U and B re-aggregate under the ORIGINAL clause
-    assert ok.count("GROUP BY ROLLUP(a, b)") == 2
-    # the join disambiguates data-NULL keys from super-aggregate rows
+    # U re-aggregates under the ORIGINAL clause; the COUNT folds through
+    # the same salted pass (finest partial counts summed by the rollup),
+    # so B — a second full-source aggregation — no longer exists
+    assert ok.count("GROUP BY ROLLUP(a, b)") == 1
+    assert "COUNT(*) AS __bp0" in ok and "__aus_b" not in ok
+    # grouping_id() still projected for GROUPING()/outer references
     assert "grouping_id() AS __gid" in ok
-    assert "__aus_u.__gid = __aus_b.__bgid" in ok
 
 
 def test_grouping_sets_and_cube_rewritten():

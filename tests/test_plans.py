@@ -514,10 +514,25 @@ def test_png_pipeline_single_map_stage(spark, sf_dir):
 
 def test_dup_span_cascade_digest_only_shuffles(spark, sf_dir):
     """r8: the cascade's shuffles carry md5 digests / doc ids, never gram
-    text — and no cartesian anywhere (pair-free by construction)."""
+    text — and no cartesian anywhere (pair-free by construction).
+
+    Since the r10 checkpoint staging, the assembled query's plan shows
+    only the assembly joins over the pinned per-tier flag tables
+    (``Scan ExistingRDD``) — the digest shuffles live in each TIER's
+    plan, executed at construction.  So the digest-only property is
+    asserted on the tier component (shared_shingle_flags) and the
+    no-cartesian property on both."""
+    from arrow_udf_spark.operators.dedup import shared_shingle_flags
     from arrow_udf_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tier = _plan(shared_shingle_flags(docs, "text", "doc_id", n=5))
+    assert tier.count("md5") >= 1  # the tier's shuffle key IS the digest
+    assert "CartesianProduct" not in tier
+    assert "BroadcastNestedLoopJoin" not in tier
 
     p = _plan(QUERIES["dup_span_cascade"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert p.count("md5") >= 3  # one digest per tier
+    # assembly reads the pinned (doc_id, n_spans) proxies, never text
+    assert "Scan ExistingRDD" in p

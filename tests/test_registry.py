@@ -233,15 +233,18 @@ def test_two_phase_rewrite_handles_aggregate_tail(spark):
         used,
     )
     assert ok is not None and ok.rstrip().endswith("ORDER BY s DESC LIMIT 5")
-    # built-in agg in HAVING -> B subquery + WHERE over the join; the
-    # COUNT must aggregate source rows (B), never partial states (U)
+    # built-in agg in HAVING -> folded through the salted pass: a native
+    # per-(group, salt) COUNT partial merged by SUM in U (exact — the
+    # same partial/merge arithmetic Spark's Aggregate does), WHERE over
+    # U; the COUNT must aggregate source rows, never partial states
     ok = r._rewrite_two_phase(
         "SELECT g, sum_udaf(x) AS s FROM t GROUP BY g HAVING COUNT(*) > 5",
         used,
     )
     assert ok is not None
-    assert "COUNT(*) AS __b0" in ok and "WHERE __b0 > 5" in ok
-    assert "__aus_u.g <=> __aus_b.__bg0" in ok  # null-safe group join
+    assert "COUNT(*) AS __bp0" in ok and "WHERE __b0 > 5" in ok
+    assert "COALESCE(SUM(__bp0), 0) AS __b0" in ok
+    assert "__aus_b" not in ok  # B subquery folded away — no second scan
     assert "COUNT(__st" not in ok  # never counts partial states
     # plain grouped-column HAVING stays a WHERE on U alone (no B join)
     ok = r._rewrite_two_phase(
@@ -385,7 +388,8 @@ def test_two_phase_expression_group_keys(spark):
         used,
     )
     assert ok is not None
-    assert "pmod(x, 7) AS __g0" in ok and "__aus_u.__g0 <=> __aus_b.__bg0" in ok
+    assert "pmod(x, 7) AS __g0" in ok
+    assert "COUNT(*) AS __bp0" in ok and "__aus_b" not in ok  # B folded
     assert "__g0 AS b" in ok
     # quoted literal inside the key expression
     ok2 = r._rewrite_two_phase(
