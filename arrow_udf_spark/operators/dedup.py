@@ -290,14 +290,31 @@ def simhash_hamming_pairs(
     ).select(
         "id", "sh", F.col("__ck.chunk").alias("chunk"), F.col("__ck.cval").alias("cval")
     )
+    # r10 opt round: the truncation used to be an unconditional
+    # row_number window — an Exchange+Sort of the WHOLE exploded table
+    # partitioned by (chunk, cval), which has at most
+    # n_chunks * 2**chunk_bits (= 64 at the defaults) distinct values, so
+    # at scale every row funnels through <= 64 reducers (a structural
+    # skew ceiling), and the self-join executed that subtree twice.
+    # Identical output, cheaper plan (the lsh_candidate_pairs guard
+    # shape): count bucket sizes (map-side partial over <= 64 groups),
+    # broadcast the — normally EMPTY — set of oversized buckets, let
+    # un-flagged rows pass through untouched, and pay the row_number
+    # truncation only on rows inside flagged buckets.
+    counts = chunks.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("__bc"))
+    flagged = F.broadcast(
+        counts.where(F.col("__bc") > max_bucket).select("chunk", "cval")
+    )
     wb = Window.partitionBy("chunk", "cval").orderBy(
         F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
     )
-    chunks = (
-        chunks.withColumn("__bn", F.row_number().over(wb))
+    over = (
+        chunks.join(flagged, ["chunk", "cval"])
+        .withColumn("__bn", F.row_number().over(wb))
         .where(F.col("__bn") <= max_bucket)
         .drop("__bn")
     )
+    chunks = chunks.join(flagged, ["chunk", "cval"], "left_anti").unionByName(over)
     left = chunks.alias("l")
     right = chunks.alias("r")
     # the distance predicate lives IN the join condition: candidate

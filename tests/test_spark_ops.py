@@ -159,6 +159,52 @@ def test_lsh_bands_deterministic_and_short(spark, sf_dir):
     assert all(0 <= r[2] < 16 for r in a)
 
 
+def test_simhash_pairs_max_bucket_truncation(spark, sf_dir):
+    """The oversized-bucket guard (r10 opt round: bucket counts + a
+    broadcast flag table instead of an unconditional row_number window)
+    must reproduce the window truncation EXACTLY: per (chunk, cval)
+    bucket keep only the first max_bucket members by (md5(id), id)
+    order, then pair inside the kept set."""
+    import hashlib
+
+    from arrow_udf_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        with_simhash,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 120")
+    sh = {
+        r["id"]: r["sh"]
+        for r in with_simhash(d, "text", out="sh")
+        .select(F.col("doc_id").alias("id"), "sh")
+        .collect()
+    }
+    max_bucket, bits, n_chunks, max_dist = 3, 16, 4, 3
+    cb = bits // n_chunks
+    kept, truncated = {}, 0
+    for c in range(n_chunks):
+        buckets: dict = {}
+        for i, s in sh.items():
+            buckets.setdefault((c, (s >> (c * cb)) & ((1 << cb) - 1)), []).append(i)
+        for key, ids in buckets.items():
+            if len(ids) > max_bucket:
+                truncated += 1
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            kept[key] = ids[:max_bucket]
+    assert truncated > 0, "fixture never exercises the truncation path"
+    want = set()
+    for ids in kept.values():
+        for a in ids:
+            for b in ids:
+                if a < b and bin(sh[a] ^ sh[b]).count("1") <= max_dist:
+                    want.add((a, b, bin(sh[a] ^ sh[b]).count("1")))
+    got = {
+        (r.a, r.b, r.dist)
+        for r in simhash_hamming_pairs(d, max_bucket=max_bucket).collect()
+    }
+    assert got == want
+
+
 def test_lsh_topk_max_bucket_caps_candidates(spark, sf_dir):
     """max_bucket truncates hot buckets deterministically: results stay a
     subset of the uncapped run's candidate space, per-query counts can
