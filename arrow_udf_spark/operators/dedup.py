@@ -410,6 +410,13 @@ def shared_shingle_flags(
         with_shingles(df, text_col, out="__grams", n=n)
         .select(F.col(id_col), F.explode_outer("__grams").alias("__g"))
         .select(id_col, F.md5("__g").alias("__h"))
+        # r10 opt round: BOTH consumers below (the dup-digest aggregate —
+        # a broadcast build side — and the join-back probe) re-executed
+        # the tokenize+shingle+md5 projection; pin the narrow
+        # (doc_id, 32-B digest) proxy once (the Change-3 staging rule:
+        # the pinned table replaces a second full pass of the expensive
+        # subtree, never carries text).
+        .localCheckpoint(eager=True)
     )
     dup = (
         sh.groupBy("__h")

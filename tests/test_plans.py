@@ -527,7 +527,13 @@ def test_dup_span_cascade_digest_only_shuffles(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tier = _plan(shared_shingle_flags(docs, "text", "doc_id", n=5))
-    assert tier.count("md5") >= 1  # the tier's shuffle key IS the digest
+    # since the r10 opt round the tier pins its (doc_id, md5-digest)
+    # projection once (localCheckpoint) before the dup aggregate and the
+    # join-back consume it — the digest-only property now reads: the
+    # tier's plan scans the pinned proxy carrying ONLY doc_id + __h (the
+    # md5 column), and no text column ever reaches a shuffle
+    assert "Scan ExistingRDD" in tier and "__h" in tier
+    assert "text#" not in tier  # the proxy never carries document text
     assert "CartesianProduct" not in tier
     assert "BroadcastNestedLoopJoin" not in tier
 
