@@ -524,6 +524,7 @@ def embedding_near_dup(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.95,
+    salt: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a coarse bucket (e.g. an IVF
     cell or label): the bucket join bounds the pair space, the cosine
@@ -535,6 +536,21 @@ def embedding_near_dup(
     dominant per-pair cost of the quadratic stage.  ``dot/(l.n*r.n)``
     multiplies the identical sqrt results the inline form would, so the
     rounded similarity is bit-for-bit unchanged.
+
+    The pair join is SALTED (guide §2.5): joined on bare ``bkt`` the
+    shuffle has only as many distinct keys as buckets, and — the r10
+    profile's finding — AQE's byte-based coalescing then collapses the
+    tiny-but-quadratic-CPU exchange to ONE task (sum(|cell|²) fold work
+    is invisible to a byte advisory).  The left row's deterministic
+    ``pmod(xxhash64(id), S)`` salt with the right side replicated S ways
+    spreads each bucket's pair space over S partitions; an explicit
+    ``repartition(P, bkt, salt)`` (P = defaultParallelism, so
+    scale-adaptive, and user-pinned so AQE will not re-coalesce it)
+    feeds the join with no further exchange.  Each (a, b) pair is
+    produced exactly once — at a's salt — so the output SET is
+    unchanged.  S is capped small: the S× replication of the right side
+    is the standard block-pair-join price and the byte cost that bounds
+    it at scale.
 
     r10 perf note (measured NEGATIVE result): unrolling the per-pair dot
     to a 64-term codegen bracket chain A/B-measured 2.06x SLOWER here —
@@ -552,7 +568,28 @@ def embedding_near_dup(
     base = df.select(
         F.col(id_col).alias("id"), F.col(bucket_col).alias("bkt"), v.alias("v")
     ).withColumn("n", norm)
-    l, r = base.alias("l"), base.alias("r")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salt = salt if salt is not None else max(1, min(16, par))
+    if n_salt > 1:
+        l = (
+            base.withColumn(
+                "__sl", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+            )
+            .repartition(par, "bkt", "__sl")
+            .alias("l")
+        )
+        r = (
+            base.withColumn(
+                "__sl",
+                F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))),
+            )
+            .repartition(par, "bkt", "__sl")
+            .alias("r")
+        )
+        salt_eq = F.col("l.__sl") == F.col("r.__sl")
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        salt_eq = F.lit(True)
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -561,7 +598,9 @@ def embedding_near_dup(
     return (
         l.join(
             r,
-            (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.bkt") == F.col("r.bkt"))
+            & salt_eq
+            & (F.col("l.id") < F.col("r.id")),
         )
         .select(
             F.col("l.id").alias("a"),

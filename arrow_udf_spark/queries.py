@@ -9448,6 +9448,8 @@ _GATE_PRIORITY = [
     "curation_pipeline_e2e",
     "ann_pipeline_e2e",
     "knn_label_vote",  # staged per-side norms
+    "embedding_near_dup",  # salted pair join (opt-session change)
+    "semdedup_prune",  # pair join salted via embedding_near_dup
     # -- 3. stale-rotation residue (r5-latest driver rows) --
     "gcd",
     "option_add",
