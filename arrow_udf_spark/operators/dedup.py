@@ -302,9 +302,62 @@ def simhash_hamming_pairs(
     # un-flagged rows pass through untouched, and pay the row_number
     # truncation only on rows inside flagged buckets.
     counts = chunks.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("__bc"))
-    flagged = F.broadcast(
-        counts.where(F.col("__bc") > max_bucket).select("chunk", "cval")
-    )
+    flagged_rows = counts.where(F.col("__bc") > max_bucket).select("chunk", "cval")
+    # r10 opt round 2: branch at CONSTRUCTION time on whether any bucket is
+    # actually oversized (one cheap driver action over the <= 64-row count
+    # aggregate of the checkpointed digest table).  On the normal path —
+    # production corpora after exact_dedup never flag at max_bucket=100k —
+    # the guard subtree vanishes from the plan entirely, and with it the
+    # round-1 residual the before-plan exposed: the counts aggregate +
+    # anti-join + window were instantiated FOUR times (twice per self-join
+    # side; broadcast build sides reuse nothing), and the output needed a
+    # full ``distinct()`` exchange because a pair agreeing on several
+    # chunks was emitted once per agreeing chunk.  Instead each pair is
+    # emitted exactly once, at its FIRST agreeing chunk: the join row has
+    # both simhashes, so "an earlier chunk also agrees" is pure bit math
+    # in the join predicate, and the result needs no dedup.  Provably the
+    # same set: with no truncation, a pair is a candidate at chunk c iff
+    # its chunk values agree there, so keeping exactly min{agreeing c}
+    # picks one representative per pair and pigeonhole guarantees one
+    # exists for every dist <= max_dist pair.  Plan: 2 shuffle exchanges +
+    # 5 broadcasts + 4 count aggregates -> 1 broadcast, zero shuffles.
+    if flagged_rows.isEmpty():
+        mask = (1 << chunk_bits) - 1
+
+        def _cval(side: str, c: int) -> Column:
+            return F.shiftright(F.col(f"{side}.sh"), c * chunk_bits).bitwiseAND(
+                F.lit(mask)
+            )
+
+        no_earlier_agree = F.lit(True)
+        for c in range(n_chunks - 1):
+            no_earlier_agree = no_earlier_agree & ~(
+                (F.col("l.chunk") > F.lit(c)) & (_cval("l", c) == _cval("r", c))
+            )
+        left = chunks.alias("l")
+        right = chunks.alias("r")
+        dist = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("int")
+        return (
+            left.join(
+                right,
+                (F.col("l.chunk") == F.col("r.chunk"))
+                & (F.col("l.cval") == F.col("r.cval"))
+                & (F.col("l.id") < F.col("r.id"))
+                & (dist <= max_dist)
+                & no_earlier_agree,
+            )
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                dist.alias("dist"),
+            )
+        )
+    # Degenerate/flagged path (exercised by the max_bucket truncation
+    # test): keep the exact round-1 guard plan — truncation semantics are
+    # "pair emitted iff SOME chunk keeps both members", which the
+    # first-agreeing-chunk predicate cannot reproduce without knowing
+    # which earlier-chunk rows were truncated away.
+    flagged = F.broadcast(flagged_rows)
     wb = Window.partitionBy("chunk", "cval").orderBy(
         F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
     )

@@ -37,3 +37,43 @@ def test_embedding_near_dup_salt_invariant(spark):
             ).collect()
         )
         assert got == base, f"salt={s} changed the pair set"
+
+
+def test_simhash_pairs_first_chunk_path_unique_and_complete(spark, sf_dir):
+    """The no-flagged-bucket fast path emits each pair at its FIRST
+    agreeing chunk with no distinct() — so (a) every qualifying pair must
+    appear EXACTLY once (a dist-0 pair agrees on all 4 chunks and would
+    quadruple without the predicate), and (b) the set must equal the
+    brute-force all-pairs answer.  Also pins that the fast path is the
+    one taken: no Window/row_number appears in the plan when nothing is
+    flagged."""
+    from pyspark.sql import functions as F
+
+    from arrow_udf_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        with_simhash,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+    pairs = simhash_hamming_pairs(d)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan, plan[:2000]
+
+    got = [(r.a, r.b, r.dist) for r in pairs.collect()]
+    assert len(got) == len(set(got)), "fast path emitted a pair twice"
+
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in with_simhash(d, "text", out="sh").collect()
+    }
+    ids = sorted(sh)
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert set(got) == want
+    # dist-0 (identical simhash) pairs must exist or the uniqueness claim
+    # never bites — sf fixtures carry exact duplicate documents
+    assert any(dd == 0 for (_, _, dd) in got)
