@@ -188,6 +188,122 @@ def kmeans_assign(
     return out
 
 
+def kmeans_fit_multi(
+    emb: DataFrame,
+    slices: list,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train ONE k-means per vector slice — ``slices`` is a list of
+    1-based ``(start, length)`` pairs (:func:`pyspark.sql.functions.slice`
+    convention) — in the job count of a SINGLE fit: one seed collect of
+    the first ``k`` full vectors serves every slice, and each Lloyd round
+    computes every slice's assignment and per-dimension means in ONE
+    aggregation keyed ``(slice, cid, pos)``.  Returns one centroid list
+    per slice, in order.
+
+    Bit-exactness vs. per-slice :func:`kmeans_fit` calls: the seeds are
+    the same rows sliced locally, and each ``(slice, cid, pos)`` group
+    receives exactly the values the per-slice fit's ``(cid, pos)`` group
+    received, in the same row order within each partition — the hash
+    aggregate's partial sums are therefore identical, so the trajectory
+    is identical (r10 opt round; ``pq_codebooks`` went from
+    ``m·(1+iters)`` sequential driver jobs to ``1+iters``)."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    seed = v.orderBy("vec_id").limit(k).collect()  # k rows — O(k·dim)
+    books = [
+        [(i, list(r["e"])[lo - 1 : lo - 1 + ln]) for i, r in enumerate(seed)]
+        for lo, ln in slices
+    ]
+    for _ in range(iters):
+        # STAGE each slice's assignment in its own projection first: the
+        # argmin fold is the expensive per-row expression, and inlined
+        # into the per-element struct below it would re-evaluate once PER
+        # SLICE ELEMENT (first cut of this function: the round job
+        # measured 4.45 cpu-s vs ~0.8 staged — the with_simhash staging
+        # rule).  CollapseProject refuses to duplicate the non-cheap
+        # fold, so the two projections survive planning.
+        staged = v.select(
+            "e",
+            *[
+                F.array_min(
+                    _dist_pairs(F.slice(F.col("e"), lo, ln), books[j])
+                )["cid"].alias(f"__c{j}")
+                for j, (lo, ln) in enumerate(slices)
+            ],
+        )
+
+        def slice_rows(j: int, lo: int, ln: int):
+            # closure factory, NOT a defaulted lambda: PySpark derives the
+            # lambda's arity from its FULL parameter list, so `_j=j`
+            # defaults would make this a 4-arg callable (the
+            # minhash_signature / repetition_ratio trap)
+            def entry(x, i):
+                return F.struct(
+                    F.lit(j).alias("j"),
+                    F.col(f"__c{j}").alias("cid"),
+                    i.alias("pos"),
+                    x.alias("val"),
+                )
+
+            return F.transform(F.slice(F.col("e"), lo, ln), entry)
+
+        per_slice = [
+            slice_rows(j, lo, ln) for j, (lo, ln) in enumerate(slices)
+        ]
+        rows = (
+            staged.select(F.explode(F.flatten(F.array(*per_slice))).alias("r"))
+            .select("r.j", "r.cid", "r.pos", "r.val")
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # slices·k·dim rows — data-size independent
+        )
+        by_slice: dict = {}
+        for r in rows:
+            by_slice.setdefault(r["j"], {}).setdefault(r["cid"], {})[
+                r["pos"]
+            ] = r["m"]
+        books = [
+            [
+                (cid, [dims[p] for p in sorted(dims)])
+                for cid, dims in sorted(by_slice.get(j, {}).items())
+            ]
+            for j in range(len(slices))
+        ]
+    return books
+
+
+def kmeans_assigned(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Train ``k`` centroids (see :func:`kmeans_fit`) and return the
+    input rows WITH their ``out`` cluster column appended — no
+    (id → cluster) join.
+
+    The assignment is a pure expression over the broadcast centroid
+    literal, so :func:`kmeans_assign`'s separate (vec_id, cluster) table
+    only forces consumers that need the vectors back into a self-join of
+    the source on ``id_col`` (scan + broadcast build + join per
+    consumer).  Emitting the cluster column in place removes that join
+    from every plan that reads it; the cluster VALUES are identical
+    (same fold, same centroids, same cast).  (r10 opt round.)"""
+    cents = kmeans_fit(emb, k, iters, id_col=id_col, vec_col=vec_col)
+    pairs = _dist_pairs(F.col(vec_col).cast("array<double>"), cents)
+    return emb.withColumn(
+        out, F.array_min(pairs)["cid"].cast("int")
+    )
+
+
 def kmeans_centroid_stats(assigned: DataFrame) -> DataFrame:
     """(cluster, n_members) summary over a kmeans_assign result — the
     sanity view an IVF builder checks for empty/skewed cells."""

@@ -74,7 +74,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    text: Column | str, k: int = 8, toks: Column | None = None
+    text: Column | str, k: int = 8, toks: "Column | str | None" = None
 ) -> Column:
     """k-permutation MinHash over word unigrams, as an array<string> of the
     lexicographic-min ``md5(j || ':' || token)`` per permutation j.
@@ -85,7 +85,16 @@ def minhash_signature(
     Pass a pre-staged ``toks`` column on hot paths: the signature
     references the tokenization once per permutation (k sites) and
     Catalyst does no CSE inside a projection — the decontaminate lesson
-    (see :func:`with_shingles`)."""
+    (see :func:`with_shingles`).  Passing ``toks`` as a COLUMN NAME
+    builds the whole signature as one JVM-parsed SQL string (identical
+    expression tree, ~50 fewer py4j round trips per call — the
+    with_simhash construction-cost rule, r10)."""
+    if isinstance(toks, str):
+        parts = ", ".join(
+            f"array_min(transform(`{toks}`, t -> md5(concat('{j}:', t))))"
+            for j in range(k)
+        )
+        return F.expr(f"array({parts})")
     if toks is None:
         toks = tokens(text)
 
@@ -109,22 +118,22 @@ def _banded(
     once (not k times — no CSE inside a projection)."""
     n_bands = k // band_size
     staged = df.withColumn("__mh_toks", tokens(F.col(text_col)))
-    sig = minhash_signature(F.col(text_col), k, toks=F.col("__mh_toks"))
+    sig = minhash_signature(F.col(text_col), k, toks="__mh_toks")
+    # the band explode as one parsed SQL string too (same struct/concat_ws
+    # /GetArrayItem nodes as the Column-composition form; r10
+    # construction-cost rule)
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {items}) AS bval)".format(
+            b=b,
+            items=", ".join(
+                f"`sig`[{b * band_size + i}]" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
     return staged.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col("sig")[b * band_size + i] for i in range(band_size)]
-                        ).alias("bval"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
 
 
@@ -195,6 +204,26 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     return _simhash_bits(F.transform(toks, lambda t: token_hash(t)), bits)
 
 
+def _simhash_bits_sql(arr: str, bits: int) -> str:
+    """:func:`_simhash_bits` as ONE SQL expression string over an array
+    column reference — the same expression tree (same per-bit
+    filter/size/CASE nodes, same left-associated integer sum, so the
+    result is bit-identical), but parsed JVM-side in a single py4j round
+    trip.  The Column-composition form costs ``bits`` × ~8 py4j calls of
+    driver time PER construction (~1 s at 16 bits, measured r10) — pure
+    plan-building overhead that the bench pays on every invocation; the
+    kmeans ``cents_expr`` one-parsed-literal lesson applied here."""
+    n = f"size({arr})"
+    parts = ["CAST(0 AS BIGINT)"]
+    for b in range(bits):
+        ones = f"size(filter({arr}, h -> (shiftright(h, {b}) & 1) = 1))"
+        parts.append(
+            f"CAST(CASE WHEN ({ones} * 2) > {n} THEN {1 << b} "
+            "ELSE 0 END AS BIGINT)"
+        )
+    return " + ".join(parts)
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -205,11 +234,19 @@ def with_simhash(
     token), then fold the bit votes over the materialized array.  The two
     projections stay separate because CollapseProject refuses to duplicate
     a non-cheap producer expression referenced ``bits`` times — so each
-    token is hashed exactly once."""
-    h = F.transform(tokens(F.col(text_col)), lambda t: token_hash(t))
+    token is hashed exactly once.
+
+    Both projections are built as single SQL strings
+    (:func:`_simhash_bits_sql`): the expression trees are unchanged, but
+    construction is two py4j calls + JVM parses instead of ~130 py4j
+    round trips (r10: ~1-2 s of driver time per call at 16 bits)."""
+    h_sql = (
+        f"transform(split(trim(`{text_col}`), '\\\\s+'), "
+        "t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+    )
     return (
-        df.withColumn("__sh_hashes", h)
-        .withColumn(out, _simhash_bits(F.col("__sh_hashes"), bits))
+        df.withColumn("__sh_hashes", F.expr(h_sql))
+        .withColumn(out, F.expr(_simhash_bits_sql("`__sh_hashes`", bits)))
         .drop("__sh_hashes")
     )
 
@@ -424,6 +461,19 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     )
 
 
+def _shingles_sql(arr: str, n: int) -> str:
+    """:func:`shingles_of` as one SQL string over an array-column
+    reference — identical expression nodes (same CASE guard, same
+    ``i + j`` element_at chain), parsed JVM-side in one py4j round trip
+    (the :func:`_simhash_bits_sql` construction-cost rule, r10)."""
+    items = ", ".join(f"element_at({arr}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({arr}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size({arr}) - {n - 1}), "
+        f"i -> concat_ws(' ', {items})) END"
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", out: str = "shingles", n: int = 3
 ) -> DataFrame:
@@ -431,10 +481,17 @@ def with_shingles(
     pattern): materialize the token array in its own Project, then build
     the gram array from the column reference.  CollapseProject refuses to
     duplicate the non-cheap token expression referenced n+2 times, so each
-    document is tokenized once instead of n+2 times."""
+    document is tokenized once instead of n+2 times.
+
+    Both projections are single parsed SQL strings (r10 — the larger
+    ``n``, the more py4j round trips the Column form paid per call)."""
     return (
-        df.withColumn("__toks", tokens(F.col(text_col)))
-        .withColumn(out, F.array_distinct(shingles_of(F.col("__toks"), n)))
+        df.withColumn(
+            "__toks", F.expr(f"split(trim(`{text_col}`), '\\\\s+')")
+        )
+        .withColumn(
+            out, F.expr(f"array_distinct({_shingles_sql('`__toks`', n)})")
+        )
         .drop("__toks")
     )
 
@@ -471,16 +528,25 @@ def shared_shingle_flags(
         # subtree, never carries text).
         .localCheckpoint(eager=True)
     )
+    # (id, __h) rows are DISTINCT by construction — with_shingles applies
+    # array_distinct per doc before the explode — so both aggregates
+    # below use count(*), which equals the countDistinct the semantics
+    # ask for while planning as ONE two-phase hash aggregate instead of
+    # Spark's two-level distinct expansion (an extra Exchange + aggregate
+    # pair per countDistinct; r10 opt round).  The NULL digest an empty
+    # doc emits never reaches either count: it cannot equi-join `dup`,
+    # and in `dup` itself a NULL group can only be flagged when >1 empty
+    # docs exist, after which the equi-join still drops it.
     dup = (
         sh.groupBy("__h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
+        .agg(F.count(F.lit(1)).alias("__nd"))
         .where(F.col("__nd") > 1)
         .select("__h")
     )
     return (
         sh.join(dup, "__h")
         .groupBy(id_col)
-        .agg(F.countDistinct("__h").alias("n_dup_spans"))
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
 
 

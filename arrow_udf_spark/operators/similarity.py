@@ -1096,18 +1096,23 @@ def pq_codebooks(
     (:func:`pq_recall`) and the streaming encoder — the slice offsets
     and tie-break semantics must match the generated Lloyd-CTE oracle
     in exactly one place."""
-    from .clustering import kmeans_fit
 
-    books = []
-    for j in range(m):
-        sliced = items.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), j * sub + 1, sub
-            ).alias("embedding"),
-        )
-        books.append(kmeans_fit(sliced, k=ksub, iters=iters))
-    return books
+    # r10 opt: all m subspace fits share one seed collect + one
+    # aggregation job per Lloyd round (kmeans_fit_multi) instead of
+    # m·(1+iters) sequential driver jobs — trajectories bit-identical
+    # (same seed rows sliced locally, same per-group accumulation order).
+    from .clustering import kmeans_fit_multi
+
+    v = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    return kmeans_fit_multi(
+        v,
+        slices=[(j * sub + 1, sub) for j in range(m)],
+        k=ksub,
+        iters=iters,
+    )
 
 
 def pq_code_cols(vec, codebooks: list, sub: int) -> list:

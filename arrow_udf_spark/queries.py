@@ -8559,12 +8559,17 @@ def q_ivf_trained_topk(spark, sf):
     query's cell — the full IVF build+query path in one plan.  Train cost
     amortizes across every query; the search join is the same broadcast/
     shuffled cell equi-join as ivf_topk."""
-    from .operators.clustering import kmeans_assign
+    from .operators.clustering import kmeans_assigned
     from .operators.similarity import ivf_topk
 
     e = t(spark, sf, "embeddings")
-    assigned = kmeans_assign(e, k=8, iters=2)
-    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    # r10 opt: cluster column computed in place — no (id -> cluster)
+    # self-join of the source (kmeans_assigned; values identical) — and
+    # the assigned table pins ONCE (the fold is the expensive per-row
+    # expression; both the item side and the query slice consume it)
+    items = kmeans_assigned(
+        e.select("vec_id", "embedding"), k=8, iters=2
+    ).localCheckpoint(eager=True)
     queries = items.where(F.col("vec_id") < 5)
     return ivf_topk(items, queries, k=5, cell_col="cluster")
 
@@ -8609,12 +8614,19 @@ def q_semdedup_prune(spark, sf):
     is cell-confined so k is the scale knob.  The gate pins every
     vector's (cluster, kept) verdict against the unrolled Lloyd
     trajectory + threshold join in SQL."""
-    from .operators.clustering import kmeans_assign
+    from .operators.clustering import kmeans_assigned
     from .operators.dedup import semdedup_keep
 
     e = t(spark, sf, "embeddings")
-    assigned = kmeans_assign(e, k=8, iters=2)
-    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    # r10 opt: in-place cluster column (no source self-join), pinned
+    # ONCE — semdedup_keep consumes items from BOTH pair-join sides and
+    # the final keep join, and each would re-run the assign fold.  The
+    # pre-salting attempt at this checkpoint lost its broadcast planning
+    # (r10 first pass, reverted); the salted pair join takes explicit
+    # repartitions, so the ExistingRDD stats objection is gone.
+    items = kmeans_assigned(
+        e.select("vec_id", "embedding"), k=8, iters=2
+    ).localCheckpoint(eager=True)
     # r10 note: BOTH attempted optimizations here were A/B-measured
     # slower and reverted — a localCheckpoint of `items` (1.9x: the
     # ExistingRDD scan loses size stats and the pair join its broadcast)
@@ -8641,12 +8653,13 @@ def q_semdedup_prune_numpy(spark, sf):
     bound cells — the same sum(|cell|^2) the fold form pays in time.
     The dual gate (both forms against ONE oracle) pins the equivalence
     every round."""
-    from .operators.clustering import kmeans_assign
+    from .operators.clustering import kmeans_assigned
     from .operators.dedup import semdedup_keep_numpy
 
     e = t(spark, sf, "embeddings")
-    assigned = kmeans_assign(e, k=8, iters=2)
-    items = e.select("vec_id", "embedding").join(assigned, "vec_id")
+    items = kmeans_assigned(
+        e.select("vec_id", "embedding"), k=8, iters=2
+    ).localCheckpoint(eager=True)
     out = semdedup_keep_numpy(
         items, "vec_id", "embedding", "cluster", threshold=0.3
     )
@@ -9450,6 +9463,14 @@ _GATE_PRIORITY = [
     "knn_label_vote",  # staged per-side norms
     "embedding_near_dup",  # salted pair join (opt-session change)
     "semdedup_prune",  # pair join salted via embedding_near_dup
+    # third-session optimization changes (SQL-string simhash build,
+    # count(*) shingle flags, in-place kmeans cluster column, fused
+    # multi-slice PQ fits) — the consumers not already listed above:
+    "dup_span_flags",
+    "semdedup_prune_numpy",
+    "ivf_trained_topk",
+    "pq_adc_recall",
+    "streaming_pq_encode",
     # -- 3. stale-rotation residue (r5-latest driver rows) --
     "gcd",
     "option_add",
