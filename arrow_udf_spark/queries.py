@@ -1291,7 +1291,7 @@ def q_minhash_signature(spark, sf):
     return d.select(
         "doc_id",
         F.array_join(
-            minhash_signature(F.col("text"), k=4, toks=F.col("__toks")), "|"
+            minhash_signature(F.col("text"), k=4, toks="__toks"), "|"
         ).alias("sig"),
     )
 
@@ -1509,7 +1509,7 @@ def q_minhash_jaccard_est(spark, sf):
     # reuses no exchange)
     sig = staged.select(
         "doc_id",
-        minhash_signature(F.col("text"), 8, toks=F.col("__toks")).alias("sig"),
+        minhash_signature(F.col("text"), 8, toks="__toks").alias("sig"),
         F.array_distinct(F.col("__toks")).alias("u"),
     ).localCheckpoint()
     a = sig.select(
