@@ -7343,8 +7343,12 @@ def q_bloom_prejoin(spark, sf):
     runtime-row-filter pattern."""
     from .operators.sketch import bloom_tuning_gate
 
+    # r10 opt: the big-side probe computes k_hashes x widths md5s per
+    # row — per-row compute dominates, so the scan takes the spread
+    # exchange (2.5 cpu-s were serializing on the fixture's 3-split
+    # scan; integer count aggregates are partition-layout invariant)
     return bloom_tuning_gate(
-        t(spark, sf, "lineitem"),
+        t(spark, sf, "lineitem", spread=True),
         t(spark, sf, "part").where(F.col("p_size") <= 5),
         "l_partkey",
         "p_partkey",
