@@ -10,6 +10,7 @@ overload with ``spark.udf.register`` under a mangled name
 
 from __future__ import annotations
 
+import itertools
 import re
 import warnings
 from dataclasses import dataclass, field
@@ -99,6 +100,13 @@ class Registry:
     #: result is provably identical for ANY S: merge is associative and
     #: commutative over partial states by the UDAF contract.
     salt_buckets: "int | None" = None
+    #: register_sql memo (r11 perf): a repeat registration of the full
+    #: catalog costs ~0.5 s of py4j round trips per call, and every
+    #: two-phase SQL query used to pay it inside the timed region.  Keyed
+    #: WEAKLY by the live SparkSession and by a fingerprint of the
+    #: registry contents + the effective strict flag, so adding a new
+    #: function (tests do) or toggling strict re-registers for real.
+    _reg_memo: Any = None
 
     def add(self, fn: Any) -> None:
         self._fns.setdefault(fn.sig.name, []).append(fn)
@@ -152,6 +160,26 @@ class Registry:
         if strict:
             self._strict_sql = True
         strict = self._strict_sql
+        # memo hit: same session, same registry contents, same strict mode
+        # -> the catalog is already registered exactly as this call would
+        # register it; skip the ~0.5 s of py4j registration round trips.
+        # (UDF registration is idempotent session state, not a result
+        # cache — re-running a query never depends on re-registering.)
+        if self._reg_memo is None:
+            import weakref
+
+            self._reg_memo = weakref.WeakKeyDictionary()
+        fprint = (
+            strict,
+            tuple(
+                (n, f.sig.kind, f.sig.mangled())
+                for n in sorted(self._fns)
+                for f in self._fns[n]
+            ),
+        )
+        memo_hit = self._reg_memo.get(spark)
+        if memo_hit is not None and memo_hit[0] == fprint:
+            return list(memo_hit[1])
         registered = []
         for name, fns in self._fns.items():
             # never shadow a Spark builtin under its bare name: a session
@@ -221,6 +249,10 @@ class Registry:
                 if sql_name == name:
                     self._sql_names.add(name)
                 registered.append(sql_name)
+        try:
+            self._reg_memo[spark] = (fprint, list(registered))
+        except TypeError:  # session not weak-referenceable (mock in tests)
+            pass
         return registered
 
     # ------------------------------------------------------------------
@@ -358,7 +390,7 @@ class Registry:
         if not used:
             return spark.sql(query)
         self.register_sql(spark)
-        rewritten = self._rewrite_two_phase(query, used)
+        rewritten = self._rewrite_two_phase(query, used, spark=spark)
         if rewritten is None:
             if self._strict_sql:
                 raise ValueError(
@@ -382,7 +414,9 @@ class Registry:
             return spark.sql(query)
         return spark.sql(rewritten)
 
-    def _rewrite_two_phase(self, query: str, used: set[str]) -> Optional[str]:
+    def _rewrite_two_phase(
+        self, query: str, used: set[str], spark: "SparkSession | None" = None
+    ) -> Optional[str]:
         """Rewrite to the scale-safe composed form.
 
         Every aggregate CALL in the select list and the HAVING / ORDER BY
@@ -444,7 +478,12 @@ class Registry:
                 ):
                     rb = blk.strip()  # no UDAF — verbatim
                 else:
-                    rb = self._rewrite_two_phase(blk, used)
+                    # NOTE: the block rewrites WITHOUT the CTE prefix in
+                    # scope, so the mapfold view construction inside (which
+                    # must analyze the block's source standalone) falls
+                    # back to the pure-SQL pipeline when the block
+                    # references a CTE name.
+                    rb = self._rewrite_two_phase(blk, used, spark=spark)
                     if rb is None:
                         return None
                 parts.append((rb, op))
@@ -462,7 +501,7 @@ class Registry:
             if expanded is None:
                 return None
             core, outer_items, tail = expanded
-            rb = self._rewrite_two_phase(core, used)
+            rb = self._rewrite_two_phase(core, used, spark=spark)
             if rb is None:
                 return None
             # the outermost projection applies the PUBLIC pivot column
@@ -487,7 +526,7 @@ class Registry:
             re.search(rf"(?i)\b{re.escape(n)}\s*\(", where_txt)
             for n in used
         ):
-            dc = self._decorrelate_where(frm_txt, where_txt, used)
+            dc = self._decorrelate_where(frm_txt, where_txt, used, spark=spark)
             if dc is None:
                 return None
             frm_txt, where_txt = dc
@@ -588,6 +627,7 @@ class Registry:
         inner_aggs: list[str] = []  # native collect_list exprs in the salted agg
         pf_cols: list[str] = []  # vectorized __pfold exprs (vals -> state)
         u_cols: list[str] = []  # __mergevec exprs projected by U as __u{i}
+        agg_args: list[tuple] = []  # (udaf name, [arg exprs]) per __u{i}
         b_cols: list = []  # built-in agg calls as (name, args) -> __b{i}
         memo: dict = {}  # lowercased call -> replacement token
         outer_items: list[str] = []
@@ -605,7 +645,8 @@ class Registry:
             if self._PLAIN_COL.match(es) and es.lower() in grp_set:
                 return es
             rw = self._rewrite_agg_calls(
-                e, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                e, used, inner_aggs, u_cols, b_cols, memo, pf_cols,
+                agg_args,
             )
             if rw is None or rw == e:
                 return None
@@ -674,7 +715,8 @@ class Registry:
                     args_rw = g_names[gia]
                 else:
                     args_rw = self._rewrite_agg_calls(
-                        args, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                        args, used, inner_aggs, u_cols, b_cols, memo,
+                        pf_cols, agg_args,
                     )
                     if args_rw is None:
                         return None
@@ -758,7 +800,8 @@ class Registry:
                     return None
                 alias = am.group("fn").lower()
             rewritten = self._rewrite_agg_calls(
-                expr_src, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                expr_src, used, inner_aggs, u_cols, b_cols, memo, pf_cols,
+                agg_args,
             )
             if rewritten is None or rewritten == expr_src:
                 return None  # no aggregate found / unprovable shape
@@ -793,7 +836,8 @@ class Registry:
                 if not grp_items:
                     return None  # HAVING without GROUP BY — let Spark error
                 hav_rw = self._rewrite_agg_calls(
-                    hav, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                    hav, used, inner_aggs, u_cols, b_cols, memo, pf_cols,
+                    agg_args,
                 )
                 if hav_rw is None:
                     return None
@@ -810,7 +854,8 @@ class Registry:
                     expr, suffix = sm.group("e"), sm.group("suffix") or ""
                     if not self._PLAIN_COL.match(expr):
                         expr = self._rewrite_agg_calls(
-                            expr, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                            expr, used, inner_aggs, u_cols, b_cols, memo,
+                            pf_cols, agg_args,
                         )
                         if expr is None:
                             return None
@@ -866,32 +911,56 @@ class Registry:
                     p=f"__bp{bi}"
                 )
                 bp_merge.append(f"{merged} AS __b{bi}")
-        inner = (
-            f"SELECT {grp_sel}{', ' if grp_sel else ''}"
-            f"{', '.join(inner_aggs + bp_inner)} "
-            f"FROM (SELECT *, {salt} AS __aus_salt "
-            f"FROM {src} __aus_src) __aus_salted "
-            f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
-        )
-        # the vectorized phase-1 fold: one batched __pfold projection over
-        # the natively collected (group, salt) arg lists — Python runs once
-        # per Arrow batch of groups, not once per group (r10 perf; see
-        # as_spark_pfold)
-        mid = (
-            f"SELECT {gnames}{', ' if gnames else ''}"
-            f"{', '.join(bp_mid + pf_cols)} "
-            f"FROM ({inner}) __aus_vals"
-        )
         # multi-grouping: U re-aggregates the finest partial states under
         # the ORIGINAL rollup/cube/sets clause (merge associativity makes
         # that exact); grouping_id() disambiguates data-NULL keys from
         # super-aggregate rows in the U/B join
         u_grp = multi_clause if multi_clause is not None else gnames
         u_gid = ", grouping_id() AS __gid" if multi_clause is not None else ""
+        # phase 1, preferred shape (r11 perf, guide §2.3/§8): a map-side
+        # ``mapInArrow`` multi-fold view — rows fold to ONE pickled state
+        # per (group, input partition) BEFORE any exchange, so only
+        # O(groups x partitions) state rows shuffle (the collect_list
+        # pipeline below re-packs every raw value into arrays and ships
+        # them all through the first exchange), and the per-row struct
+        # boxing + __pfold dict unpacking disappears.  Falls back to the
+        # pure-SQL pipeline whenever the shape is unprovable (no session,
+        # qualified keys, unsupported built-in partial types, analysis
+        # errors e.g. set-op blocks referencing a CTE).
+        u_from = None
+        if spark is not None:
+            u_from = self._build_mapfold_view(
+                spark,
+                f"{cte_prefix} " if cte_prefix else "",
+                src,
+                grp_items,
+                g_names,
+                plain_keys,
+                agg_args,
+                b_cols if fold_b else [],
+            )
+        if u_from is None:
+            inner = (
+                f"SELECT {grp_sel}{', ' if grp_sel else ''}"
+                f"{', '.join(inner_aggs + bp_inner)} "
+                f"FROM (SELECT *, {salt} AS __aus_salt "
+                f"FROM {src} __aus_src) __aus_salted "
+                f"GROUP BY {grp}{', ' if grp else ''}__aus_salt"
+            )
+            # the vectorized phase-1 fold: one batched __pfold projection
+            # over the natively collected (group, salt) arg lists — Python
+            # runs once per Arrow batch of groups, not once per group (r10
+            # perf; see as_spark_pfold)
+            mid = (
+                f"SELECT {gnames}{', ' if gnames else ''}"
+                f"{', '.join(bp_mid + pf_cols)} "
+                f"FROM ({inner}) __aus_vals"
+            )
+            u_from = f"({mid})"
         u = (
             f"SELECT {gnames}{u_gid}{', ' if gnames else ''}"
             f"{', '.join(u_cols + bp_merge)} "
-            f"FROM ({mid}) __aus_partials"
+            f"FROM {u_from} __aus_partials"
             + (f" GROUP BY {u_grp}" if u_grp else "")
         )
         from_sql = f"({u}) __aus_u"
@@ -928,6 +997,138 @@ class Registry:
             f"{pre}SELECT {', '.join(outer_items)} FROM {from_sql}"
             f"{having_sql}{order_sql}{limit_sql}"
         )
+
+    #: monotone suffix for mapfold temp view names (concurrent rewrites in
+    #: one session must never collide)
+    _MAPFOLD_SEQ = itertools.count()
+
+    def _build_mapfold_view(
+        self,
+        spark,
+        pre: str,
+        src: str,
+        grp_items: list,
+        g_names: list,
+        plain_keys: bool,
+        agg_args: list,
+        bp_cols: list,
+    ) -> Optional[str]:
+        """Register a temp view computing the two-phase PARTIAL states
+        with a map-side ``mapInArrow`` multi-fold (r11 perf; guide
+        §2.3/§8): one pickled state per (group, input partition) plus the
+        foldable built-in partials, all BEFORE any exchange.  The view's
+        columns are exactly what the U subquery's merge expressions
+        reference (``g_names`` + ``__st{i}`` + ``__bp{j}``), so the
+        caller only swaps U's FROM clause.
+
+        Returns the view name, or None when the shape is unprovable —
+        qualified group keys, a built-in partial whose type is not
+        exactly foldable in Python (float/decimal SUM stays on the
+        native-partial SQL path, which IS order-exact), or any analysis
+        error (e.g. a set-op block referencing a CTE out of scope).  The
+        caller then emits the pure-SQL pipeline unchanged."""
+        try:
+            from ..operators.aggregate import build_multi_fold
+            from pyspark.sql import types as T
+
+            for g in g_names:
+                if "." in g:
+                    return None  # qualified key — view cannot carry it
+            udafs = []
+            for ln, _args in agg_args:
+                udafs.append(
+                    next(
+                        f
+                        for f in self._fns[ln]
+                        if f.sig.kind == "aggregate"
+                    )
+                )
+            key_sel = [
+                g_names[i] if plain_keys else f"{grp_items[i]} AS {g_names[i]}"
+                for i in range(len(g_names))
+            ]
+            arg_sel: list[str] = []
+            arg_ns: list[int] = []
+            for ui, (_ln, args_) in enumerate(agg_args):
+                arg_ns.append(len(args_))
+                for ai, a in enumerate(args_):
+                    arg_sel.append(f"{a} AS __aua{ui}_{ai}")
+            bp_sel: list[str] = []
+            bp_specs: list[tuple] = []  # (kind, rel idx into bp_sel | None)
+            for bn, ba in bp_cols:
+                bnl = bn.lower()
+                ba_s = ba.strip()
+                if bnl == "count" and ba_s == "*":
+                    bp_specs.append(("count_star", None))
+                    continue
+                if len(_split_top_level(ba)) != 1:
+                    return None  # multi-arg built-in — not foldable here
+                bp_specs.append((bnl, len(bp_sel)))
+                bp_sel.append(f"{ba_s} AS __aub{len(bp_sel)}")
+            df_src = spark.sql(
+                f"{pre}SELECT {', '.join(key_sel + arg_sel + bp_sel)} "
+                f"FROM {src} __aus_src"
+            )
+            fields = df_src.schema.fields
+            by_n = len(g_names)
+            bp_base = by_n + sum(arg_ns)
+            int_t = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            mm_t = int_t + (
+                T.FloatType,
+                T.DoubleType,
+                T.StringType,
+                T.DateType,
+                T.TimestampType,
+                T.BooleanType,
+            )
+            kinds: list[tuple] = []
+            for kind, rel in bp_specs:
+                if kind == "count_star":
+                    kinds.append(("count_star", None))
+                    continue
+                ci = bp_base + rel
+                dt = fields[ci].dataType
+                if kind == "count":
+                    kinds.append(("count", ci))
+                elif kind == "sum":
+                    if not isinstance(dt, int_t):
+                        return None  # float/decimal SUM: order-sensitive
+                    kinds.append(("sum_int", ci))
+                elif kind in ("min", "max"):
+                    if not isinstance(dt, mm_t):
+                        return None
+                    kinds.append((kind, ci))
+                else:
+                    return None
+            out_fields = [
+                T.StructField(fields[i].name, fields[i].dataType)
+                for i in range(by_n)
+            ] + [
+                T.StructField(f"__st{u}", T.BinaryType())
+                for u in range(len(udafs))
+            ]
+            for j, (kind, ci) in enumerate(kinds):
+                dt = (
+                    T.LongType()
+                    if kind in ("count_star", "count", "sum_int")
+                    else fields[ci].dataType
+                )
+                out_fields.append(T.StructField(f"__bp{j}", dt))
+            # The fold parallelizes at its INPUT width (local fixture: ~3
+            # scan tasks; real scale: far wider than the core count, so it
+            # runs map-side with ZERO exchanges).  A round-robin
+            # repartition-to-cores here was A/B-measured SLOWER locally
+            # (hi-card 5.4 s vs 4.6 s without): it multiplies the
+            # (group x partition) state count by cores/width and pays an
+            # exchange of every raw row — the per-group cost is bounded by
+            # the vectorized fold instead (see build_multi_fold).
+            fold = build_multi_fold(udafs, by_n, arg_ns, kinds)
+            view_df = df_src.mapInArrow(fold, schema=T.StructType(out_fields))
+            name = f"__aus_fold_{next(self._MAPFOLD_SEQ)}"
+            view_df.createOrReplaceTempView(name)
+            return name
+        except Exception:
+            return None  # unprovable — pure-SQL pipeline handles it
 
     def _safe_group_expr(self, expr: str) -> bool:
         """True when a GROUP BY expression is provably safe to alias
@@ -1114,7 +1315,7 @@ class Registry:
     }
 
     def _decorrelate_where(
-        self, frm: str, where: str, used: set
+        self, frm: str, where: str, used: set, spark=None
     ) -> Optional[tuple[str, str]]:
         """Decorrelate every UDAF-headed correlated scalar aggregate
         subquery in a WHERE conjunction — the TPC-H q17 shape:
@@ -1153,7 +1354,7 @@ class Registry:
             ):
                 new_pieces.append(piece)
                 continue
-            rep = self._decorrelate_conjunct(piece, used, ci)
+            rep = self._decorrelate_conjunct(piece, used, ci, spark=spark)
             if rep is None:
                 return None  # a UDAF call we cannot make scale-safe
             conjuncts, derived = rep
@@ -1168,7 +1369,7 @@ class Registry:
         )
 
     def _decorrelate_conjunct(
-        self, piece: str, used: set, ci: int
+        self, piece: str, used: set, ci: int, spark=None
     ) -> Optional[tuple[list[str], str]]:
         """One conjunct ``lhs OP (SELECT ...)`` → (replacement conjunct
         list, derived-table SQL).  See _decorrelate_where."""
@@ -1336,7 +1537,7 @@ class Registry:
             # side; the two-phase global agg is the worst single-phase
             # case this front door exists for)
             sub_sql = f"SELECT {item_s} AS __cv FROM {tbl}{inner_where}"
-        sub_rw = self._rewrite_two_phase(sub_sql, used)
+        sub_rw = self._rewrite_two_phase(sub_sql, used, spark=spark)
         if sub_rw is None:
             return None
         out_conds = [f"{lhs} {op} {alias}.__cv"]
@@ -1669,6 +1870,7 @@ class Registry:
         b_cols: list,
         memo: dict,
         pf_cols: list,
+        agg_args: "list | None" = None,
     ) -> Optional[str]:
         """Replace every aggregate CALL in ``expr`` with a column token:
         registered UDAFs become ``__u{i}`` (the arg struct's native
@@ -1762,6 +1964,8 @@ class Registry:
                         f"{sql_name}__mergevec(collect_list(__st{idx})) "
                         f"AS __u{idx}"
                     )
+                    if agg_args is not None:
+                        agg_args.append((ln, list(arg_items)))
                     memo[key] = f"__u{idx}"
                 out.append(memo[key])
             elif ln in self._BUILTIN_AGGS:
@@ -1772,7 +1976,8 @@ class Registry:
                 out.append(memo[key])
             elif ln in self._SCALAR_PASSTHROUGH:
                 sub = self._rewrite_agg_calls(
-                    args, used, inner_aggs, u_cols, b_cols, memo, pf_cols
+                    args, used, inner_aggs, u_cols, b_cols, memo, pf_cols,
+                    agg_args,
                 )
                 if sub is None:
                     return None

@@ -519,6 +519,9 @@ def test_pivot_matches_native_builtin(spark):
     assert [tuple(r) for r in ours.collect()] == [
         tuple(0 if v is None else v for v in r) for r in native.collect()
     ]
-    # and the plan really is two-phase
+    # and the plan really is two-phase: merge stage present, and phase 1
+    # is either the map-side MapInArrow fold (r11 preferred shape) or the
+    # collect_list -> __pfold SQL pipeline (fallback)
     plan = ours._jdf.queryExecution().executedPlan().toString()
-    assert "sum_udaf__pfold" in plan and "sum_udaf__mergevec" in plan
+    assert "sum_udaf__mergevec" in plan
+    assert "MapInArrow" in plan or "sum_udaf__pfold" in plan
