@@ -1110,8 +1110,14 @@ def dup_substring_max(
     scored = adj.withColumn("lcp", F.expr(lcp)).where(
         F.col("lcp") >= bucket
     )
-    both = scored.select("id", "lcp").unionByName(
-        scored.select(F.col("pid").alias("id"), "lcp")
+    # credit BOTH owning documents in ONE pass: the former
+    # unionByName(scored.select(id), scored.select(pid)) planned the
+    # window+sort subtree TWICE (profiled: the post-shuffle stage read
+    # 78 MB for a 39 MB shuffle and burned 159 cpu-s; guide §2.4 —
+    # duplicated subtrees).  explode over a 2-element array duplicates
+    # the row in place instead of re-executing the sort.
+    both = scored.select(
+        F.explode(F.array("id", "pid")).alias("id"), "lcp"
     )
     per_doc = both.groupBy("id").agg(
         F.max("lcp").cast("bigint").alias("max_dup_len")
