@@ -525,8 +525,13 @@ def shared_shingle_flags(
         # the tokenize+shingle+md5 projection; pin the narrow
         # (doc_id, 32-B digest) proxy once (the Change-3 staging rule:
         # the pinned table replaces a second full pass of the expensive
-        # subtree, never carries text).
-        .localCheckpoint(eager=True)
+        # subtree, never carries text).  LAZY (r11): eager=False truncates
+        # the plan identically (Dataset.localCheckpoint wraps a LogicalRDD
+        # either way) but defers the compute into the consuming job, so a
+        # multi-tier caller's waves overlap instead of serializing on one
+        # driver-blocking count() per pin (the cascade's measured
+        # anti-scaling, VERDICT r10 #3).
+        .localCheckpoint(eager=False)
     )
     # (id, __h) rows are DISTINCT by construction — with_shingles applies
     # array_distinct per doc before the explode — so both aggregates
@@ -590,7 +595,7 @@ def dup_span_cascade(
             cand, text_col, id_col, n=n
         ).withColumnRenamed(
             "n_dup_spans", f"n_spans_{n}"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: see shared_shingle_flags
         tiers.append((n, counts))
         # next tier's candidates: docs flagged at this tier (keep text)
         cand = cand.join(counts.select(id_col), id_col)

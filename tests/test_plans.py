@@ -246,6 +246,18 @@ def test_two_phase_sql_agg_salted_plan(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 2
 
 
+def _assert_two_phase_phase1(p: str, name: str) -> None:
+    """The two-phase scale property under EITHER phase-1 shape: the r11
+    map-side MapInArrow fold (states before any exchange) or the salted
+    collect_list -> __pfold SQL pipeline (fallback).  Both end in the
+    batched __mergevec merge; neither leaves a bare single-phase node."""
+    import re
+
+    assert f"{name}__mergevec" in p
+    assert "MapInArrow" in p or (f"{name}__pfold" in p and "__aus_salt" in p)
+    assert not re.findall(rf"{name}(?!__)", p)
+
+
 def test_bare_sql_agg_rewritten_two_phase(spark, sf_dir):
     """Registry.sql: a query calling the BARE aggregate name over GROUP BY
     must compile to the salted two-phase shape — partial+merge aggregates
@@ -253,21 +265,10 @@ def test_bare_sql_agg_rewritten_two_phase(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
     p = _plan(QUERIES["sql_agg_bare_two_phase"](spark, sf_dir))
-    # the rewrite produced the partial/merge pair (2 aggs x 2 phases);
-    # ArrowAggregatePython nodes appear once per aggregate level
-    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
-    assert "count_udaf__pfold" in p and "count_udaf__mergevec" in p
-    # the inner grouping is salted by input partition
-    assert "__aus_salt" in p
-    # no single-phase bare aggregate node survived the rewrite: every
-    # occurrence of the bare names is the __partial/__merge composition
-    import re
-
-    bare = [
-        m
-        for m in re.finditer(r"(?:sum|count)_udaf(?!__)", p)
-    ]
-    assert not bare, f"bare single-phase aggregate in plan: {bare[:3]}"
+    # the rewrite produced the two-phase shape for BOTH aggregates; no
+    # single-phase bare aggregate node survived the rewrite
+    _assert_two_phase_phase1(p, "sum_udaf")
+    _assert_two_phase_phase1(p, "count_udaf")
 
 
 def test_registry_sql_passthrough_without_aggs(spark, sf_dir):
@@ -385,11 +386,11 @@ def test_having_sql_agg_rewritten_two_phase(spark, sf_dir):
 
     df = QUERIES["sql_agg_having_two_phase"](spark, sf_dir)
     p = _plan(df)
-    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
-    assert "__aus_salt" in p
-    assert not re.findall(r"sum_udaf(?!__)", p)
-    # COUNT(*) must be Spark-native partial+final, never a pandas agg
-    assert "partial_count" in p
+    _assert_two_phase_phase1(p, "sum_udaf")
+    # COUNT(*) is a partial+final composition, never a per-group pandas
+    # agg: native partial_count (SQL pipeline) or the map-side fold's
+    # exactly-foldable __bp partial merged by a native SUM (r11 shape)
+    assert "partial_count" in p or "__bp0" in p
 
 
 def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
@@ -411,9 +412,7 @@ def test_global_sql_agg_rewritten_two_phase(spark, sf_dir):
         "FROM li_glob",
     )
     p = _plan(df)
-    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
-    assert "__aus_salt" in p
-    assert not re.findall(r"sum_udaf(?!__)", p)
+    _assert_two_phase_phase1(p, "sum_udaf")
     expected = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .selectExpr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s")
@@ -476,13 +475,8 @@ def test_window_sql_agg_two_phase_plan(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
     p = _plan(QUERIES["sql_agg_window_two_phase"](spark, sf_dir))
-    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
-    assert "__aus_salt" in p
+    _assert_two_phase_phase1(p, "sum_udaf")
     assert "Window" in p
-    # no bare single-phase UDAF node anywhere
-    import re
-
-    assert not re.search(r"sum_udaf(?!__)", p)
 
 
 def test_cte_sql_agg_two_phase_plan(spark, sf_dir):
@@ -492,8 +486,7 @@ def test_cte_sql_agg_two_phase_plan(spark, sf_dir):
     from arrow_udf_spark.queries import QUERIES
 
     p = _plan(QUERIES["sql_agg_cte_two_phase"](spark, sf_dir))
-    assert "sum_udaf__pfold" in p and "sum_udaf__mergevec" in p
-    assert "__aus_salt" in p
+    _assert_two_phase_phase1(p, "sum_udaf")
     # the CTE body's filter reached the parquet scan (pushdown through
     # the rewrite + CTE inlining)
     assert "PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice" in p
