@@ -792,6 +792,21 @@ def _bpe_pair_expr():
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _release_pin(df) -> None:
+    """Free a loop table's storage NOW, whether it was persist()ed or
+    localCheckpoint()ed (the r9 cache-release contract): unpersist covers
+    the CacheManager entry, and the LogicalRDD branch frees a local
+    checkpoint's BlockManager blocks, which otherwise linger until the
+    RDD is garbage-collected."""
+    df.unpersist()
+    try:
+        lg = df._jdf.queryExecution().logical()
+        if lg.getClass().getSimpleName() == "LogicalRDD":
+            lg.rdd().unpersist(True)
+    except Exception:
+        pass
+
+
 def _bpe_finish(words, cur, parent=None):
     """Shared trainer epilogue: pin the O(|vocab|) model (w, n_sym),
     release the loop table(s), and build the per-document encode join.
@@ -807,9 +822,9 @@ def _bpe_finish(words, cur, parent=None):
         ).cast("long").alias("n_sym"),
     ).persist()
     final.count()
-    cur.unpersist()
+    _release_pin(cur)
     if parent is not None:
-        parent.unpersist()
+        _release_pin(parent)
     out = (
         words.join(final, "w")
         .groupBy("id")
@@ -898,7 +913,7 @@ def bpe_train_encode(
         )
         # `cur` is materialized now — its parent cache can go
         if prev is not None:
-            prev.unpersist()
+            _release_pin(prev)
             prev = None
         if not best:
             break
@@ -906,9 +921,15 @@ def bpe_train_encode(
         # "·a··b·" -> "·ab·": delete the doubled inner boundary
         merged = pat.replace(M + M, "", 1)
         merges.append(pat)
+        # lazy localCheckpoint, not persist (r11): same fused
+        # materialization (the next round's argmax computes it), but the
+        # lineage TRUNCATES — with persist, round n's plan re-analyzed n
+        # chained replaces + the vocab aggregate every round, and the
+        # profiled trainer spent ~5.6 s of its 9 s in driver-side gaps
+        # between 33 sub-second jobs
         nxt = cur.withColumn(
             "r", F.replace(F.col("r"), F.lit(pat), F.lit(merged))
-        ).persist()  # lazy: next round's argmax (or _bpe_finish) computes it
+        ).localCheckpoint(eager=False)
         prev, cur = cur, nxt
     # release the training loop's cached word tables (ADVICE r9: they
     # leaked for the session lifetime): pin the compact O(|vocab|)
@@ -977,7 +998,7 @@ def bpe_batch_train_encode(
             .collect()
         )
         if prev is not None:
-            prev.unpersist()
+            _release_pin(prev)
             prev = None
         selected: list[str] = []
         used: set[str] = set()
@@ -993,7 +1014,9 @@ def bpe_batch_train_encode(
         newr = F.col("r")
         for p in selected:
             newr = F.replace(newr, F.lit(p), F.lit(p.replace(M + M, "", 1)))
-        nxt = cur.withColumn("r", newr).persist()  # lazy (see above)
+        nxt = cur.withColumn("r", newr).localCheckpoint(
+            eager=False
+        )  # lazy truncation (see bpe_train_encode)
         prev, cur = cur, nxt
         merges.extend(selected)
     return _bpe_finish(words, cur, parent=prev), merges
