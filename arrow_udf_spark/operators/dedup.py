@@ -307,7 +307,7 @@ def simhash_hamming_pairs(
     # the r2 candidate form needs to stay shuffle-free to win.
     sh = with_simhash(df, text_col, out="sh", bits=bits).select(
         F.col(id_col).alias("id"), "sh"
-    ).localCheckpoint()
+    ).localCheckpoint()  # eager: lazy A/B-measured 1.27x slower (r11)
     chunks = sh.select(
         "id",
         "sh",

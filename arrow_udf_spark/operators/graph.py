@@ -50,6 +50,10 @@ def pagerank(
     # pagerank_docs that is the whole LSH shingle+band candidate
     # generation, re-run per round).  The edge list is the small proxy —
     # O(E) id pairs — exactly what should pin, not the text pipeline.
+    # r11 NOTE: lazy (eager=False) pins were A/B-measured 1.46x SLOWER
+    # here — the per-round AQE re-materialization under a lazy chain
+    # costs more than the eager count() barriers it removes on this
+    # iterative shape (unlike the cascade's one-shot tiers).  Eager stays.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
