@@ -1582,6 +1582,11 @@ def q_count_min_freq(spark, sf):
     (asserted in tests).  md5-derived cells are engine-exact."""
     from .operators.sketch import count_min_estimate
 
+    # r11 MEASURED NEGATIVE: spread=True here ran 1.32x SLOWER (3
+    # alternating samples) — the round-robin exchange ships the full text
+    # column and BOTH passes (sketch ingest + truth count) re-execute the
+    # repartitioned subtree, so the spread is paid twice for one scan's
+    # worth of parallelism.  Unspread stays.
     return count_min_estimate(
         t(spark, sf, "documents"), _CMS_TOKENS, text_col="text"
     )
